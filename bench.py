@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries and prints one
+JSON line (driver contract). Protocol per BASELINE.md: local Spark with
+AQE on, parquet inputs from $SPARK_GRAFT_SF_DIR (default sf0.1),
+wall-clock per named query, warmup run discarded, best of the
+subsequent runs recorded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from incubyte_vaccination_data_pipeline_spark import catalog  # noqa: E402
+from incubyte_vaccination_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: queries timed by the harness (the full catalog; each also serves as
+#: the per-round BENCH feedback loop while widening coverage)
+HEADLINE = list(catalog.QUERIES)
+
+RUNS = 2  # timed runs after the discarded warmup
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="ivdp-bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        best = None
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            # foreach-noop forces full materialization without driver collect
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if i == 0:
+                continue  # warmup
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,539 @@
+"""Named query catalog: the driver-facing surface of the engine.
+
+Every operator from SURVEY.md §2 (plus the engine's extension operators)
+is exposed here as a named query ``(spark, sf_dir) -> DataFrame`` with a
+matching DuckDB oracle SQL string. Conventions that keep the Spark
+result and the oracle hash-comparable:
+
+- **lowercase column aliases** on both sides (DuckDB lowercases
+  unquoted identifiers; the driver matches columns by name);
+- **decimal-exact aggregation** for money math: double sums are
+  addition-order-dependent and would differ between engines, so sums
+  run on ``DECIMAL`` (exact, order-independent) and only the final
+  value is cast to double/rounded;
+- **pinned dates** (``AS_OF``) instead of ``current_date()``;
+- deterministic tie-breakers on every window/top-k.
+
+The vaccination-domain queries (``vax_*``) re-create the reference's
+flagship patterns (dedup-latest country view, validity filter, date
+cascade, dead-letter split — SURVEY.md §2) over the driver's TPC-H-ish
+testdata: an "intermediate record" is an order event (customer id,
+consultation date := order date, country := nation name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.functions.dates import parse_date_struct
+from incubyte_vaccination_data_pipeline_spark.functions.derive import age_years, staleness_flag
+from incubyte_vaccination_data_pipeline_spark.operators.views import dedup_latest
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+AS_OF = "2002-01-01"  # pinned "today" for derived columns (order dates end 2001)
+FLAGSHIP_COUNTRY = "NATION_7"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# vaccination-surface queries (reference parity patterns)
+# --------------------------------------------------------------------------
+
+# shared record shape: one row per order, warehouse-like columns
+_VAX_RECORDS_SQL = """
+    SELECT CAST(c_custkey AS VARCHAR) AS cust_i,
+           c_name AS name,
+           CAST(o_orderdate AS DATE) AS open_dt,
+           CAST(o_orderdate AS DATE) AS consul_dt,
+           n_name AS country,
+           make_date(CAST(1950 + c_custkey % 50 AS INT), 1, 1) AS dob,
+           o_orderkey
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def _vax_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        # nation is tiny -> broadcast, no shuffle for the dim join
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("string").alias("cust_i"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderdate").cast("date").alias("open_dt"),
+            F.col("o_orderdate").cast("date").alias("consul_dt"),
+            F.col("n_name").alias("country"),
+            F.make_date(
+                (F.lit(1950) + F.col("c_custkey") % 50).cast("int"), F.lit(1), F.lit(1)
+            ).alias("dob"),
+            F.col("o_orderkey"),
+        )
+    )
+
+
+_VAX_VIEW_PROJ = """
+    cust_i, name, open_dt, consul_dt, country, dob,
+    CAST(date_part('year', DATE '{as_of}') - date_part('year', dob) AS INT) AS age,
+    COALESCE(date_diff('day', consul_dt, DATE '{as_of}') > 30, FALSE)
+        AS days_since_consul_gt_30
+""".format(as_of=AS_OF)
+
+
+def _vax_view_frame(df: DataFrame) -> DataFrame:
+    return df.select(
+        "cust_i",
+        "name",
+        "open_dt",
+        "consul_dt",
+        "country",
+        "dob",
+        age_years(F.col("dob"), AS_OF).alias("age"),
+        staleness_flag(F.col("consul_dt"), AS_OF).alias("days_since_consul_gt_30"),
+    )
+
+
+@query(
+    "vax_country_view",
+    oracle=f"""
+    WITH recs AS ({_VAX_RECORDS_SQL}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cust_i ORDER BY consul_dt DESC, o_orderkey DESC
+        ) AS rn
+        FROM recs WHERE country = '{FLAGSHIP_COUNTRY}'
+    )
+    SELECT {_VAX_VIEW_PROJ} FROM ranked WHERE rn = 1
+    """,
+)
+def vax_country_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's per-country view (W1 dedup-latest +
+    F10 AGE + F11 staleness + P11 country filter), filter-first so the
+    window shuffle only carries one country's rows."""
+    recs = _vax_records(spark, sf_dir).filter(F.col("country") == FLAGSHIP_COUNTRY)
+    deduped = dedup_latest(
+        recs, key="cust_i", order_col="consul_dt",
+        tie_breakers=[F.col("o_orderkey").desc()],
+    )
+    return _vax_view_frame(deduped)
+
+
+@query(
+    "vax_dedup_latest",
+    oracle=f"""
+    WITH recs AS ({_VAX_RECORDS_SQL}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cust_i ORDER BY consul_dt DESC, o_orderkey DESC
+        ) AS rn
+        FROM recs
+    )
+    SELECT {_VAX_VIEW_PROJ} FROM ranked WHERE rn = 1
+    """,
+)
+def vax_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 over every country: latest consultation per customer."""
+    deduped = dedup_latest(
+        _vax_records(spark, sf_dir),
+        key="cust_i",
+        order_col="consul_dt",
+        tie_breakers=[F.col("o_orderkey").desc()],
+    )
+    return _vax_view_frame(deduped)
+
+
+@query(
+    "vax_distinct_countries",
+    oracle="""
+    SELECT DISTINCT n_name AS country
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def vax_distinct_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the DISTINCT driving per-country view fan-out."""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("country"))
+        .distinct()
+    )
+
+
+@query(
+    "vax_valid_filter",
+    oracle="""
+    WITH recs AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS cust_i,
+               NULLIF(o_orderpriority, '1-URGENT') AS name,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(o_orderdate AS DATE) END AS open_dt,
+               o_orderstatus AS flag
+        FROM orders
+    )
+    SELECT cust_i, name, open_dt, flag FROM recs
+    WHERE open_dt IS NOT NULL
+      AND name IS NOT NULL AND name <> ''
+      AND cust_i IS NOT NULL AND cust_i <> ''
+    """,
+)
+def vax_valid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: mandatory-field validity filter (nulls injected
+    deterministically since the synthetic table is fully populated)."""
+    orders = read_table(spark, sf_dir, "orders")
+    recs = orders.select(
+        F.col("o_orderkey").cast("string").alias("cust_i"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("name"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("date"))
+        .otherwise(F.col("o_orderdate").cast("date"))
+        .alias("open_dt"),
+        F.col("o_orderstatus").alias("flag"),
+    )
+    return recs.filter(
+        F.col("open_dt").isNotNull()
+        & F.col("name").isNotNull()
+        & (F.col("name") != "")
+        & F.col("cust_i").isNotNull()
+        & (F.col("cust_i") != "")
+    )
+
+
+# ---- date cascade over generated dirty strings ---------------------------
+# Six deterministic string shapes per order row; every non-empty shape has
+# >= 6 digits, so both engines exercise the compact-digit branch
+# (the reference's dominant path — see functions/dates.py).
+_DIRTY_DATES_SQL = """
+    SELECT o_orderkey AS id,
+           CASE o_orderkey % 6
+             WHEN 0 THEN strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y')
+             WHEN 1 THEN printf('%d%02d%04d',
+                                CAST(date_part('month', o_orderdate) AS INT),
+                                CAST(date_part('day', o_orderdate) AS INT),
+                                CAST(date_part('year', o_orderdate) AS INT))
+             WHEN 2 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+             WHEN 3 THEN printf('%02d%02d%04d',
+                                CAST(date_part('month', o_orderdate) AS INT),
+                                CAST(date_part('day', o_orderdate) AS INT),
+                                CAST(date_part('year', o_orderdate) AS INT))
+             WHEN 4 THEN strftime(CAST(o_orderdate AS DATE), '%d-%m-%Y')
+             ELSE ''
+           END AS raw
+    FROM orders
+"""
+
+# DuckDB re-implementation of the compact-digit branch (date_parser.py:41-77
+# semantics with correct Gregorian leap rule; engine divergences documented
+# in functions/dates.py). Only reachable branch for the strings above.
+_COMPACT_PARSE_SQL = """
+    parts AS (
+        SELECT id, raw,
+               regexp_replace(raw, '[^0-9]', '', 'g') AS digits
+        FROM dirty
+    ),
+    fields AS (
+        SELECT id, raw, digits, length(digits) AS nd,
+            CASE WHEN length(digits) = 7 THEN TRY_CAST(substr(digits, 1, 1) AS INT)
+                 ELSE TRY_CAST(substr(digits, 1, 2) AS INT) END AS m,
+            CASE WHEN length(digits) = 7 THEN TRY_CAST(substr(digits, 2, 2) AS INT)
+                 ELSE TRY_CAST(substr(digits, 3, 2) AS INT) END AS dd,
+            CASE WHEN length(digits) = 7 THEN TRY_CAST(substr(digits, 4, 4) AS INT)
+                 ELSE TRY_CAST(substr(digits, 5, 16) AS INT) END AS yraw
+        FROM parts
+    ),
+    adj AS (
+        SELECT *, CASE WHEN yraw < 100 THEN yraw + 2000 ELSE yraw END AS y
+        FROM fields
+    ),
+    parsed AS (
+        SELECT id, raw, nd, m, dd, y,
+            CASE WHEN trim(raw) = '' OR raw IS NULL THEN NULL
+                 WHEN nd >= 6 AND m BETWEEN 1 AND 12 AND dd >= 1
+                      AND y BETWEEN 1900 AND 2100
+                 THEN TRY_CAST(printf('%04d-%02d-%02d', y, m, dd) AS DATE)
+            END AS parsed,
+            CASE WHEN trim(raw) = '' OR raw IS NULL THEN 'Empty date string'
+                 WHEN nd >= 6 THEN
+                   CASE WHEN m < 1 OR m > 12
+                        THEN printf('Invalid month: %d (must be between 1 and 12)', m)
+                        WHEN dd < 1
+                        THEN printf('Invalid day: %d (must be greater than 0)', dd)
+                        WHEN y < 1900 OR y > 2100
+                        THEN printf('Invalid year: %d (must be between 1900 and 2100)', y)
+                        WHEN TRY_CAST(printf('%04d-%02d-%02d', y, m, dd) AS DATE) IS NULL
+                        THEN printf('Invalid day: %d (maximum %d days in month %d)',
+                                    dd,
+                                    CAST(date_part('day', last_day(make_date(y, m, 1))) AS INT),
+                                    m)
+                   END
+            END AS error
+        FROM adj
+    )
+"""
+
+
+def _dirty_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    k = F.col("o_orderkey") % 6
+    raw = (
+        F.when(k == 0, F.date_format(d, "MM/dd/yyyy"))
+        .when(
+            k == 1,
+            F.format_string("%d%02d%04d", F.month(d), F.dayofmonth(d), F.year(d)),
+        )
+        .when(k == 2, F.date_format(d, "yyyy-MM-dd"))
+        .when(
+            k == 3,
+            F.format_string("%02d%02d%04d", F.month(d), F.dayofmonth(d), F.year(d)),
+        )
+        .when(k == 4, F.date_format(d, "dd-MM-yyyy"))
+        .otherwise(F.lit(""))
+    )
+    return orders.select(F.col("o_orderkey").alias("id"), raw.alias("raw"))
+
+
+@query(
+    "vax_date_cascade",
+    oracle=f"""
+    WITH dirty AS ({_DIRTY_DATES_SQL}),
+    {_COMPACT_PARSE_SQL}
+    SELECT id, raw, parsed FROM parsed
+    """,
+)
+def vax_date_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5: the multi-format cascade over generated dirty strings
+    (valid M/D/Y shapes, 7/8-digit compacts, invalid ISO-as-compact,
+    D-M-Y digit soup, empties)."""
+    dirty = _dirty_dates(spark, sf_dir)
+    return dirty.select(
+        "id", "raw", parse_date_struct(F.col("raw"))["date"].alias("parsed")
+    )
+
+
+@query(
+    "vax_deadletter",
+    oracle=f"""
+    WITH dirty AS ({_DIRTY_DATES_SQL}),
+    {_COMPACT_PARSE_SQL}
+    SELECT id, raw, error AS validation_error, 'open_date' AS invalid_field
+    FROM parsed WHERE error IS NOT NULL
+    """,
+)
+def vax_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter split: rows whose mandatory date failed, annotated
+    with the reference's reason text + field name (§1.4)."""
+    dirty = _dirty_dates(spark, sf_dir)
+    err = parse_date_struct(F.col("raw"))["error"]
+    return (
+        dirty.select("id", "raw", err.alias("validation_error"))
+        .filter(F.col("validation_error").isNotNull())
+        .withColumn("invalid_field", F.lit("open_date"))
+    )
+
+
+# --------------------------------------------------------------------------
+# relational breadth (engine capabilities over the star schema)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with decimal-exact sums.
+    Catalyst runs this as partial+final HashAggregate with the filter
+    and the 7-column projection pushed into the parquet scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'SEG_1'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+             l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+    Ordering happens on the exact decimal revenue (identical across
+    engines) before the double projection."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        customer.filter(F.col("c_mktsegment") == "SEG_1")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate").cast("date") > F.lit("1996-03-15").cast("date"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(rev.alias("__rev"))
+        .orderBy(F.col("__rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            "orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "agg_revenue_by_nation",
+    oracle="""
+    SELECT n_name AS nation, r_name AS region,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped star join: fact-fact shuffle joins + broadcast dims."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(rev.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "window_topk_orders",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, orderdate, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the reference's only window pattern
+    (row_number + filter) generalized to k > 1."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

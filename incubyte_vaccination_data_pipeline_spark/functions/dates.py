@@ -1,0 +1,154 @@
+"""Multi-format date parsing as native Column expressions.
+
+Behavioral parity with the reference's ``src/utils/date_parser.py:12-134``
+(intshivam/incubyte-vaccination-data-pipeline), re-expressed as a single
+JVM-side expression tree — no Python in the hot path, so the cascade
+runs inside whole-stage codegen and scales to 100 TB.
+
+Reference semantics implemented faithfully:
+
+- empty/blank input -> error "Empty date string" (date_parser.py:27-28).
+- float-form normalization: ``"20220301.0"`` -> ``"20220301"``
+  (date_parser.py:33-37).
+- **compact-digit branch** (date_parser.py:41-77): if the input contains
+  >= 6 digits after stripping non-digits, it is parsed positionally —
+  7 digits as M/DD/YYYY, otherwise MM/DD/ + rest-as-year — with 2-digit
+  years mapped to 2000+yy and range checks month 1-12, day >= 1,
+  year 1900-2100, day <= days-in-month. Validation failures raise the
+  reference's "Invalid month/day/year" errors *without* falling through
+  to the format cascade. This means e.g. ISO ``2021-13-13`` (and any
+  8-digit ``yyyy-...`` string) fails with "Invalid month: 20" — the
+  strptime cascade below is only reachable for inputs with < 6 digits,
+  exactly as in the reference.
+- **format cascade** (date_parser.py:85-128) for < 6-digit inputs, after
+  stripping chars outside ``[0-9/-]``: formats tried in order
+  M/d/yyyy, yyyy/M/d, d/M/yyyy, yyyy-M-d, M-d-yyyy, d-M-yyyy,
+  yyyyMMdd, MMddyyyy, ddMMyyyy; first parse whose year is in
+  [1900, 2100] wins.
+
+Documented divergences (SURVEY.md §2.12, §7.3):
+
+- correct Gregorian leap rule (the reference's ``year % 4`` bug accepts
+  1900-02-29 / 2100-02-29; this engine rejects them).
+- error *categories and field positions* are stable, but free-text
+  detail of cascade failures is not byte-identical.
+- SQL NULL input maps to "Empty date string" (pandas ``NaN`` stringifies
+  to ``"nan"`` in the reference and fails later with "Unable to parse").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: strptime cascade (date_parser.py:85-100), java.time spellings.
+CASCADE_FORMATS = [
+    "M/d/yyyy",
+    "yyyy/M/d",
+    "d/M/yyyy",
+    "yyyy-M-d",
+    "M-d-yyyy",
+    "d-M-yyyy",
+    "yyyyMMdd",
+    "MMddyyyy",
+    "ddMMyyyy",
+]
+
+
+def _normalized(col: Column) -> Column:
+    """Trim + float-form normalization ("20220301.0" -> "20220301")."""
+    s = F.trim(col.cast("string"))
+    return F.when(
+        s.rlike(r"^\d+\.\d+$"), F.regexp_extract(s, r"^(\d+)\.", 1)
+    ).otherwise(s)
+
+
+def parse_date_struct(col: Column) -> Column:
+    """Parse ``col`` per the reference cascade.
+
+    Returns ``struct(date: date, error: string)`` — exactly one of the
+    two fields is non-null.
+    """
+    s = _normalized(col)
+    digits = F.regexp_replace(s, r"[^0-9]", "")
+    nd = F.length(digits)
+
+    # ---- compact-digit branch (>= 6 digits) ------------------------------
+    month = F.when(nd == 7, F.substring(digits, 1, 1)).otherwise(
+        F.substring(digits, 1, 2)
+    ).cast("int")
+    day = F.when(nd == 7, F.substring(digits, 2, 2)).otherwise(
+        F.substring(digits, 3, 2)
+    ).cast("int")
+    raw_year = F.when(nd == 7, F.substring(digits, 4, 4)).otherwise(
+        # year := all remaining digits (date_parser.py:53); > 4 digits
+        # simply fails the range check, as in the reference
+        F.substring(digits, 5, 16)
+    ).cast("int")
+    # > 18-digit years overflow the int cast to NULL under non-ANSI eval;
+    # coalesce to an out-of-range sentinel so they fail the range check
+    # (the reference raises "Invalid year" for any year outside 1900-2100).
+    raw_year = F.coalesce(raw_year, F.lit(-1))
+    year = F.when(raw_year < 100, raw_year + 2000).otherwise(raw_year)
+
+    compact_date = F.try_to_date(
+        F.format_string("%04d-%02d-%02d", year, month, day), "yyyy-MM-dd"
+    )
+    max_day = F.dayofmonth(F.last_day(compact_date_base := F.make_date(year, month, F.lit(1))))
+    _ = compact_date_base  # named only for readability
+
+    compact_error = (
+        F.when(
+            (month < 1) | (month > 12),
+            F.format_string("Invalid month: %d (must be between 1 and 12)", month),
+        )
+        .when(day < 1, F.format_string("Invalid day: %d (must be greater than 0)", day))
+        .when(
+            (year < 1900) | (year > 2100),
+            F.format_string("Invalid year: %d (must be between 1900 and 2100)", year),
+        )
+        .when(
+            compact_date.isNull(),
+            F.format_string(
+                "Invalid day: %d (maximum %d days in month %d)", day, max_day, month
+            ),
+        )
+    )
+
+    # ---- strptime cascade (< 6 digits) -----------------------------------
+    cleaned = F.regexp_replace(s, r"[^0-9/\-]", "")
+    candidates = [F.try_to_date(cleaned, fmt) for fmt in CASCADE_FORMATS]
+    in_range = [
+        F.when(F.year(c).between(1900, 2100), c) for c in candidates
+    ]
+    cascade_date = F.coalesce(*in_range)
+    cascade_error = F.format_string(
+        "Unable to parse date '%s': format not recognized", cleaned
+    )
+
+    empty = s.isNull() | (s == "")
+    date_out = (
+        F.when(empty, F.lit(None).cast("date"))
+        .when(nd >= 6, F.when(compact_error.isNull(), compact_date))
+        .otherwise(cascade_date)
+    )
+    error_out = (
+        F.when(empty, F.lit("Empty date string"))
+        .when(nd >= 6, compact_error)
+        .otherwise(F.when(cascade_date.isNull(), cascade_error))
+    )
+    return F.struct(date_out.alias("date"), error_out.alias("error"))
+
+
+def parse_date(col: Column) -> Column:
+    """Parsed date, or NULL when invalid (to_date-style semantics)."""
+    return parse_date_struct(col)["date"]
+
+
+def parse_date_error(col: Column) -> Column:
+    """Validation-error message, or NULL when the date is valid.
+
+    Mirrors ``validate_date_with_reason`` (data_validator.py:146-151):
+    the dead-letter channel annotates quarantined rows with this text.
+    """
+    return parse_date_struct(col)["error"]

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+Local test posture is ``local[N]`` but every default here is chosen for
+the 1000-executor / 100 TB design point: AQE on (runtime coalesce,
+skew-join splitting, broadcast demotion), UTC session timezone (so
+results are comparable against external oracles), Arrow enabled for the
+few pandas-UDF operators, and shuffle partitions sized to the
+parallelism actually available instead of the legacy 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "incubyte_vaccination_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master``/``shuffle_partitions`` default from the environment so the
+    same code runs under the driver harness (``SPARK_GRAFT_CPUS``) and on
+    a real cluster (where ``master`` is supplied by spark-submit).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Engine policy: non-ANSI eval + try_* parsers. Malformed input
+        # becomes NULL (then dead-lettered by the validators) instead of
+        # failing the job — a 100 TB batch must not abort on one bad cell.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,58 @@
+"""Parquet warehouse + dead-letter sinks, and testdata readers.
+
+The reference ships rows to Snowflake in manually-sized chunks
+(``snowflake_connector.py:166-246``); in Spark the unit of write
+parallelism is the partition, so "chunking" is ``repartition`` and the
+sink is a partitioned parquet table:
+
+- ``partitionBy("COUNTRY")`` makes every per-country view a pruned scan
+  (the reference's ``WHERE COUNTRY = 'X'`` becomes directory pruning);
+- optional bucketing by ``CUST_I`` removes the dedup-window shuffle for
+  repeated reads at the 100 TB design point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def write_warehouse(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] = ("COUNTRY",),
+) -> None:
+    """S4/S5 equivalent: partitioned parquet append. Partition-parallel
+    writes replace the reference's manual 10k-row chunk loop."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_dead_letter(df: DataFrame, path: str, mode: str = "append") -> None:
+    """S6 equivalent: quarantined rows + error metadata
+    (``data_validator.py:194-216``), parquet instead of timestamped CSV
+    so the channel is itself queryable."""
+    df.write.mode(mode).parquet(path)

@@ -1,0 +1,159 @@
+"""End-to-end pipeline parity on the reference's sample fixtures
+(FIXTURES.md fixtures 1-4): three dialect CSVs + a pipe-framed file."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.operators.validate import (
+    get_valid_records,
+    validate_types,
+)
+from incubyte_vaccination_data_pipeline_spark.operators.views import (
+    country_view,
+    distinct_countries,
+    register_country_views,
+)
+from incubyte_vaccination_data_pipeline_spark.pipeline import run_pipeline
+from incubyte_vaccination_data_pipeline_spark.sources.csv_ingest import load_source_data
+
+IND_CSV = """ID,Name,DOB,VaccinationType,VaccinationDate,Free or Paid
+1,Vikas,12/01/1998,XYZ,01/01/2022,F
+2,Rahul,08/13/1982,ABC,03/05/2022,P
+3,Sameer,08/13/1952,ABC,02/20/2022,F
+"""
+
+USA_CSV = """ID,Name,VaccinationType,VaccinationDate
+1,Sam,EFG,6152022
+2,John,XYZ,1052022
+3,Mike,ABC,12282021
+"""
+
+AUS_CSV = """Unique ID,Patient Name,Vaccine Type,Date of Birth,Date of Vaccination
+1,Mike,LMN,NULL,05/11/2022
+2,Jonnathan,XYZ,12/13/1997,2021-13-13
+3,Cristina,ABC,03/12/1998,03/12/2022
+"""
+
+# pipe-framed variant (FIXTURES.md fixture 4): |H| header + |D| rows are
+# stripped; the plain row survives
+PIP_CSV = """c1,c2,c3,c4,c5
+|H|Customer_Name|Customer_Id|Open_Date|Last_Consulted_Date|Vaccination_Id|Dr_Name|State|Country|DOB|Is_Active,,,,
+|D|Alex|9|20100110|20121013|MVD|Paul|SA|USA|6031987|A,,,,
+,,,,
+"""
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csvdata")
+    (d / "IND (1) 1(in).csv").write_text(IND_CSV)
+    (d / "USA (1) 1(in).csv").write_text(USA_CSV)
+    (d / "AUS (1) 1(Sheet1).csv").write_text(AUS_CSV)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, data_dir):
+    return load_source_data(spark, data_dir)
+
+
+def test_synonym_projection_and_country_synthesis(loaded):
+    rows = {(r["Country"], r["Customer_Id"]): r for r in loaded.collect()}
+    assert set(c for c, _ in rows) == {"IND", "USA", "AUS"}
+    # unmapped 'Free or Paid' dropped
+    assert "Free or Paid" not in loaded.columns
+    # AUS dialect mapped: Patient Name -> Customer_Name
+    assert rows[("AUS", "3")]["Customer_Name"] == "Cristina"
+    # USA has no DOB column -> null after unionByName
+    assert rows[("USA", "1")]["DOB"] is None
+
+
+def test_validate_split(loaded):
+    clean, dead = validate_types(loaded)
+    dead_rows = dead.collect()
+    # exactly one mandatory-date failure: AUS row 2, 2021-13-13
+    assert len(dead_rows) == 1
+    d = dead_rows[0]
+    assert d["Invalid_Field"] == "Open_Date"
+    assert d["Customer_Id"] == "2"
+    assert d["Validation_Error"].startswith("Invalid month: 20")
+    # original raw value is preserved in the dead letter
+    assert d["Open_Date"] == "2021-13-13"
+
+    by_key = {(r["Country"], r["Customer_Id"]): r for r in clean.collect()}
+    # parsed dates are typed
+    assert by_key[("USA", "1")]["Open_Date"] == dt.date(2022, 6, 15)
+    assert by_key[("USA", "2")]["Open_Date"] == dt.date(2022, 1, 5)
+    assert by_key[("IND", "2")]["DOB"] == dt.date(1982, 8, 13)
+    # failed mandatory date is nulled in the clean frame
+    assert by_key[("AUS", "2")]["Open_Date"] is None
+    # literal 'NULL' DOB string -> unparseable optional -> nulled silently
+    assert by_key[("AUS", "1")]["DOB"] is None
+    assert by_key[("AUS", "2")]["DOB"] == dt.date(1997, 12, 13)
+
+
+def test_get_valid_records_filter_and_rename(loaded):
+    clean, _ = validate_types(loaded)
+    valid = get_valid_records(clean)
+    # 9 rows - 1 invalid Open_Date
+    assert valid.count() == 8
+    assert "CUST_I" in valid.columns and "OPEN_DT" in valid.columns
+    assert "Customer_Id" not in valid.columns
+
+
+def test_pipe_frame_strip(spark, tmp_path):
+    p = tmp_path / "PIP file.csv"
+    p.write_text(PIP_CSV)
+    df = load_source_data(spark, str(tmp_path))
+    # both |-prefixed rows dropped; remaining row is the all-null one;
+    # unmapped c1..c5 are dropped and Country is synthesized from the
+    # filename prefix (reference parity: pipe data rows are NOT parsed)
+    assert df.count() == 1
+    assert set(df.columns) == {"Country", "Source_File"}
+    assert df.collect()[0]["Country"] == "PIP"
+
+
+def test_full_pipeline_and_views(spark, data_dir, tmp_path):
+    wh, views = run_pipeline(
+        spark,
+        data_dir,
+        warehouse_path=str(tmp_path / "warehouse"),
+        dead_letter_path=str(tmp_path / "dead"),
+        as_of="2024-06-01",
+        load_date="2024-06-01 00:00:00",
+    )
+    assert sorted(views) == ["VIEW_AUS", "VIEW_IND", "VIEW_USA"]
+    assert distinct_countries(wh) == ["AUS", "IND", "USA"]
+
+    ind = spark.sql("SELECT * FROM VIEW_IND").collect()
+    assert {r["CUST_I"] for r in ind} == {"1", "2", "3"}
+    by_id = {r["CUST_I"]: r for r in ind}
+    # AGE = year(as_of) - year(DOB)  (Snowflake DATEDIFF(YEAR) parity)
+    assert by_id["2"]["AGE"] == 2024 - 1982
+    assert by_id["3"]["AGE"] == 2024 - 1952
+    # NULL CONSUL_DT -> staleness FALSE (CASE else-branch parity)
+    assert by_id["1"]["DAYS_SINCE_CONSUL_GT_30"] is False
+
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    assert dead.count() == 1
+
+
+def test_dedup_latest_keeps_most_recent(spark):
+    df = spark.createDataFrame(
+        [
+            ("1", "a", dt.date(2024, 1, 1), "IND"),
+            ("1", "b", dt.date(2024, 3, 1), "IND"),
+            ("1", "c", None, "IND"),
+            ("2", "d", None, "IND"),
+        ],
+        "CUST_I string, NAME string, CONSUL_DT date, COUNTRY string",
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.views import dedup_latest
+
+    out = {r["CUST_I"]: r for r in dedup_latest(df).collect()}
+    assert out["1"]["NAME"] == "b"  # latest wins; NULLs sort last in DESC
+    assert out["2"]["NAME"] == "d"  # all-NULL group still yields one row
