@@ -1,0 +1,129 @@
+"""Event-stream analytics over the ``events`` table (batch semantics;
+the Structured Streaming ingest in ``streaming/`` reuses the same
+windowed-aggregation logic — see ``streaming/events_stream.py``).
+
+Covers: JSON property extraction, tumbling-window aggregation
+(alignment-compatible with DuckDB ``time_bucket``: epoch-aligned for
+sub-day widths), and gap-based sessionization via window functions —
+the batch shape of ``session_window``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+_DEC = "decimal(18,2)"
+SESSION_GAP_SECONDS = 1800
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (semi-structured column
+    handling; stays JVM-side via get_json_object)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows (batch equivalent of the
+    streaming windowed agg; both Spark ``window()`` and DuckDB
+    ``time_bucket`` are epoch-aligned for 5-minute widths)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+                       THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    ),
+    sessions AS (
+        SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    new-session flags — the classic batch sessionizer; the streaming
+    twin is ``session_window`` (streaming/events_stream.py)."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > SESSION_GAP_SECONDS)
+    ).cast("int")
+    return (
+        events.select("user_id", "event_id", "ts", "value", is_new.alias("is_new"))
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("session_value"),
+        )
+    )

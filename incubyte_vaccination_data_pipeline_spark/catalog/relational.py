@@ -1,0 +1,525 @@
+"""Relational operator breadth: joins, aggregations, windows, set ops,
+pivot/rollup/cube, scalar-function coverage.
+
+The reference has no joins/aggregates beyond DISTINCT (SURVEY.md §2.3,
+§2.4); these queries declare the engine's full relational surface over
+the testdata star schema, each validated against a DuckDB oracle.
+Determinism conventions as in ``vax.py`` (decimal money math, explicit
+tie-breakers, portable function choices)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import AS_OF, query
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+_DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(_DEC)
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 5000
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND date_part('year', o_orderdate) = 2001)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): high-balance customers with 2001 orders."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 2001
+    )
+    return (
+        customer.filter(F.col("c_acctbal") > 5000)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND date_part('year', o_orderdate) = 2001)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no 2001 orders."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 2001
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+               AS total_spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + agg: order counts including zero-order
+    customers (COUNT over the null-extended side)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast(_DEC))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_supplier_nation",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name AS nation, r_name AS region
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension snowflake via broadcast joins (no shuffle on the fact
+    side — the physical plan must show BroadcastHashJoin)."""
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation breadth
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_stats_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + count / count_distinct / min / max / avg."""
+    orders = read_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return orders.groupBy("o_orderpriority").agg(
+        n.alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min(_dec("o_totalprice")).cast("double").alias("min_price"),
+        F.max(_dec("o_totalprice")).cast("double").alias("max_price"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double") / n, 6).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation (listagg equivalent)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        )
+    )
+
+
+@query(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "cube_segment_status",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over a join (all grouping-set combinations)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide conditional aggregation) with a fixed value list."""
+    orders = read_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    out = out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_intersect_repeat_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 2000
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 2001
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 2000 and 2001."""
+    orders = read_table(spark, sf_dir, "orders")
+    y2000 = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    y2001 = orders.filter(F.year("o_orderdate") == 2001).select("o_custkey")
+    return y2000.intersect(y2001)
+
+
+@query(
+    "set_except_churned_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 2000
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 2001
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: 2000 customers who didn't return in 2001."""
+    orders = read_table(spark, sf_dir, "orders")
+    y2000 = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    y2001 = orders.filter(F.year("o_orderdate") == 2001).select("o_custkey")
+    return y2000.subtract(y2001)  # EXCEPT (set semantics)
+
+
+@query(
+    "set_union_all_high_low",
+    oracle="""
+    SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of disjoint slices with a provenance tag (U1 shape)."""
+    orders = read_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", F.lit("high").alias("bucket")
+    )
+    lo = orders.filter(F.col("o_totalprice") < 10000).select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+# --------------------------------------------------------------------------
+# sorts / limits / windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject) with deterministic ties."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "window_running_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (running decimal sum) + lag analytics."""
+    orders = read_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(od, F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        od.alias("orderdate"),
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.datediff(od, F.lag(od).over(w)).alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_rank_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           RANK() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC) AS price_dense_rank,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile ranking family."""
+    orders = read_table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    by_price_tb = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(by_price).alias("price_rank"),
+        F.dense_rank().over(by_price).alias("price_dense_rank"),
+        F.ntile(4).over(by_price_tb).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar-function breadth
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_type, 1, 5) AS type_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           trim(p_name) AS name_trim,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+           regexp_extract(p_type, '^([a-z]+)', 1) AS first_word,
+           replace(p_name, ' ', '_') AS name_snake,
+           CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red,
+           strpos(p_type, '_') AS underscore_pos,
+           reverse(p_brand) AS brand_rev
+    FROM part
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (F6-F9, F12 generalized)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.regexp_extract(F.col("p_type"), "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+        F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("has_red"),
+        F.instr(F.col("p_type"), "_").alias("underscore_pos"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+@query(
+    "scalar_math_conditional",
+    oracle="""
+    SELECT p_partkey,
+           CAST(round(abs(CAST(p_retailprice AS DECIMAL(18,2)) - 1000), 2)
+                AS DOUBLE) AS price_dev,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           p_size % 7 AS size_mod,
+           round(sqrt(CAST(p_size AS DOUBLE)), 9) AS size_sqrt,
+           greatest(p_size, 25) AS size_hi,
+           least(p_size, 25) AS size_lo,
+           coalesce(nullif(p_brand, 'BRAND_1'), 'OTHER') AS brand_grp,
+           CASE WHEN p_size < 10 THEN 'S'
+                WHEN p_size < 30 THEN 'M'
+                ELSE 'L' END AS size_class
+    FROM part
+    """,
+)
+def scalar_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional function surface (decimal-safe rounding,
+    correctly-rounded sqrt only — no libm-divergent pow/ln in oracles)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.abs(_dec("p_retailprice") - F.lit(1000).cast(_DEC)), 2)
+        .cast("double")
+        .alias("price_dev"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 9).alias("size_sqrt"),
+        F.greatest(F.col("p_size"), F.lit(25)).alias("size_hi"),
+        F.least(F.col("p_size"), F.lit(25)).alias("size_lo"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("BRAND_1")), F.lit("OTHER")).alias(
+            "brand_grp"
+        ),
+        F.when(F.col("p_size") < 10, "S")
+        .when(F.col("p_size") < 30, "M")
+        .otherwise("L")
+        .alias("size_class"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle=f"""
+    SELECT o_orderkey,
+           date_part('year', o_orderdate) AS yr,
+           date_part('quarter', o_orderdate) AS qtr,
+           date_part('month', o_orderdate) AS mon,
+           date_part('day', o_orderdate) AS dom,
+           isodow(o_orderdate) AS iso_dow,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus_30d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') AS days_ago
+    FROM orders
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface. isodow == Spark weekday()+1
+    (Monday=1); additions yield DATE on both sides."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.month(d).cast("bigint").alias("mon"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.add_months(d, 2).alias("plus_2m"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.datediff(F.lit(AS_OF).cast("date"), d).cast("bigint").alias("days_ago"),
+    )

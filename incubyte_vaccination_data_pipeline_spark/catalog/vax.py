@@ -23,33 +23,16 @@ consultation date := order date, country := nation name).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import AS_OF, query
 from incubyte_vaccination_data_pipeline_spark.functions.dates import parse_date_struct
 from incubyte_vaccination_data_pipeline_spark.functions.derive import age_years, staleness_flag
 from incubyte_vaccination_data_pipeline_spark.operators.views import dedup_latest
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
 
-AS_OF = "2002-01-01"  # pinned "today" for derived columns (order dates end 2001)
 FLAGSHIP_COUNTRY = "NATION_7"
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a query (and optionally its DuckDB oracle)."""
-
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
 
 
 # --------------------------------------------------------------------------
@@ -529,11 +512,3 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
-
-
-def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
