@@ -1,0 +1,206 @@
+"""Dedup-family queries over ``documents`` (+ planted duplicates).
+
+The synthetic corpus has no duplicates, so each query runs over an
+augmented table with deterministic planted copies: exact dups
+(``doc_id % 10 == 0`` re-inserted at +1,000,000) and near-dups
+(``doc_id % 7 == 0`` with a 5-token tail at +2,000,000). Both engines
+construct the same augmentation, so oracles validate detection, not
+just plumbing. Operator logic lives in ``operators/dedup.py``; the
+oracle SQL mirrors its md5-hex / positional-decode arithmetic exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+NEAR_DUP_TAIL = " zz yy xx qq pp"
+
+AUG_SQL = f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || '{NEAR_DUP_TAIL}', lang, source, n_chars + 15
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 15).alias("n_chars"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL})
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS rep_doc_id,
+           COUNT(*) AS n_copies
+    FROM aug GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, min-id representative."""
+    return exact_dedup(augmented_documents(spark, sf_dir))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    tok AS (
+        SELECT doc_id AS doc, string_split(lower(text), ' ') AS words FROM aug
+    ),
+    sh AS (
+        SELECT doc,
+               list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                              i -> array_to_string(words[i:i+2], ' ')) AS shingles
+        FROM tok
+    ),
+    sig AS (
+        SELECT doc,
+               list_transform(range(0, 12),
+                   h -> list_min(list_transform(shingles,
+                           s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sig
+        FROM sh WHERE len(shingles) > 0
+    ),
+    banded AS (
+        SELECT doc, sig,
+               unnest(list_transform(range(0, 4),
+                   b -> md5(CAST(b AS VARCHAR) || '|'
+                            || array_to_string(sig[b*3+1:b*3+3], '|')))) AS band
+        FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc < b.doc
+    ),
+    est AS (
+        SELECT p.doc_a, p.doc_b,
+               round(CAST(len(list_filter(range(1, 13),
+                                          i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                     / 12, 6) AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc = p.doc_a
+        JOIN sig sb ON sb.doc = p.doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands x 3 rows) near-dup candidate pairs."""
+    return minhash_candidate_pairs(
+        augmented_documents(spark, sf_dir),
+        n_hashes=12,
+        bands=4,
+        shingle_k=3,
+        min_est_jaccard=0.5,
+    )
+
+
+_HEX = "0123456789abcdef"
+_TOKVAL_SQL = (
+    f"(strpos('{_HEX}', substr(md5(t), 1, 1)) - 1) * 4096"
+    f" + (strpos('{_HEX}', substr(md5(t), 2, 1)) - 1) * 256"
+    f" + (strpos('{_HEX}', substr(md5(t), 3, 1)) - 1) * 16"
+    f" + (strpos('{_HEX}', substr(md5(t), 4, 1)) - 1)"
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS words FROM aug
+    ),
+    votes AS (
+        SELECT doc_id,
+               list_transform(range(0, 16),
+                   j -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(words,
+                               t -> CASE WHEN (({_TOKVAL_SQL}) >> j) % 2 = 1
+                                    THEN CAST(1 AS BIGINT)
+                                    ELSE CAST(-1 AS BIGINT) END)),
+                       (a, b) -> a + b)) AS v
+        FROM tok
+    )
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(v, x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT)
+                                          ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a * 2 + b) AS simhash
+    FROM votes
+    """,
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (identical texts collide; near-dups
+    land within small Hamming distance)."""
+    aug = augmented_documents(spark, sf_dir)
+    return aug.select(
+        "doc_id",
+        simhash16("split(lower(text), ' ')").alias("simhash"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    grams AS (
+        SELECT doc_id AS doc, lang,
+               CAST(n_chars // 100 AS INT) AS len_bucket,
+               list_distinct(list_transform(
+                   range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                   i -> substr(lower(text), i, 3))) AS grams
+        FROM aug
+    ),
+    pairs AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, a.grams AS ga, b.grams AS gb
+        FROM grams a
+        JOIN grams b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+                    AND a.doc < b.doc
+        WHERE len(a.grams) > 0 AND len(b.grams) > 0
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_filter(ga, g -> list_contains(gb, g))) AS DOUBLE)
+                 / (len(ga) + len(gb)
+                    - len(list_filter(ga, g -> list_contains(gb, g)))), 6)
+               AS jaccard
+    FROM pairs
+    WHERE round(CAST(len(list_filter(ga, g -> list_contains(gb, g))) AS DOUBLE)
+                / (len(ga) + len(gb)
+                   - len(list_filter(ga, g -> list_contains(gb, g)))), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard over (lang, length-bucket) blocks."""
+    return ngram_jaccard_pairs(
+        augmented_documents(spark, sf_dir), n=3, min_jaccard=0.3
+    )

@@ -1,0 +1,101 @@
+"""Similarity-search queries over ``embeddings``.
+
+The oracle computes cosine with the same left-to-right double fold as
+the Spark expression (``list_reduce`` over index-ordered products), so
+scores match bit-for-bit before the 6-dp round — no reliance on
+DuckDB's SIMD ``list_cosine_similarity`` evaluation order.
+
+``ann_lsh_topk`` has no SQL oracle (rows-only check): its candidate
+sets are an approximation whose value is measured as recall against
+``ann_bruteforce_topk`` in ``tests/test_training_ops.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    topk_bruteforce,
+    topk_lsh,
+)
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+N_QUERY_VECTORS = 5
+TOP_K = 10
+NEAR_DUP_THRESHOLD = 0.30  # ~p99 of label-blocked cosine in the testdata
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """In-order double dot product (mirrors Spark's aggregate fold)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)})"
+        f" / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {N_QUERY_VECTORS}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 5 vectors as queries
+    (broadcast queries x full corpus scan, window top-k)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return topk_bruteforce(emb, queries, k=TOP_K)
+
+
+@query("ann_lsh_topk")  # rows-only: approximation measured by recall in tests
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (8 deterministic hyperplanes):
+    the 100 TB scale path — candidates shrink ~2^8 per query."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return topk_lsh(emb, queries, k=TOP_K, n_planes=8)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6)
+          >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the
+    embedding leg of the dedup family)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=NEAR_DUP_THRESHOLD)

@@ -1,0 +1,150 @@
+"""Text-analysis queries over ``documents`` (operators/text.py logic;
+oracles generated from the same profiles/constants so the two sides
+cannot drift)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.operators.text import (
+    FINGERPRINT_MOD,
+    FINGERPRINT_PREFIX,
+    LANG_PROFILES,
+    TOKEN_REGEX,
+    bpe_token_count,
+    content_fingerprint,
+    language_id,
+    language_scores,
+    punct_count,
+    quality_score,
+    rolling_hash,
+    word_count,
+)
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+_WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _score_sql(stopwords: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in stopwords)
+    return f"len(list_filter({_WORDS_SQL}, t -> list_contains([{quoted}], t)))"
+
+
+def _lang_case_sql() -> str:
+    langs = list(LANG_PROFILES)
+    whens = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_meta,
+               {', '.join(f'{_score_sql(sw)} AS s_{lang}' for lang, sw in LANG_PROFILES.items())}
+        FROM documents
+    )
+    SELECT doc_id, lang_meta,
+           {', '.join(f's_{lang}' for lang in LANG_PROFILES)},
+           {_lang_case_sql()} AS lang_pred
+    FROM scored
+    """,
+)
+def text_language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language id with per-language scores and
+    deterministic priority tie-break."""
+    docs = read_table(spark, sf_dir, "documents")
+    scores = language_scores("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        *[scores[lang].alias(f"s_{lang}") for lang in LANG_PROFILES],
+        language_id("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_WORDS_SQL}) AS n_words,
+           len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS n_bpe_tokens,
+           length(text) AS n_chars_actual,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct
+    FROM documents
+    """,
+)
+def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        punct_count("text").alias("n_punct"),
+    )
+
+
+_EN_HITS = _score_sql(LANG_PROFILES["en"])
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(0.4 * least(length(text) / 400.0, 1.0)
+                 + 0.3 * least((CAST({_EN_HITS} AS DOUBLE)
+                                / len({_WORDS_SQL})) * 4.0, 1.0)
+                 + 0.2 * (CASE WHEN length(text) * 1.0 / len({_WORDS_SQL})
+                                    BETWEEN 3.0 AND 9.0
+                               THEN 1.0 ELSE 0.5 END)
+                 + 0.1 * (1.0 - least((length(text)
+                                       - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                      * 1.0 / length(text) * 10.0, 1.0)), 6)
+               AS quality
+    FROM documents
+    """,
+)
+def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / stopword / word-shape /
+    punctuation signals)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS content_md5,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       range(1, least(length({_NORM_SQL}), {FINGERPRINT_PREFIX}) + 1),
+                       i -> CAST(ord(substr({_NORM_SQL}, i, 1)) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % {FINGERPRINT_MOD}) AS rolling_hash
+    FROM documents
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5 + polynomial
+    rolling hash of the 64-char prefix."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        content_fingerprint("text").alias("content_md5"),
+        rolling_hash("text").alias("rolling_hash"),
+    )

@@ -1,0 +1,214 @@
+"""Deduplication operator family for large-scale training-data
+pipelines: exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Design for 100 TB (the whole point of these shapes):
+
+- **Everything per-row until the candidate join.** Shingling, MinHash
+  signatures, band keys, and SimHash fingerprints are pure array
+  expressions (``transform``/``aggregate``/``zip_with``) evaluated
+  inside whole-stage codegen — zero shuffles, embarrassingly parallel.
+- **The only shuffles are (a) the exact-dup groupBy on the text hash
+  (map-side combinable) and (b) the LSH band self-join**, which is an
+  equi-join on band keys — Catalyst shuffles both sides by band, so
+  candidate generation is O(sum of bucket sizes squared), never the
+  O(n^2) cross product.
+- **Portable hashing**: md5 hex strings are identical in every engine,
+  and the lexicographic MIN of md5 strings is a valid MinHash (any
+  uniform injective order works), so signatures validate bit-for-bit
+  against the DuckDB oracle with no custom UDFs on either side.
+
+SimHash bit arithmetic uses explicit hex-digit positional decoding
+(``instr('0123456789abcdef', c) - 1``) instead of engine-specific
+``conv``/``from_hex`` so the oracle can mirror it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """Array of k-word shingles of the lower-cased, space-split text."""
+    return F.expr(
+        f"""
+        transform(
+            sequence(1, greatest(size(split(lower({text_col}), ' ')) - {k - 1}, 0)),
+            i -> array_join(slice(split(lower({text_col}), ' '), i, {k}), ' '))
+        """
+    )
+
+
+def char_ngrams(text_col: str, n: int = 3) -> Column:
+    """Distinct character n-grams of the lower-cased text."""
+    return F.expr(
+        f"""
+        array_distinct(transform(
+            sequence(1, greatest(length(lower({text_col})) - {n - 1}, 0)),
+            i -> substring(lower({text_col}), i, {n})))
+        """
+    )
+
+
+def minhash_signature(shingles_col: str, n_hashes: int = 12) -> Column:
+    """MinHash signature: per seed, the lexicographic min of
+    ``md5(seed || '|' || shingle)`` over all shingles. NULL-free only
+    when the shingle array is non-empty — filter first."""
+    return F.expr(
+        f"""
+        transform(sequence(0, {n_hashes - 1}),
+                  h -> array_min(transform({shingles_col},
+                                           s -> md5(concat(cast(h as string), '|', s)))))
+        """
+    )
+
+
+def lsh_band_keys(sig_col: str, bands: int, rows_per_band: int) -> Column:
+    """Band keys: md5 of each band's concatenated signature slice.
+    Docs sharing any band key become candidate pairs."""
+    return F.expr(
+        f"""
+        transform(sequence(0, {bands - 1}),
+                  b -> md5(concat(cast(b as string), '|',
+                                  array_join(slice({sig_col},
+                                                   b * {rows_per_band} + 1,
+                                                   {rows_per_band}), '|'))))
+        """
+    )
+
+
+def signature_agreement(sig_a: str, sig_b: str, n_hashes: int) -> Column:
+    """Estimated Jaccard: fraction of agreeing signature positions."""
+    return F.expr(
+        f"""
+        cast(size(filter(zip_with({sig_a}, {sig_b}, (x, y) -> x = y),
+                         v -> v)) as double) / {n_hashes}
+        """
+    )
+
+
+def simhash16(tokens_col: str) -> Column:
+    """16-bit SimHash over a token array.
+
+    Each token votes +-1 per bit of the first 4 hex digits of its md5;
+    the fingerprint sets bit j iff the vote sum is positive.
+    """
+    # token -> 16-bit int from 4 hex digits (positional decode)
+    tok_val = (
+        "(instr('{h}', substring(md5(t), 1, 1)) - 1) * 4096"
+        " + (instr('{h}', substring(md5(t), 2, 1)) - 1) * 256"
+        " + (instr('{h}', substring(md5(t), 3, 1)) - 1) * 16"
+        " + (instr('{h}', substring(md5(t), 4, 1)) - 1)"
+    ).format(h=HEX_DIGITS)
+    return F.expr(
+        f"""
+        aggregate(
+            transform(sequence(0, 15),
+                      j -> aggregate({tokens_col}, 0L,
+                                     (acc, t) -> acc + CASE WHEN ({tok_val}) div
+                                         CASE j WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+                                                WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32
+                                                WHEN 6 THEN 64 WHEN 7 THEN 128 WHEN 8 THEN 256
+                                                WHEN 9 THEN 512 WHEN 10 THEN 1024 WHEN 11 THEN 2048
+                                                WHEN 12 THEN 4096 WHEN 13 THEN 8192
+                                                WHEN 14 THEN 16384 ELSE 32768 END % 2 = 1
+                                         THEN 1L ELSE -1L END)),
+            0L,
+            (acc, v) -> acc * 2L + CASE WHEN v > 0 THEN 1L ELSE 0L END)
+        """
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one representative (min
+    id) per distinct text, with the duplicate count. Map-side partial
+    aggregation makes this one cheap shuffle at any scale."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    shingle -> signature (per-row) -> band keys (per-row) -> explode ->
+    band self-join (the only shuffle) -> distinct pairs -> estimated
+    Jaccard filter. Returns (doc_a, doc_b, est_jaccard).
+    """
+    rows_per_band = n_hashes // bands
+    sigs = (
+        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, shingle_k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc", minhash_signature("shingles", n_hashes).alias("sig"))
+        .select("doc", "sig", lsh_band_keys("sig", bands, rows_per_band).alias("band_keys"))
+    )
+    banded = sigs.select("doc", "sig", F.explode("band_keys").alias("band"))
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band"
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band"
+    )
+    pairs = (
+        a.join(b, on="band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = signature_agreement("sig_a", "sig_b", n_hashes)
+    return (
+        pairs.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    n: int = 3,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard over blocked candidate pairs.
+
+    Blocking (default: language + length bucket) keeps the pair join
+    far from O(n^2); the set intersection runs per-pair as an array
+    expression. Returns (doc_a, doc_b, jaccard)."""
+    if block_cols is None:
+        block_cols = ["lang", "len_bucket"]
+        df = df.withColumn("len_bucket", (F.col("n_chars") / 100).cast("int"))
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        *block_cols,
+        char_ngrams(text_col, n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    a = grams.select(
+        *block_cols, F.col("doc").alias("doc_a"), F.col("grams").alias("ga")
+    )
+    b = grams.select(
+        *block_cols, F.col("doc").alias("doc_b"), F.col("grams").alias("gb")
+    )
+    inter = "cast(size(filter(ga, g -> array_contains(gb, g))) as double)"
+    jac = F.expr(f"({inter}) / (size(ga) + size(gb) - ({inter}))")
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

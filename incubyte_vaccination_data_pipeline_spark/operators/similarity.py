@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_expr`` — exact cosine as an in-order double fold
+  (``zip_with`` + ``aggregate``), bit-reproducible across engines.
+- ``topk_bruteforce`` — exact top-k: broadcast the (small) query set,
+  score every corpus vector, window top-k per query. The right
+  baseline at any scale where |queries| is small: one broadcast, no
+  shuffle on the corpus side until the final per-query top-k (which
+  AQE keeps tiny because scores are filtered by rank).
+- ``lsh_buckets`` / ``topk_lsh`` — the scale path: deterministic
+  random-hyperplane LSH (sign bits of md5-derived +-1 planes), so
+  candidates are restricted to the query's bucket. Bucketing is a pure
+  per-row expression; the candidate join is an equi-join on the bucket
+  key. Trades recall for a ~2^bits candidate reduction; recall is
+  measured against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Exact cosine similarity between two array<float|double> columns,
+    computed in-order in double (deterministic across engines)."""
+    return F.expr(
+        f"""
+        aggregate(zip_with(transform({a}, x -> cast(x as double)),
+                           transform({b}, x -> cast(x as double)),
+                           (x, y) -> x * y),
+                  cast(0.0 as double), (acc, v) -> acc + v)
+        / (sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),
+                          cast(0.0 as double), (acc, v) -> acc + v))
+           * sqrt(aggregate(transform({b}, x -> cast(x as double) * cast(x as double)),
+                            cast(0.0 as double), (acc, v) -> acc + v)))
+        """
+    )
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-matches excluded).
+
+    Returns (query_id, neighbor_id, cosine, rank); cosine rounded to
+    6 dp and ties broken by neighbor id for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane bucket id.
+
+    Plane ``j``'s component for dimension ``d`` is +-1 by the parity of
+    a hex digit of ``md5(j || '|' || d)`` — reproducible everywhere,
+    no stored model. Bucket = integer of the ``n_planes`` sign bits of
+    the projections.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+            transform(sequence(0, {n_planes - 1}),
+                j -> CASE WHEN aggregate(
+                        zip_with({vec_col},
+                                 transform(sequence(0, size({vec_col}) - 1),
+                                     d -> CASE WHEN instr('0123456789abcdef',
+                                             substring(md5(concat(cast(j as string), '|',
+                                                                  cast(d as string))), 1, 1))
+                                             % 2 = 0
+                                         THEN 1.0D ELSE -1.0D END),
+                                 (x, p) -> cast(x as double) * p),
+                        cast(0.0 as double), (acc, v) -> acc + v) > 0
+                     THEN 1L ELSE 0L END),
+            0L, (acc, bit) -> acc * 2L + bit)
+        """
+    )
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (equi-join on bucket id), then exact cosine + window top-k.
+    Same output shape as ``topk_bruteforce``."""
+    from pyspark.sql import Window
+
+    bucket = lsh_bucket_expr(vec_col, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        bucket.alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        bucket.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
+    (or all-pairs when None). Returns (vec_a, vec_b, cosine >= thr)."""
+    a = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr("va", "vb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
