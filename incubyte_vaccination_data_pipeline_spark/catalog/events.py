@@ -18,6 +18,15 @@ from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_tab
 _DEC = "decimal(18,2)"
 SESSION_GAP_SECONDS = 1800
 
+_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
 
 @query(
     "events_json_extract",
@@ -42,17 +51,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_tumbling_window",
-    oracle="""
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
+@query("events_tumbling_window", oracle=_TUMBLING_ORACLE)
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute event-time windows (batch equivalent of the
     streaming windowed agg; both Spark ``window()`` and DuckDB
@@ -126,4 +125,82 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.sum(F.col("value").cast(_DEC)).cast("double").alias("session_value"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming surface (streaming/events_stream.py), exposed
+# through the driver gate: the tumbling stream shares the batch oracle
+# (same windows, same aggregates), the session stream is checked via
+# its per-user aggregate against the batch sessionizer's SQL.
+# --------------------------------------------------------------------------
+
+
+@query("stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + tumbling-window streaming aggregation, driven to
+    completion against the memory sink; results must equal the batch
+    twin (and therefore its DuckDB oracle)."""
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(windowed_counts(stream), "ivdp_stream_tumbling")
+
+
+@query(
+    "stream_session_user_counts",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+                       THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def stream_session_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window streaming sessions, aggregated per user and
+    validated against the batch gap-sessionizer's session counts."""
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        session_windows,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sessions = run_to_memory(session_windows(stream), "ivdp_stream_sessions")
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@query("stream_running_totals")  # rows-only: custom stateful operator
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom stateful operator (per-user
+    running totals); rows-only check — state semantics are covered by
+    tests/test_streaming.py against a batch ground truth."""
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        running_user_totals(stream), "ivdp_stream_running", "update"
     )

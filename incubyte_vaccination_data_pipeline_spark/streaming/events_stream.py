@@ -1,0 +1,157 @@
+"""Structured Streaming ingest + stateful operators over ``events``.
+
+The reference is strictly batch (SURVEY.md §2.9); this module is the
+engine's streaming extension, built so every streaming query has a
+batch twin in ``catalog/events.py`` whose DuckDB oracle also validates
+the streaming results (same windows, same aggregates):
+
+- ``windowed_counts``   — watermark + tumbling event-time windows
+  (twin: ``events_tumbling_window``).
+- ``session_windows``   — built-in gap-based ``session_window``
+  (twin: ``events_sessionization``; note the half-open boundary —
+  an event at exactly ``prev + gap`` opens a new session here, while
+  the batch lag/cumsum twin keeps it — indistinguishable on real
+  microsecond timestamps).
+- ``running_user_totals`` — custom stateful operator via
+  ``applyInPandasWithState`` (per-user cumulative counters), the
+  engine's template for operators Spark lacks natively.
+
+At scale the source swaps from file-glob to Kafka by changing only
+``read_events_stream``; watermarks bound state, and the shuffle is the
+same keyed exchange a batch groupBy would do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP = "30 minutes"
+_DEC = "decimal(18,2)"
+
+#: physical schema of events.parquet (ts is TIMESTAMP(NANOS) -> long)
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see sources/parquet_io)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (one-file glob locally;
+    a directory of arriving files or Kafka in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .format("parquet")
+        # file streams need a directory source; the glob narrows the
+        # testdata dir to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 5-minute event-time windows with a late-data watermark
+    (matches the batch ``events_tumbling_window`` column-for-column)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Gap-based sessions via the built-in session_window operator."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_RUNNING_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_RUNNING_STATE_SCHEMA = "n bigint, total double"
+
+
+def _running_totals_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get() if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 6)))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "total_value": round(total, 6)}]
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value
+    total, kept in explicit group state (the applyInPandasWithState
+    template for operators with no built-in equivalent)."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_OUTPUT_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming frame to completion against the memory sink
+    (synchronous; for tests/smoke — production uses real sinks +
+    foreachBatch for exactly-once upserts). Returns the result table."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,72 @@
+"""Streaming correctness: every streaming query must agree with its
+batch twin (which is itself DuckDB-oracled in catalog/events.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+    read_events_stream,
+    run_to_memory,
+    running_user_totals,
+    session_windows,
+    windowed_counts,
+)
+
+
+def _rows(df, *key):
+    return sorted(tuple(r) for r in df.select(*key).collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    streamed = run_to_memory(windowed_counts(stream), "t_stream_win")
+    batch = QUERIES["events_tumbling_window"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(streamed, *cols) == _rows(batch, *cols)
+
+
+def test_stream_sessions_agree_with_batch_sessionization(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    streamed = run_to_memory(session_windows(stream), "t_stream_sess")
+    batch = QUERIES["events_sessionization"](spark, sf_dir)
+    # same number of sessions per user and same total events
+    s = sorted(
+        tuple(r)
+        for r in streamed.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    )
+    assert s == b
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory(running_user_totals(stream), "t_stream_state", "update")
+    # one final state row per user (single micro-batch over the file)
+    per_user = {r["user_id"]: r for r in out.collect()}
+    batch = (
+        QUERIES["events_json_extract"](spark, sf_dir)  # any events read
+        .sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    # independent ground truth via a plain batch aggregation
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    truth = {
+        r["user_id"]: r
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .collect()
+    }
+    assert set(per_user) == set(truth)
+    for uid, row in per_user.items():
+        assert row["n_events"] == truth[uid]["n"]
+        assert abs(row["total_value"] - float(truth[uid]["tv"])) < 1e-3
