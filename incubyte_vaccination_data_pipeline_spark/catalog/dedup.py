@@ -175,7 +175,7 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH aug AS ({AUG_SQL}),
     grams AS (
         SELECT doc_id AS doc, lang,
-               CAST(n_chars // 100 AS INT) AS len_bucket,
+               CAST(n_chars // 20 AS INT) AS len_bucket,
                list_distinct(list_transform(
                    range(1, greatest(length(lower(text)) - 2, 0) + 1),
                    i -> substr(lower(text), i, 3))) AS grams
@@ -189,18 +189,24 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(a.grams) > 0 AND len(b.grams) > 0
     )
     SELECT doc_a, doc_b,
-           round(CAST(len(list_filter(ga, g -> list_contains(gb, g))) AS DOUBLE)
+           round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
                  / (len(ga) + len(gb)
-                    - len(list_filter(ga, g -> list_contains(gb, g)))), 6)
+                    - len(list_intersect(ga, gb))), 6)
                AS jaccard
     FROM pairs
-    WHERE round(CAST(len(list_filter(ga, g -> list_contains(gb, g))) AS DOUBLE)
+    WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
                 / (len(ga) + len(gb)
-                   - len(list_filter(ga, g -> list_contains(gb, g)))), 6) >= 0.3
+                   - len(list_intersect(ga, gb))), 6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-3-gram Jaccard over (lang, length-bucket) blocks."""
+    """Exact char-3-gram Jaccard over (lang, 20-char-length-bucket)
+    blocks: the precision-style verify pass (MinHash+LSH is the
+    recall-style discovery pass; a near-dup whose length crosses a
+    bucket boundary is deliberately out of scope here)."""
     return ngram_jaccard_pairs(
-        augmented_documents(spark, sf_dir), n=3, min_jaccard=0.3
+        augmented_documents(spark, sf_dir),
+        n=3,
+        min_jaccard=0.5,
+        len_bucket_width=20,
     )

@@ -3,15 +3,21 @@ pipelines: exact, MinHash+LSH, SimHash, and n-gram Jaccard.
 
 Design for 100 TB (the whole point of these shapes):
 
-- **Everything per-row until the candidate join.** Shingling, MinHash
-  signatures, band keys, and SimHash fingerprints are pure array
-  expressions (``transform``/``aggregate``/``zip_with``) evaluated
-  inside whole-stage codegen — zero shuffles, embarrassingly parallel.
-- **The only shuffles are (a) the exact-dup groupBy on the text hash
-  (map-side combinable) and (b) the LSH band self-join**, which is an
-  equi-join on band keys — Catalyst shuffles both sides by band, so
-  candidate generation is O(sum of bucket sizes squared), never the
-  O(n^2) cross product.
+- **Explode, hash in codegen, partially aggregate.** Shingle/n-gram
+  generation is an ``explode`` to one row per (doc, gram); all md5
+  hashing then runs on flat string columns inside whole-stage codegen,
+  and the per-doc signature/gram-set is rebuilt with a map-side
+  combinable ``groupBy``. This deliberately avoids nesting expensive
+  expressions inside ``transform``/``aggregate`` lambdas: Spark's
+  higher-order functions are interpreted (not codegen'd) and Catalyst
+  inlines upstream projections into lambda bodies, so an array-lambda
+  formulation re-evaluates the whole upstream pipeline once per array
+  element (measured 20x slowdown at sf0.001).
+- **The only shuffles are (a) per-doc re-aggregation (map-side
+  combinable) and (b) the LSH band / block self-join**, an equi-join
+  on band keys — Catalyst shuffles both sides by band, so candidate
+  generation is O(sum of bucket sizes squared), never the O(n^2)
+  cross product.
 - **Portable hashing**: md5 hex strings are identical in every engine,
   and the lexicographic MIN of md5 strings is a valid MinHash (any
   uniform injective order works), so signatures validate bit-for-bit
@@ -135,6 +141,44 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, sig) MinHash signatures via explode + groupBy.
+
+    One row per (doc, shingle); the ``n_hashes`` seeded md5s are flat
+    codegen'd columns, re-aggregated per doc with map-side-combined
+    MINs. Docs with fewer than ``shingle_k`` words yield no shingles
+    and are dropped (same as the array formulation's size>0 filter).
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.col(text_col)), " ").alias("words"),
+    ).filter(F.size("words") >= shingle_k)
+    shingles = words.select(
+        "doc",
+        F.expr(
+            f"""
+            explode(transform(sequence(1, size(words) - {shingle_k - 1}),
+                              i -> array_join(slice(words, i, {shingle_k}), ' ')))
+            """
+        ).alias("shingle"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"_h{h}")
+        for h in range(n_hashes)
+    ]
+    return (
+        shingles.groupBy("doc")
+        .agg(*mins)
+        .select("doc", F.array(*[f"_h{h}" for h in range(n_hashes)]).alias("sig"))
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -146,18 +190,19 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
-    shingle -> signature (per-row) -> band keys (per-row) -> explode ->
-    band self-join (the only shuffle) -> distinct pairs -> estimated
-    Jaccard filter. Returns (doc_a, doc_b, est_jaccard).
+    explode shingles -> seeded md5 columns -> groupBy-min signature ->
+    band keys -> explode -> band self-join (equi-join shuffle; the
+    aggregated signature exchange is reused across both sides) ->
+    distinct pairs -> estimated Jaccard filter.
+    Returns (doc_a, doc_b, est_jaccard).
     """
     rows_per_band = n_hashes // bands
-    sigs = (
-        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, shingle_k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc", minhash_signature("shingles", n_hashes).alias("sig"))
-        .select("doc", "sig", lsh_band_keys("sig", bands, rows_per_band).alias("band_keys"))
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # sig is an aggregation output attribute here, so the band-key
+    # lambda slices a materialized 12-element array — cheap per band.
+    banded = sigs.select(
+        "doc", "sig", F.explode(lsh_band_keys("sig", bands, rows_per_band)).alias("band")
     )
-    banded = sigs.select("doc", "sig", F.explode("band_keys").alias("band"))
     a = banded.select(
         F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band"
     )
@@ -184,27 +229,48 @@ def ngram_jaccard_pairs(
     block_cols: list[str] | None = None,
     n: int = 3,
     min_jaccard: float = 0.3,
+    len_bucket_width: int = 100,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard over blocked candidate pairs.
 
     Blocking (default: language + length bucket) keeps the pair join
     far from O(n^2); the set intersection runs per-pair as an array
-    expression. Returns (doc_a, doc_b, jaccard)."""
+    expression. Narrower ``len_bucket_width`` cuts candidate pairs
+    quadratically at the cost of missing near-dups whose lengths
+    straddle a bucket boundary (recall-oriented discovery belongs to
+    MinHash+LSH; this is the precision/verify-style operator).
+    Returns (doc_a, doc_b, jaccard)."""
     if block_cols is None:
         block_cols = ["lang", "len_bucket"]
-        df = df.withColumn("len_bucket", (F.col("n_chars") / 100).cast("int"))
-    grams = df.select(
+        df = df.withColumn(
+            "len_bucket", (F.col("n_chars") / len_bucket_width).cast("int")
+        )
+    # explode to one row per (doc, position), substring in codegen,
+    # rebuild the distinct gram set with collect_set — avoids the
+    # interpreted per-element lower(text) re-evaluation of an
+    # array-lambda formulation.
+    lowered = df.select(
         F.col(id_col).alias("doc"),
         *block_cols,
-        char_ngrams(text_col, n).alias("grams"),
-    ).filter(F.size("grams") > 0)
+        F.lower(F.col(text_col)).alias("lt"),
+    ).filter(F.length("lt") >= n)
+    gram_rows = lowered.select(
+        "doc",
+        *block_cols,
+        F.explode(F.expr(f"sequence(1, length(lt) - {n - 1})")).alias("pos"),
+        "lt",
+    ).select("doc", *block_cols, F.expr(f"substring(lt, pos, {n})").alias("gram"))
+    grams = gram_rows.groupBy("doc", *block_cols).agg(
+        F.collect_set("gram").alias("grams")
+    )
     a = grams.select(
         *block_cols, F.col("doc").alias("doc_a"), F.col("grams").alias("ga")
     )
     b = grams.select(
         *block_cols, F.col("doc").alias("doc_b"), F.col("grams").alias("gb")
     )
-    inter = "cast(size(filter(ga, g -> array_contains(gb, g))) as double)"
+    # hash-based set intersection, O(|ga|+|gb|) per pair
+    inter = "cast(size(array_intersect(ga, gb)) as double)"
     jac = F.expr(f"({inter}) / (size(ga) + size(gb) - ({inter}))")
     return (
         a.join(b, on=block_cols)
