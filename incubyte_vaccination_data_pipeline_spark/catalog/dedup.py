@@ -19,7 +19,7 @@ from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
-    simhash16,
+    simhash_fingerprints,
 )
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
 
@@ -162,11 +162,7 @@ _TOKVAL_SQL = (
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (identical texts collide; near-dups
     land within small Hamming distance)."""
-    aug = augmented_documents(spark, sf_dir)
-    return aug.select(
-        "doc_id",
-        simhash16("split(lower(text), ' ')").alias("simhash"),
-    )
+    return simhash_fingerprints(augmented_documents(spark, sf_dir))
 
 
 @query(

@@ -14,12 +14,11 @@ from incubyte_vaccination_data_pipeline_spark.operators.text import (
     LANG_PROFILES,
     TOKEN_REGEX,
     bpe_token_count,
-    content_fingerprint,
+    fingerprint_frame,
     language_id,
     language_scores,
     punct_count,
     quality_score,
-    rolling_hash,
     word_count,
 )
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
@@ -141,10 +140,6 @@ _NORM_SQL = (
 )
 def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: normalized-content md5 + polynomial
-    rolling hash of the 64-char prefix."""
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        content_fingerprint("text").alias("content_md5"),
-        rolling_hash("text").alias("rolling_hash"),
-    )
+    rolling hash of the 64-char prefix (distributed positional-power
+    form — see operators/text.py fingerprint_frame)."""
+    return fingerprint_frame(read_table(spark, sf_dir, "documents"))

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import AS_OF, query
-from incubyte_vaccination_data_pipeline_spark.functions.dates import parse_date_struct
+from incubyte_vaccination_data_pipeline_spark.functions.dates import with_parsed_date
 from incubyte_vaccination_data_pipeline_spark.functions.derive import age_years, staleness_flag
 from incubyte_vaccination_data_pipeline_spark.operators.views import dedup_latest
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
@@ -309,8 +309,8 @@ def vax_date_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     (valid M/D/Y shapes, 7/8-digit compacts, invalid ISO-as-compact,
     D-M-Y digit soup, empties)."""
     dirty = _dirty_dates(spark, sf_dir)
-    return dirty.select(
-        "id", "raw", parse_date_struct(F.col("raw"))["date"].alias("parsed")
+    return with_parsed_date(dirty, "raw", "parsed", "__err").select(
+        "id", "raw", "parsed"
     )
 
 
@@ -327,10 +327,17 @@ def vax_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter split: rows whose mandatory date failed, annotated
     with the reference's reason text + field name (§1.4)."""
     dirty = _dirty_dates(spark, sf_dir)
-    err = parse_date_struct(F.col("raw"))["error"]
+    # __fence (rand) is an optimizer fence: without it the error
+    # filter is pushed down through every parse projection, re-inlining
+    # the whole cascade into one >64KB-codegen predicate (interpreted
+    # fallback, ~6x slower). The never-true IS NULL disjunct keeps the
+    # fence referenced (so column pruning can't drop it) and makes the
+    # predicate unsplittable.
     return (
-        dirty.select("id", "raw", err.alias("validation_error"))
-        .filter(F.col("validation_error").isNotNull())
+        with_parsed_date(dirty, "raw", "__d", "validation_error")
+        .withColumn("__fence", F.rand(seed=0))
+        .filter(F.col("validation_error").isNotNull() | F.col("__fence").isNull())
+        .select("id", "raw", "validation_error")
         .withColumn("invalid_field", F.lit("open_date"))
     )
 

@@ -140,6 +140,139 @@ def parse_date_struct(col: Column) -> Column:
     return F.struct(date_out.alias("date"), error_out.alias("error"))
 
 
+def with_parsed_date(
+    df,
+    src_col: str,
+    date_name: str = "parsed_date",
+    err_name: str = "parse_error",
+):
+    """Append ``date_name``/``err_name`` columns parsed from
+    ``src_col`` with the same cascade semantics as
+    :func:`parse_date_struct` — but built as chained projections.
+
+    The single-expression form repeats the normalization/digit
+    subtrees at every use site; the generated Java method exceeds
+    janino's 64 KB limit and Spark silently falls back to interpreted
+    evaluation (~6x slower). Chained projections keep each intermediate
+    as a codegen local reused by the next step (each temp is referenced
+    more than once, so CollapseProject leaves the steps in place).
+    """
+    c = F.col(src_col)
+    s = F.trim(c.cast("string"))
+    temps = [
+        "_pd_s", "_pd_digits", "_pd_cleaned", "_pd_empty", "_pd_nd",
+        "_pd_m", "_pd_dd", "_pd_yraw", "_pd_y", "_pd_cd", "_pd_maxd",
+        "_pd_cerr", "_pd_casc",
+    ] + [f"_pd_c{i}" for i in range(len(CASCADE_FORMATS))]
+    out = df.withColumn(
+        "_pd_s",
+        F.when(s.rlike(r"^\d+\.\d+$"), F.regexp_extract(s, r"^(\d+)\.", 1)).otherwise(s),
+    )
+    ps = F.col("_pd_s")
+    out = out.withColumns(
+        {
+            "_pd_digits": F.regexp_replace(ps, r"[^0-9]", ""),
+            "_pd_cleaned": F.regexp_replace(ps, r"[^0-9/\-]", ""),
+            "_pd_empty": ps.isNull() | (ps == ""),
+        }
+    )
+    dg = F.col("_pd_digits")
+    out = out.withColumn("_pd_nd", F.length(dg))
+    nd = F.col("_pd_nd")
+    out = out.withColumns(
+        {
+            # try_cast: these evaluate for EVERY row (not CASE-guarded
+            # like the single-expression form), so ''/overflow must null
+            # instead of throwing under the driver's ANSI session
+            "_pd_m": F.when(nd == 7, F.substring(dg, 1, 1))
+            .otherwise(F.substring(dg, 1, 2))
+            .try_cast("int"),
+            "_pd_dd": F.when(nd == 7, F.substring(dg, 2, 2))
+            .otherwise(F.substring(dg, 3, 2))
+            .try_cast("int"),
+            "_pd_yraw": F.coalesce(
+                F.when(nd == 7, F.substring(dg, 4, 4))
+                .otherwise(F.substring(dg, 5, 16))
+                .try_cast("int"),
+                F.lit(-1),
+            ),
+        }
+    )
+    yraw, m, dd = F.col("_pd_yraw"), F.col("_pd_m"), F.col("_pd_dd")
+    out = out.withColumn(
+        "_pd_y", F.when(yraw < 100, yraw + 2000).otherwise(yraw)
+    )
+    y = F.col("_pd_y")
+    out = out.withColumns(
+        {
+            "_pd_cd": F.try_to_date(
+                F.format_string("%04d-%02d-%02d", y, m, dd), "yyyy-MM-dd"
+            ),
+            "_pd_maxd": F.dayofmonth(F.last_day(F.make_date(y, m, F.lit(1)))),
+        }
+    )
+    cd, maxd = F.col("_pd_cd"), F.col("_pd_maxd")
+    out = out.withColumn(
+        "_pd_cerr",
+        F.when(
+            (m < 1) | (m > 12),
+            F.format_string("Invalid month: %d (must be between 1 and 12)", m),
+        )
+        .when(dd < 1, F.format_string("Invalid day: %d (must be greater than 0)", dd))
+        .when(
+            (y < 1900) | (y > 2100),
+            F.format_string("Invalid year: %d (must be between 1900 and 2100)", y),
+        )
+        .when(
+            cd.isNull(),
+            F.format_string(
+                "Invalid day: %d (maximum %d days in month %d)", dd, maxd, m
+            ),
+        ),
+    )
+    out = out.withColumns(
+        {
+            f"_pd_c{i}": F.try_to_date(F.col("_pd_cleaned"), fmt)
+            for i, fmt in enumerate(CASCADE_FORMATS)
+        }
+    )
+    out = out.withColumn(
+        "_pd_casc",
+        F.coalesce(
+            *[
+                F.when(
+                    F.year(F.col(f"_pd_c{i}")).between(1900, 2100), F.col(f"_pd_c{i}")
+                )
+                for i in range(len(CASCADE_FORMATS))
+            ]
+        ),
+    )
+    empty, cerr, casc = F.col("_pd_empty"), F.col("_pd_cerr"), F.col("_pd_casc")
+    out = out.withColumns(
+        {
+            date_name: (
+                F.when(empty, F.lit(None).cast("date"))
+                .when(nd >= 6, F.when(cerr.isNull(), cd))
+                .otherwise(casc)
+            ),
+            err_name: (
+                F.when(empty, F.lit("Empty date string"))
+                .when(nd >= 6, cerr)
+                .otherwise(
+                    F.when(
+                        casc.isNull(),
+                        F.format_string(
+                            "Unable to parse date '%s': format not recognized",
+                            F.col("_pd_cleaned"),
+                        ),
+                    )
+                )
+            ),
+        }
+    )
+    return out.drop(*temps)
+
+
 def parse_date(col: Column) -> Column:
     """Parsed date, or NULL when invalid (to_date-style semantics)."""
     return parse_date_struct(col)["date"]

@@ -127,6 +127,43 @@ def simhash16(tokens_col: str) -> Column:
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) 16-bit SimHash per document, distributed form.
+
+    Tokens explode to rows, each token's md5 is decoded ONCE into a
+    16-bit value (the array-lambda form recomputed md5 per bit — 16x),
+    the 16 per-bit +-1 votes are codegen'd columns, and a map-side
+    combinable groupBy sums votes per doc before packing the
+    fingerprint. Arithmetic is bit-identical to ``simhash16``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+    ).select("doc_id", F.md5("t").alias("m"))
+    dec = " + ".join(
+        f"(instr('{HEX_DIGITS}', substring(m, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+        for p in range(4)
+    )
+    vals = toks.select("doc_id", F.expr(f"cast({dec} as bigint)").alias("v"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(v div {1 << j}) % 2 = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_s{j}")
+        for j in range(16)
+    ]
+    packed = sum(
+        (F.when(F.col(f"_s{j}") > 0, F.lit(1 << (15 - j))).otherwise(F.lit(0))
+         for j in range(16)),
+        F.lit(0),
+    )
+    return (
+        vals.groupBy("doc_id").agg(*votes)
+        .select("doc_id", packed.cast("bigint").alias("simhash"))
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content-hash groupBy: one representative (min
     id) per distinct text, with the duplicate count. Map-side partial

@@ -115,20 +115,46 @@ def content_fingerprint(text_col: str) -> Column:
     return F.md5(normalized_text(text_col))
 
 
-def rolling_hash(text_col: str) -> Column:
-    """Polynomial rolling hash (base 31 mod 1e9+7) over the first 64
-    chars of the normalized text — the classic Rabin-Karp-style
-    prefix fingerprint, as a fold over character codes."""
-    return F.expr(
-        f"""
-        aggregate(
-            transform(sequence(1, least(length({{norm}}), {FINGERPRINT_PREFIX})),
-                      i -> ascii(substring({{norm}}, i, 1))),
-            0L,
-            (acc, c) -> (acc * 31L + c) % {FINGERPRINT_MOD}L)
-        """.replace(
-            "{norm}",
-            f"trim(regexp_replace(regexp_replace(lower({text_col}),"
-            f" '[^a-z0-9 ]', ''), ' +', ' '))",
+def fingerprint_frame(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, content_md5, rolling_hash) per document.
+
+    The rolling hash is the Rabin-Karp polynomial
+    ``sum(ascii(c_i) * 31^(L-i)) mod 1e9+7`` over the first 64 chars of
+    the normalized text. Rather than a sequential ``aggregate`` fold
+    (interpreted, and Catalyst re-evaluates the normalization per
+    element), the prefix explodes to one row per character position,
+    the per-position term is codegen'd against precomputed ``31^k mod
+    p`` literals, and a map-side-combinable groupBy sums them — the
+    positional-power form makes the fold order-independent, so it
+    distributes."""
+    mod = FINGERPRINT_MOD
+    pows = [pow(31, k, mod) for k in range(FINGERPRINT_PREFIX)]
+    pow_arr = F.array(*[F.lit(p) for p in pows])
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_text(text_col).alias("nrm"),
+    ).select(
+        "doc_id",
+        F.md5("nrm").alias("content_md5"),
+        F.substring("nrm", 1, FINGERPRINT_PREFIX).alias("pfx"),
+    )
+    # one guaranteed row per doc (empty prefix -> single zero term)
+    terms = base.select(
+        "doc_id",
+        "content_md5",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length("pfx"), F.lit(1)))).alias("i"),
+        "pfx",
+    ).select(
+        "doc_id",
+        "content_md5",
+        F.when(
+            F.col("i") <= F.length("pfx"),
+            F.ascii(F.expr("substring(pfx, i, 1)")).cast("long")
+            * F.element_at(pow_arr, (F.length("pfx") - F.col("i") + 1).cast("int")).cast("long"),
         )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("term"),
+    )
+    return terms.groupBy("doc_id", "content_md5").agg(
+        (F.sum("term") % mod).alias("rolling_hash")
     )

@@ -30,7 +30,7 @@ import datetime as _dt
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from incubyte_vaccination_data_pipeline_spark.functions.dates import parse_date_struct
+from incubyte_vaccination_data_pipeline_spark.functions.dates import with_parsed_date
 from incubyte_vaccination_data_pipeline_spark.schema import (
     MANDATORY_COLUMNS,
     MANDATORY_DATE_COLUMNS,
@@ -55,10 +55,16 @@ def validate_types(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         if c in typed.columns:
             typed = typed.withColumn(c, F.col(c).cast("string"))
 
-    # one parse struct per date column, computed once in the plan
+    # one parse per date column, as chained projections (codegen-sized
+    # steps — see functions/dates.py with_parsed_date)
     date_cols = [c for c in MANDATORY_DATE_COLUMNS + OPTIONAL_DATE_COLUMNS if c in typed.columns]
     for c in date_cols:
-        typed = typed.withColumn(f"__parsed_{c}", parse_date_struct(F.col(c)))
+        typed = with_parsed_date(typed, c, f"__date_{c}", f"__err_{c}")
+    if date_cols:
+        # optimizer fence: keeps the dead-letter error filters from
+        # being pushed down through the parse projections (the inlined
+        # predicate exceeds janino's 64KB codegen limit)
+        typed = typed.withColumn("__fence", F.rand(seed=0))
 
     mandatory_present = [c for c in MANDATORY_DATE_COLUMNS if c in df.columns]
 
@@ -67,9 +73,11 @@ def validate_types(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     # still-string frame. stack() keeps this a single pass.
     dead_letters = []
     for c in mandatory_present:
-        err = F.col(f"__parsed_{c}")["error"]
+        err = F.col(f"__err_{c}")
         dl = (
-            typed.filter(err.isNotNull())
+            # the __fence disjunct (never true) blocks predicate
+            # pushdown through the parse projections — see catalog/vax
+            typed.filter(err.isNotNull() | F.col("__fence").isNull())
             .select(
                 *[F.col(x) for x in df.columns],
                 err.alias("Validation_Error"),
@@ -92,8 +100,12 @@ def validate_types(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     clean = typed
     for c in date_cols:
-        clean = clean.withColumn(c, F.col(f"__parsed_{c}")["date"])
-    clean = clean.drop(*[f"__parsed_{c}" for c in date_cols])
+        clean = clean.withColumn(c, F.col(f"__date_{c}"))
+    clean = clean.drop(
+        "__fence",
+        *[f"__date_{c}" for c in date_cols],
+        *[f"__err_{c}" for c in date_cols],
+    )
     return clean, dead_letter
 
 
