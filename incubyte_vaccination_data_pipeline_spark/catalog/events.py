@@ -128,6 +128,44 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT a.user_id, a.event_id, a.ts,
+           b.ts AS click_ts, b.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the user's
+    most recent click at-or-before it (union + last_value window —
+    one keyed shuffle, no range join; operators/asof.py)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        payload_cols=["value"], payload_prefix="click_",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("click_ts"),
+        F.col("click_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming surface (streaming/events_stream.py), exposed
 # through the driver gate: the tumbling stream shares the batch oracle

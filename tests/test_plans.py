@@ -1,0 +1,91 @@
+"""Plan-shape guards: the 100 TB posture, asserted on .explain output.
+
+Correctness tests prove the operators compute the right rows; these
+prove Catalyst produces the plan we designed for — filters reach the
+parquet scan, small dims broadcast, candidate joins stay equi-joins
+(never cartesian), and codegen actually compiles (SURVEY.md §4, §7.3).
+A regression here usually means an operator silently degraded to a
+plan that would not survive a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+import re
+
+from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_and_projection_pushed_to_scan(spark, sf_dir):
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    scan = plan[plan.index("Scan parquet") :]
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan or re.search(
+        r"PushedFilters: \[.*l_shipdate", scan
+    ), "shipdate filter must reach the parquet scan"
+    read = re.match(r"Scan parquet \[([^\]]*)\]", scan).group(1)
+    read_cols = [c for c in read.split(",") if c]
+    assert len(read_cols) <= 7, f"column pruning failed, scan reads {read_cols}"
+
+
+def test_country_filter_prunes_dimension_scan(spark, sf_dir):
+    plan = _plan(QUERIES["vax_country_view"](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(n_name,NATION_7\)", plan), (
+        "country predicate must push through the join into the nation scan"
+    )
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(QUERIES["agg_revenue_by_nation"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "nation and region joins must be broadcast, not shuffled"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_dir):
+    plan = _plan(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation must be a hash-partitioned equi-join on band
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_ngram_block_join_is_equi_join(spark, sf_dir):
+    plan = _plan(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_partial_aggregates(spark, sf_dir):
+    plan = _plan(QUERIES["dedup_exact"](spark, sf_dir))
+    # map-side combine: partial then final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2
+
+
+def test_window_topk_single_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["window_topk_orders"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, "top-k per key needs exactly one shuffle"
+
+
+def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
+    plan = _plan(QUERIES["events_asof_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union + window: the only exchange is the per-key hash partition
+    assert plan.count("Exchange") <= 2
+
+
+def test_date_cascade_compiles_wholestage(spark, sf_dir):
+    """The parse chain must stay inside whole-stage codegen (the
+    single-expression form exceeded janino's 64KB method limit and fell
+    back to interpreted eval — see functions/dates.py)."""
+    df = QUERIES["vax_date_cascade"](spark, sf_dir)
+    plan = _plan(df)
+    # '*(N)' prefixes mark operators fused into a compiled whole-stage
+    assert plan.lstrip().startswith("*("), plan.splitlines()[0]
