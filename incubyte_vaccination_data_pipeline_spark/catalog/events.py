@@ -129,6 +129,47 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_range_join",
+    oracle="""
+    SELECT a.user_id, a.event_id,
+           COUNT(b.ts) AS n_clicks,
+           CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts < a.ts
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks in the 30 minutes before each purchase,
+    per user. Executes as an equi-join on user_id with the time band
+    as a join residual — never a cartesian product. (At extreme
+    per-user fan-in the scale path is time-bucket blocking: join on
+    (user_id, 30-min bucket) over the two adjacent buckets.)"""
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr("ts - INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("user_id", "event_id").agg(
+        F.count("c_ts").alias("n_clicks"),
+        F.sum(F.col("c_value").cast(_DEC)).cast("double").alias("click_value"),
+    )
+
+
+@query(
     "events_asof_join",
     oracle="""
     SELECT a.user_id, a.event_id, a.ts,

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import AS_OF, query
-from incubyte_vaccination_data_pipeline_spark.functions.dates import with_parsed_date
+from incubyte_vaccination_data_pipeline_spark.functions.dates import (
+    dead_letter_frame,
+    with_parsed_date,
+)
 from incubyte_vaccination_data_pipeline_spark.functions.derive import age_years, staleness_flag
 from incubyte_vaccination_data_pipeline_spark.operators.views import dedup_latest
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
@@ -327,18 +330,56 @@ def vax_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter split: rows whose mandatory date failed, annotated
     with the reference's reason text + field name (§1.4)."""
     dirty = _dirty_dates(spark, sf_dir)
-    # __fence (rand) is an optimizer fence: without it the error
-    # filter is pushed down through every parse projection, re-inlining
-    # the whole cascade into one >64KB-codegen predicate (interpreted
-    # fallback, ~6x slower). The never-true IS NULL disjunct keeps the
-    # fence referenced (so column pruning can't drop it) and makes the
-    # predicate unsplittable.
-    return (
-        with_parsed_date(dirty, "raw", "__d", "validation_error")
-        .withColumn("__fence", F.rand(seed=0))
-        .filter(F.col("validation_error").isNotNull() | F.col("__fence").isNull())
-        .select("id", "raw", "validation_error")
-        .withColumn("invalid_field", F.lit("open_date"))
+    return dead_letter_frame(dirty, "raw").withColumn(
+        "invalid_field", F.lit("open_date")
+    )
+
+
+@query(
+    "vax_synonym_coalesce",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS customer_id,
+           'C_' || CAST(o_custkey AS VARCHAR) AS customer_name,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'),
+                    'DR_' || o_orderstatus) AS dr_name,
+           COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                         ELSE 'ST_' || o_orderpriority END,
+                    'S' || CAST(o_orderkey % 5 AS VARCHAR)) AS state,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS open_date,
+           'AUS' AS country
+    FROM orders
+    """,
+)
+def vax_synonym_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3 through the driver gate: dialect columns (Australia
+    spellings + Doctor/State synonym pairs with injected nulls) run
+    through the real synonym_projection — coalesce order follows
+    COLUMN_MAP insertion order, Country synthesized from filename."""
+    from incubyte_vaccination_data_pipeline_spark.sources.csv_ingest import (
+        synonym_projection,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").cast("string").alias("Unique ID"),
+        F.concat(F.lit("C_"), F.col("o_custkey").cast("string")).alias("Patient Name"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("Doctor Name"),
+        F.concat(F.lit("DR_"), F.col("o_orderstatus")).alias("Doctor"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ST_"), F.col("o_orderpriority")))
+        .alias("State/Province"),
+        F.concat(F.lit("S"), (F.col("o_orderkey") % 5).cast("string")).alias("State"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "Date of Vaccination"
+        ),
+    )
+    return synonym_projection(src, filename="AUS dialect 1.csv").select(
+        F.col("Customer_Id").alias("customer_id"),
+        F.col("Customer_Name").alias("customer_name"),
+        F.col("Dr_Name").alias("dr_name"),
+        F.col("State").alias("state"),
+        F.col("Open_Date").alias("open_date"),
+        F.col("Country").alias("country"),
     )
 
 

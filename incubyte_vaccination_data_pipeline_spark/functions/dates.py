@@ -140,30 +140,18 @@ def parse_date_struct(col: Column) -> Column:
     return F.struct(date_out.alias("date"), error_out.alias("error"))
 
 
-def with_parsed_date(
-    df,
-    src_col: str,
-    date_name: str = "parsed_date",
-    err_name: str = "parse_error",
-):
-    """Append ``date_name``/``err_name`` columns parsed from
-    ``src_col`` with the same cascade semantics as
-    :func:`parse_date_struct` — but built as chained projections.
+_PD_TEMPS = [
+    "_pd_s", "_pd_digits", "_pd_cleaned", "_pd_empty", "_pd_nd",
+    "_pd_m", "_pd_dd", "_pd_yraw", "_pd_y", "_pd_cd", "_pd_maxd",
+    "_pd_cerr", "_pd_casc",
+] + [f"_pd_c{i}" for i in range(len(CASCADE_FORMATS))]
 
-    The single-expression form repeats the normalization/digit
-    subtrees at every use site; the generated Java method exceeds
-    janino's 64 KB limit and Spark silently falls back to interpreted
-    evaluation (~6x slower). Chained projections keep each intermediate
-    as a codegen local reused by the next step (each temp is referenced
-    more than once, so CollapseProject leaves the steps in place).
-    """
+
+def _parse_prefix(df, src_col: str):
+    """Shared normalization/positional-field prefix of the cascade, as
+    chained projections (``_pd_*`` temp columns)."""
     c = F.col(src_col)
     s = F.trim(c.cast("string"))
-    temps = [
-        "_pd_s", "_pd_digits", "_pd_cleaned", "_pd_empty", "_pd_nd",
-        "_pd_m", "_pd_dd", "_pd_yraw", "_pd_y", "_pd_cd", "_pd_maxd",
-        "_pd_cerr", "_pd_casc",
-    ] + [f"_pd_c{i}" for i in range(len(CASCADE_FORMATS))]
     out = df.withColumn(
         "_pd_s",
         F.when(s.rlike(r"^\d+\.\d+$"), F.regexp_extract(s, r"^(\d+)\.", 1)).otherwise(s),
@@ -198,22 +186,17 @@ def with_parsed_date(
             ),
         }
     )
-    yraw, m, dd = F.col("_pd_yraw"), F.col("_pd_m"), F.col("_pd_dd")
-    out = out.withColumn(
+    yraw = F.col("_pd_yraw")
+    return out.withColumn(
         "_pd_y", F.when(yraw < 100, yraw + 2000).otherwise(yraw)
     )
-    y = F.col("_pd_y")
-    out = out.withColumns(
-        {
-            "_pd_cd": F.try_to_date(
-                F.format_string("%04d-%02d-%02d", y, m, dd), "yyyy-MM-dd"
-            ),
-            "_pd_maxd": F.dayofmonth(F.last_day(F.make_date(y, m, F.lit(1)))),
-        }
-    )
+
+
+def _compact_error() -> Column:
+    """Compact-branch error renderer over ``_pd_*`` attributes."""
+    m, dd, y = F.col("_pd_m"), F.col("_pd_dd"), F.col("_pd_y")
     cd, maxd = F.col("_pd_cd"), F.col("_pd_maxd")
-    out = out.withColumn(
-        "_pd_cerr",
+    return (
         F.when(
             (m < 1) | (m > 12),
             F.format_string("Invalid month: %d (must be between 1 and 12)", m),
@@ -228,11 +211,138 @@ def with_parsed_date(
             F.format_string(
                 "Invalid day: %d (maximum %d days in month %d)", dd, maxd, m
             ),
-        ),
+        )
     )
-    out = out.withColumns(
+
+
+def dead_letter_frame(df, src_col: str, err_name: str = "validation_error"):
+    """Rows of ``df`` whose ``src_col`` fails the cascade, annotated
+    with the reference's reason text — built as a UNION of the three
+    failure classes (empty / compact-invalid / cascade-unparseable).
+
+    Each branch's plan contains only its own branch of the parser, so
+    every whole-stage method compiles (the all-in-one form, with or
+    without chaining, exceeds janino's 64 KB ``processNext`` limit and
+    falls back to interpreted eval); the branch predicates also push
+    all the way into the scan, so each pass skips non-candidate rows
+    early instead of rendering errors behind an optimizer fence.
+    """
+    orig = df.columns
+    base = _parse_prefix(df, src_col)
+    empty, nd = F.col("_pd_empty"), F.col("_pd_nd")
+
+    b_empty = base.filter(empty).select(
+        *orig, F.lit("Empty date string").alias(err_name)
+    )
+
+    m, dd, y = F.col("_pd_m"), F.col("_pd_dd"), F.col("_pd_y")
+    compact = base.filter(~empty & (nd >= 6)).withColumns(
+        {
+            "_pd_cd": F.try_to_date(
+                F.format_string("%04d-%02d-%02d", y, m, dd), "yyyy-MM-dd"
+            ),
+            "_pd_maxd": F.dayofmonth(F.last_day(F.make_date(y, m, F.lit(1)))),
+        }
+    )
+    # filter on the SMALL validity predicate (attribute comparisons +
+    # one try_to_date after pushdown substitution) and render the error
+    # text only for surviving rows — filtering on the rendered error
+    # would push the whole renderer into the scan predicate and blow
+    # the codegen method limit again
+    cd = F.col("_pd_cd")
+    bad_compact = (
+        (m < 1) | (m > 12) | (dd < 1) | (y < 1900) | (y > 2100) | cd.isNull()
+    )
+    # __fence (rand) stops predicate pushdown from substituting the
+    # whole projection chain into a scan-level predicate. The disjunct
+    # must be non-foldable: rand() is non-nullable so IS NULL would
+    # constant-fold away and re-enable pushdown; "< -1" is never true
+    # but not provably so. Per-branch the fenced stage fits the
+    # codegen method limit
+    b_compact = (
+        compact.withColumn("__fence", F.rand(seed=0))
+        .filter(bad_compact | (F.col("__fence") < -1))
+        .select(*orig, _compact_error().alias(err_name))
+    )
+
+    casc = base.filter(~empty & (nd < 6)).withColumns(
         {
             f"_pd_c{i}": F.try_to_date(F.col("_pd_cleaned"), fmt)
+            for i, fmt in enumerate(CASCADE_FORMATS)
+        }
+    )
+    casc_date = F.coalesce(
+        *[
+            F.when(F.year(F.col(f"_pd_c{i}")).between(1900, 2100), F.col(f"_pd_c{i}"))
+            for i in range(len(CASCADE_FORMATS))
+        ]
+    )
+    b_casc = (
+        casc.withColumn("_pd_casc", casc_date)
+        .withColumn("__fence", F.rand(seed=0))
+        .filter(F.col("_pd_casc").isNull() | (F.col("__fence") < -1))
+        .select(
+            *orig,
+            F.format_string(
+                "Unable to parse date '%s': format not recognized",
+                F.col("_pd_cleaned"),
+            ).alias(err_name),
+        )
+    )
+    return b_empty.unionByName(b_compact).unionByName(b_casc)
+
+
+def with_parsed_date(
+    df,
+    src_col: str,
+    date_name: str = "parsed_date",
+    err_name: str = "parse_error",
+):
+    """Append ``date_name``/``err_name`` columns parsed from
+    ``src_col`` with the same cascade semantics as
+    :func:`parse_date_struct` — but built as chained projections.
+
+    The single-expression form repeats the normalization/digit
+    subtrees at every use site; the generated Java method exceeds
+    janino's 64 KB limit and Spark silently falls back to interpreted
+    evaluation (~6x slower). Chained projections keep each intermediate
+    as a codegen local reused by the next step (each temp is referenced
+    more than once, so CollapseProject leaves the steps in place).
+    For error-side consumers that filter on failures, prefer
+    :func:`dead_letter_frame` — the combined date+error plan is too
+    large for one compiled stage.
+    """
+    temps = _PD_TEMPS
+    out = _parse_prefix(df, src_col)
+    nd = F.col("_pd_nd")
+    yraw, m, dd = F.col("_pd_yraw"), F.col("_pd_m"), F.col("_pd_dd")
+    # branch guards: chained columns would otherwise evaluate for EVERY
+    # row (the single-expression form got laziness from CASE nesting);
+    # guarding keeps the compact branch from paying the 9-format
+    # cascade and vice versa — measured 2x on the compact-heavy mix.
+    y = F.col("_pd_y")
+    compact = ~F.col("_pd_empty") & (nd >= 6)
+    cascade_branch = ~F.col("_pd_empty") & (nd < 6)
+    out = out.withColumns(
+        {
+            "_pd_cd": F.when(
+                compact,
+                F.try_to_date(
+                    F.format_string("%04d-%02d-%02d", y, m, dd), "yyyy-MM-dd"
+                ),
+            ),
+            "_pd_maxd": F.when(
+                compact, F.dayofmonth(F.last_day(F.make_date(y, m, F.lit(1))))
+            ),
+        }
+    )
+    cd = F.col("_pd_cd")
+    out = out.withColumn("_pd_cerr", F.when(compact, _compact_error()))
+    out = out.withColumns(
+        {
+            f"_pd_c{i}": F.when(
+                cascade_branch, F.try_to_date(F.col("_pd_cleaned"), fmt)
+            )
             for i, fmt in enumerate(CASCADE_FORMATS)
         }
     )

@@ -30,7 +30,10 @@ import datetime as _dt
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from incubyte_vaccination_data_pipeline_spark.functions.dates import with_parsed_date
+from incubyte_vaccination_data_pipeline_spark.functions.dates import (
+    dead_letter_frame,
+    with_parsed_date,
+)
 from incubyte_vaccination_data_pipeline_spark.schema import (
     MANDATORY_COLUMNS,
     MANDATORY_DATE_COLUMNS,
@@ -58,13 +61,9 @@ def validate_types(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     # one parse per date column, as chained projections (codegen-sized
     # steps — see functions/dates.py with_parsed_date)
     date_cols = [c for c in MANDATORY_DATE_COLUMNS + OPTIONAL_DATE_COLUMNS if c in typed.columns]
+    parse_input = typed  # pre-parse frame: dead letters re-derive from it
     for c in date_cols:
         typed = with_parsed_date(typed, c, f"__date_{c}", f"__err_{c}")
-    if date_cols:
-        # optimizer fence: keeps the dead-letter error filters from
-        # being pushed down through the parse projections (the inlined
-        # predicate exceeds janino's 64KB codegen limit)
-        typed = typed.withColumn("__fence", F.rand(seed=0))
 
     mandatory_present = [c for c in MANDATORY_DATE_COLUMNS if c in df.columns]
 
@@ -73,16 +72,14 @@ def validate_types(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     # still-string frame. stack() keeps this a single pass.
     dead_letters = []
     for c in mandatory_present:
-        err = F.col(f"__err_{c}")
+        # three-way failure-class union — each branch's plan holds only
+        # its own slice of the parser, so every stage codegen-compiles
+        # (see functions/dates.dead_letter_frame)
         dl = (
-            # the __fence disjunct (never true) blocks predicate
-            # pushdown through the parse projections — see catalog/vax
-            typed.filter(err.isNotNull() | F.col("__fence").isNull())
-            .select(
-                *[F.col(x) for x in df.columns],
-                err.alias("Validation_Error"),
-                F.lit(c).alias("Invalid_Field"),
+            dead_letter_frame(
+                parse_input.select(*df.columns), c, err_name="Validation_Error"
             )
+            .withColumn("Invalid_Field", F.lit(c))
         )
         dead_letters.append(dl)
     if dead_letters:
@@ -102,9 +99,7 @@ def validate_types(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     for c in date_cols:
         clean = clean.withColumn(c, F.col(f"__date_{c}"))
     clean = clean.drop(
-        "__fence",
-        *[f"__date_{c}" for c in date_cols],
-        *[f"__err_{c}" for c in date_cols],
+        *[f"__date_{c}" for c in date_cols], *[f"__err_{c}" for c in date_cols]
     )
     return clean, dead_letter
 

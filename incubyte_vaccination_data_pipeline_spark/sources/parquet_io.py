@@ -61,6 +61,26 @@ def write_warehouse(
     writer.parquet(path)
 
 
+def write_bucketed_warehouse(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "CUST_I",
+    n_buckets: int = 32,
+    sort_col: str | None = "CONSUL_DT",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: the 100 TB path for workloads that
+    repeatedly dedup/join on one key. Bucketing by ``CUST_I`` (sorted
+    by ``CONSUL_DT`` within buckets) lets the dedup-latest window and
+    any customer-key join read co-located data — the scan reports hash
+    partitioning on the bucket column, so Catalyst drops the Exchange
+    entirely (asserted by tests/test_plans.py)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def write_dead_letter(df: DataFrame, path: str, mode: str = "append") -> None:
     """S6 equivalent: quarantined rows + error metadata
     (``data_validator.py:194-216``), parquet instead of timestamped CSV

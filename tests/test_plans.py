@@ -81,6 +81,46 @@ def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
     assert plan.count("Exchange") <= 2
 
 
+def test_bucketed_table_removes_dedup_shuffle(spark, sf_dir, tmp_path):
+    """SURVEY §4: bucketBy(CUST_I) makes repeated dedup-latest windows
+    shuffle-free — the bucketed scan already satisfies the window's
+    required HashPartitioning."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.views import dedup_latest
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+        write_bucketed_warehouse,
+    )
+
+    recs = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").cast("string").alias("CUST_I"),
+            F.col("o_orderdate").cast("date").alias("CONSUL_DT"),
+            F.col("o_orderkey").alias("O_KEY"),
+        )
+    )
+    # (spark.sql.warehouse.dir is static; the managed table lands under
+    # ./spark-warehouse and DROP TABLE below removes its files)
+    write_bucketed_warehouse(recs, "bucketed_recs_test")
+    try:
+        bucketed = spark.table("bucketed_recs_test")
+        deduped = dedup_latest(
+            bucketed, key="CUST_I", order_col="CONSUL_DT",
+            tie_breakers=[F.col("O_KEY").desc()],
+        )
+        plan = _plan(deduped)
+        assert "Exchange" not in plan, f"bucketed dedup must not shuffle:\n{plan}"
+        # and it still computes the same rows as the shuffled version
+        assert deduped.count() == dedup_latest(
+            recs, key="CUST_I", order_col="CONSUL_DT",
+            tie_breakers=[F.col("O_KEY").desc()],
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_recs_test")
+
+
 def test_date_cascade_compiles_wholestage(spark, sf_dir):
     """The parse chain must stay inside whole-stage codegen (the
     single-expression form exceeded janino's 64KB method limit and fell
