@@ -523,3 +523,39 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trunc(d, "month").alias("month_start"),
         F.datediff(F.lit(AS_OF).cast("date"), d).cast("bigint").alias("days_ago"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-text surface (SURVEY §2 S7/S8: the engine accepts ad-hoc ANSI SQL
+# over registered views — Catalyst plans it identically to the
+# DataFrame API)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_adhoc_over_view",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_adhoc_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8: the same SQL text the warehouse would run, executed by
+    spark.sql over a registered temp view — no DataFrame code path."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("ivdp_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM ivdp_orders_v
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        GROUP BY o_orderstatus
+        """
+    )

@@ -306,12 +306,17 @@ def ngram_jaccard_pairs(
     b = grams.select(
         *block_cols, F.col("doc").alias("doc_b"), F.col("grams").alias("gb")
     )
+    # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    # pairs whose set sizes are too far apart can never clear the
+    # threshold — an O(1) test that skips the O(|A|+|B|) intersection
+    na, nb = F.size("ga"), F.size("gb")
+    size_ok = F.least(na, nb) >= F.lit(min_jaccard) * F.greatest(na, nb)
     # hash-based set intersection, O(|ga|+|gb|) per pair
     inter = "cast(size(array_intersect(ga, gb)) as double)"
     jac = F.expr(f"({inter}) / (size(ga) + size(gb) - ({inter}))")
     return (
         a.join(b, on=block_cols)
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -137,6 +137,49 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch_upsert(
+    df: DataFrame, target_path: str, key_cols: list[str]
+) -> None:
+    """Drive a streaming aggregate into a parquet target via
+    ``foreachBatch`` with last-writer-wins upsert semantics — the
+    pattern for exactly-once sinks Spark lacks natively (JDBC upserts,
+    Delta MERGE). Each micro-batch rewrites the union of (existing
+    minus updated keys) + new rows; idempotent per batch id, so a
+    replayed batch converges to the same state.
+
+    At scale the rewrite targets only affected partitions (partition
+    the target by a key prefix / date and overwrite dynamically);
+    the local form keeps the logic testable without a Delta dependency.
+    """
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:
+            batch_df.write.mode("overwrite").parquet(target_path)
+            return
+        keep = existing.join(
+            batch_df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        keep.unionByName(batch_df).write.mode("overwrite").parquet(
+            target_path + ".tmp"
+        )
+        merged = spark.read.parquet(target_path + ".tmp")
+        merged.write.mode("overwrite").parquet(target_path)
+
+    q = (
+        df.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

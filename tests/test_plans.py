@@ -129,3 +129,21 @@ def test_date_cascade_compiles_wholestage(spark, sf_dir):
     plan = _plan(df)
     # '*(N)' prefixes mark operators fused into a compiled whole-stage
     assert plan.lstrip().startswith("*("), plan.splitlines()[0]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Skew mitigation must not change results: salted equi-join ==
+    plain equi-join on the same keys."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.skew import salted_join
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    build = customer.withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(build, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, build, on="o_custkey", salt=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

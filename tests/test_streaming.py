@@ -70,3 +70,33 @@ def test_stateful_running_totals(spark, sf_dir):
     for uid, row in per_user.items():
         assert row["n_events"] == truth[uid]["n"]
         assert abs(row["total_value"] - float(truth[uid]["tv"])) < 1e-3
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch upsert: streaming per-user totals land in parquet
+    with last-writer-wins keys and match the batch ground truth."""
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_foreach_batch_upsert,
+    )
+
+    target = str(tmp_path / "upsert_target")
+    stream = read_events_stream(spark, sf_dir)
+    totals = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    run_foreach_batch_upsert(totals, target, key_cols=["user_id"])
+
+    landed = {r["user_id"]: r for r in spark.read.parquet(target).collect()}
+    truth = {
+        r["user_id"]: r
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .collect()
+    }
+    assert set(landed) == set(truth)
+    for uid, row in landed.items():
+        assert row["n_events"] == truth[uid]["n"]
+        assert abs(row["total_value"] - float(truth[uid]["tv"])) < 1e-3

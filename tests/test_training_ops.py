@@ -100,3 +100,16 @@ def test_real_decoders_are_stubbed():
         decode_image(b"\x89PNG")
     with pytest.raises(DecoderNotAvailable):
         decode_audio(b"RIFF")
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++) is the engine's scale path for
+    cardinality; pin it within 5% of exact at test scale."""
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
