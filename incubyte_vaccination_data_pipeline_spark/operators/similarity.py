@@ -38,6 +38,30 @@ def cosine_expr(a: str, b: str) -> Column:
     )
 
 
+def dot_expr(a: str, b: str) -> Column:
+    """In-order double dot product of two array columns."""
+    return F.expr(
+        f"""
+        aggregate(zip_with(transform({a}, x -> cast(x as double)),
+                           transform({b}, x -> cast(x as double)),
+                           (x, y) -> x * y),
+                  cast(0.0 as double), (acc, v) -> acc + v)
+        """
+    )
+
+
+def norm_expr(a: str) -> Column:
+    """Euclidean norm of an array column (in-order double fold)."""
+    return F.sqrt(
+        F.expr(
+            f"""
+            aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),
+                      cast(0.0 as double), (acc, v) -> acc + v)
+            """
+        )
+    )
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,11 +76,17 @@ def topk_bruteforce(
     """
     from pyspark.sql import Window
 
+    # norms are per-VECTOR, computed once before the pair join —
+    # folding them per pair would triple the interpreted lambda work
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -64,7 +94,9 @@ def topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr("qv", "cv"), 6).alias("cosine"),
+            F.round(dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -76,27 +108,38 @@ def topk_bruteforce(
     )
 
 
-def lsh_bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
+def _plane(j: int, dims: int) -> list[float]:
+    """Plane ``j``: component ``d`` is +-1 by the parity of the first
+    hex digit of ``md5(j || '|' || d)`` — the same values the previous
+    in-expression formulation computed with per-row md5 calls."""
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = hashlib.md5(f"{j}|{d}".encode()).hexdigest()
+        out.append(1.0 if "0123456789abcdef".index(h[0]) % 2 == 0 else -1.0)
+    return out
+
+
+def lsh_bucket_expr(vec_col: str, n_planes: int = 8, dims: int = 64) -> Column:
     """Deterministic random-hyperplane bucket id.
 
-    Plane ``j``'s component for dimension ``d`` is +-1 by the parity of
-    a hex digit of ``md5(j || '|' || d)`` — reproducible everywhere,
-    no stored model. Bucket = integer of the ``n_planes`` sign bits of
-    the projections.
+    The +-1 plane matrix is a pure function of (plane, dimension), so
+    it is precomputed driver-side and embedded as literal arrays —
+    the previous formulation re-derived it with md5 calls inside the
+    lambda for every row (n_planes x dims interpreted hashes per
+    vector). Bucket = integer of the ``n_planes`` projection signs.
     """
+    plane_sql = ", ".join(
+        "array(" + ", ".join(f"{v:.1f}D" for v in _plane(j, dims)) + ")"
+        for j in range(n_planes)
+    )
     return F.expr(
         f"""
         aggregate(
-            transform(sequence(0, {n_planes - 1}),
-                j -> CASE WHEN aggregate(
-                        zip_with({vec_col},
-                                 transform(sequence(0, size({vec_col}) - 1),
-                                     d -> CASE WHEN instr('0123456789abcdef',
-                                             substring(md5(concat(cast(j as string), '|',
-                                                                  cast(d as string))), 1, 1))
-                                             % 2 = 0
-                                         THEN 1.0D ELSE -1.0D END),
-                                 (x, p) -> cast(x as double) * p),
+            transform(array({plane_sql}),
+                p -> CASE WHEN aggregate(
+                        zip_with({vec_col}, p, (x, w) -> cast(x as double) * w),
                         cast(0.0 as double), (acc, v) -> acc + v) > 0
                      THEN 1L ELSE 0L END),
             0L, (acc, bit) -> acc * 2L + bit)
@@ -121,11 +164,13 @@ def topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
         bucket.alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
         bucket.alias("bucket"),
     )
     scored = (
@@ -134,7 +179,9 @@ def topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr("qv", "cv"), 6).alias("cosine"),
+            F.round(dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -159,19 +206,23 @@ def cosine_near_dup_pairs(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
+        norm_expr(vec_col).alias("na"),
     )
     b = df.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
+        norm_expr(vec_col).alias("nb"),
     )
     joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    cos = F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
     return (
         joined.filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine_expr("va", "vb"), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        # non-foldable rand fence: keeps the threshold filter from
+        # being substituted below the projection, which would evaluate
+        # the dot fold twice per pair (see functions/dates.py)
+        .withColumn("__fence", F.rand(seed=0))
+        .filter((F.col("cosine") >= threshold) | (F.col("__fence") < -1))
+        .drop("__fence")
     )
