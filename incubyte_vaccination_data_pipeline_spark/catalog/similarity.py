@@ -76,11 +76,13 @@ def ann_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk")  # rows-only: approximation measured by recall in tests
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (8 deterministic hyperplanes):
-    the 100 TB scale path — candidates shrink ~2^8 per query."""
+    """Multi-table LSH approximate top-10 (4 tables x 4 hyperplanes):
+    the 100 TB scale path — per query, candidates shrink to
+    ~n_tables/2^n_planes of the corpus while any-table collision keeps
+    recall (measured against the brute-force baseline in tests)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
-    return topk_lsh(emb, queries, k=TOP_K, n_planes=8)
+    return topk_lsh(emb, queries, k=TOP_K, n_planes=4, n_tables=4)
 
 
 @query(

@@ -121,7 +121,9 @@ def _plane(j: int, dims: int) -> list[float]:
     return out
 
 
-def lsh_bucket_expr(vec_col: str, n_planes: int = 8, dims: int = 64) -> Column:
+def lsh_bucket_expr(
+    vec_col: str, n_planes: int = 8, dims: int = 64, plane_seed: int = 0
+) -> Column:
     """Deterministic random-hyperplane bucket id.
 
     The +-1 plane matrix is a pure function of (plane, dimension), so
@@ -132,7 +134,7 @@ def lsh_bucket_expr(vec_col: str, n_planes: int = 8, dims: int = 64) -> Column:
     """
     plane_sql = ", ".join(
         "array(" + ", ".join(f"{v:.1f}D" for v in _plane(j, dims)) + ")"
-        for j in range(n_planes)
+        for j in range(plane_seed, plane_seed + n_planes)
     )
     return F.expr(
         f"""
@@ -151,38 +153,53 @@ def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket (equi-join on bucket id), then exact cosine + window top-k.
-    Same output shape as ``topk_bruteforce``."""
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits
+    each; a pair is a candidate if it collides in ANY table (the
+    standard recall amplifier: miss probability decays exponentially
+    in the table count while candidates stay ~``n_tables / 2^n_planes``
+    of the corpus per query). Candidates dedup BEFORE the exact cosine
+    so collisions in several tables are scored once. Equi-join on
+    (table, bucket); same output shape as ``topk_bruteforce``.
+    """
     from pyspark.sql import Window
 
-    bucket = lsh_bucket_expr(vec_col, n_planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm_expr(vec_col).alias("qn"),
-        bucket.alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm_expr(vec_col).alias("cn"),
-        bucket.alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
-                "cosine"
-            ),
+    def banded(df: DataFrame, out_id: str, v: str, n: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket_expr(vec_col, n_planes, plane_seed=t * n_planes).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
         )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(v),
+            norm_expr(vec_col).alias(n),
+            F.explode(buckets).alias("tb"),
+        ).select(out_id, v, n, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    q = banded(queries, "query_id", "qv", "qn")
+    c = banded(corpus, "neighbor_id", "cv", "cn")
+    cand = (
+        c.join(F.broadcast(q), on=["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

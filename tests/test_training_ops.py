@@ -77,14 +77,15 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     approx_sets = {}
     for r in approx:
         approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    # every query keeps its bucket's matches; recall is approximate by
-    # design — just require the mechanism to produce overlap and bounds
     assert set(approx_sets) <= set(exact_sets)
     for q, neigh in approx_sets.items():
         assert len(neigh) <= 10
     total = sum(len(v) for v in exact_sets.values())
     hit = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
-    assert 0 < hit <= total
+    # 4 tables x 4 planes on the near-uniform synthetic vectors gives
+    # ~0.4 top-10 recall (deterministic planes -> deterministic bound);
+    # real clustered embeddings would score far higher
+    assert hit / total >= 0.3
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
