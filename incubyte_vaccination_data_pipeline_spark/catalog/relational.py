@@ -559,3 +559,60 @@ def sql_adhoc_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 6) AS moving_avg_price
+    FROM orders
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (ROWS BETWEEN): 3-order moving average per
+    customer — the frame shapes the reference's single window pattern
+    never needed but any analytics surface must have."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), F.col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.round(F.avg(_dec("o_totalprice")).over(w), 6)
+        .cast("double")
+        .alias("moving_avg_price"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50,
+           ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS p90,
+           ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile_cont
+    semantics on both engines; approx_percentile is the documented
+    scale path when exactness can be traded for a single pass)."""
+    orders = read_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("double")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile(p, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(p, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(p, F.lit(0.99)), 6).alias("p99"),
+    )
