@@ -268,6 +268,41 @@ def stream_session_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_stream_join_counts",
+    oracle="""
+    SELECT a.user_id, a.event_id,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts < a.ts
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (purchases x preceding clicks),
+    driven to completion and aggregated per purchase — must equal the
+    inner batch range join."""
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_click_purchase_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = run_to_memory(
+        stream_stream_click_purchase_join(stream), "ivdp_ss_join", "append"
+    )
+    return joined.groupBy(
+        "user_id", F.col("purchase_id").alias("event_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("click_value"),
+    )
+
+
 @query("stream_running_totals")  # rows-only: custom stateful operator
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState custom stateful operator (per-user

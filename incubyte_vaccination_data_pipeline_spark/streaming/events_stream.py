@@ -137,6 +137,41 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_click_purchase_join(
+    stream: DataFrame, window: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to
+    the same user's clicks in the preceding ``window``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time, so Spark can expire join state — the streaming twin of the
+    batch ``events_range_join``. Output: one row per (purchase, click)
+    match.
+    """
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+        .withWatermark("ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            "value",
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr(f"ts - INTERVAL {window}"))
+        & (F.col("c_ts") < F.col("ts")),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id", "ts", "c_ts", "value")
+
+
 def run_foreach_batch_upsert(
     df: DataFrame, target_path: str, key_cols: list[str]
 ) -> None:
@@ -181,20 +216,36 @@ def run_foreach_batch_upsert(
 
 
 def run_to_memory(
-    df: DataFrame, name: str, output_mode: str = "complete"
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a streaming frame to completion against the memory sink
     (synchronous; for tests/smoke — production uses real sinks +
-    foreachBatch for exactly-once upserts). Returns the result table."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    foreachBatch for exactly-once upserts). Returns the result table.
+
+    ``shuffle_partitions`` is pinned at query START (streaming state
+    partitioning is fixed for the life of the query): local sources are
+    tiny, and every state partition costs a state-store instance —
+    stream-stream joins keep four per partition, so 32 partitions is
+    pure overhead here. Production sizes this to the cluster instead.
+    """
     spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -100,3 +100,52 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
     for uid, row in landed.items():
         assert row["n_events"] == truth[uid]["n"]
         assert abs(row["total_value"] - float(truth[uid]["tv"])) < 1e-3
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
+    """Watermarked stream-stream join produces the same matches as the
+    batch range join (events_range_join counts per purchase)."""
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        stream_stream_click_purchase_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_click_purchase_join(stream)
+    out = run_to_memory(joined, "t_ss_join", "append")
+    streamed = {
+        (r["user_id"], r["purchase_id"]): r["n"]
+        for r in out.groupBy("user_id", "purchase_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    batch = {
+        (r["user_id"], r["event_id"]): r["n_clicks"]
+        for r in QUERIES["events_range_join"](spark, sf_dir).collect()
+        if r["n_clicks"] > 0
+    }
+    assert streamed == batch
+
+
+def test_cli_entry_runs_pipeline(tmp_path):
+    """python -m incubyte_vaccination_data_pipeline_spark <data> <out> — C1 parity."""
+    import subprocess
+    import sys
+
+    from tests.test_pipeline import AUS_CSV, IND_CSV, USA_CSV
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "IND (1) 1(in).csv").write_text(IND_CSV)
+    (d / "USA (1) 1(in).csv").write_text(USA_CSV)
+    (d / "AUS (1) 1(Sheet1).csv").write_text(AUS_CSV)
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "incubyte_vaccination_data_pipeline_spark", str(d), str(out)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "warehouse rows:" in r.stdout
+    assert (out / "warehouse").exists() and (out / "dead_letter").exists()
