@@ -318,3 +318,28 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         running_user_totals(stream), "ivdp_stream_running", "update"
     )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over an at-least-once source: the event
+    stream unioned with itself (every event delivered twice) must come
+    out exactly once through dropDuplicatesWithinWatermark — so the
+    result equals the plain batch events table."""
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        dedup_events_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.unionByName(read_events_stream(spark, sf_dir))
+    return run_to_memory(
+        dedup_events_stream(doubled), "ivdp_stream_dedup", "append"
+    )

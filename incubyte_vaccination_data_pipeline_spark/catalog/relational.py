@@ -595,6 +595,192 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE date_part('year', l_shipdate) = 1997
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-and-aggregate, the pushdown
+    showcase — all three predicates and the 4-column projection reach
+    the parquet scan; no shuffle beyond the single-row final agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year(F.col("l_shipdate").cast("date")) == 1997)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_totalprice,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a pre-aggregate, then join back.
+    Aggregating lineitem BEFORE the joins shrinks the join input to
+    the qualifying orders (the 100 TB-friendly order; grouping after
+    the 3-way join would shuffle the full fact table twice)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > F.lit(250).cast(_DEC))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_nation_region",
+    oracle="""
+    SELECT n_name, r_name,
+           CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+           CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((n_name), (r_name), ())
+    """,
+)
+def grouping_sets_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint subtotal lattices, unlike the
+    rollup/cube queries) with GROUPING() indicator columns to tell a
+    subtotal NULL from a data NULL."""
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    joined = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.groupingSets(
+        [["n_name"], ["r_name"], []], "n_name", "r_name"
+    ).agg(
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(_dec("s_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+@query(
+    "subquery_orders_above_custavg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+          * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        > CAST(1.5 AS DECIMAL(2,1))
+          * (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+             FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def subquery_orders_above_custavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics (orders 1.5x above their
+    customer's average) computed the Spark-idiomatic way: one window
+    over the customer key instead of two correlated rescans. Decimal
+    cross-multiplication avoids float-average tie-break divergence."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    price = _dec("o_totalprice")
+    return (
+        orders.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .withColumn("__sum", F.sum(price).over(w))
+        .filter(
+            price * F.col("__cnt")
+            > F.lit(1.5).cast("decimal(2,1)") * F.col("__sum")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "join_full_outer_year_activity",
+    oracle="""
+    WITH y2000 AS (
+        SELECT o_custkey, COUNT(*) AS n_2000
+        FROM orders WHERE date_part('year', o_orderdate) = 2000
+        GROUP BY o_custkey
+    ),
+    y2001 AS (
+        SELECT o_custkey, COUNT(*) AS n_2001
+        FROM orders WHERE date_part('year', o_orderdate) = 2001
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(y2000.o_custkey, y2001.o_custkey) AS custkey,
+           COALESCE(n_2000, 0) AS n_2000,
+           COALESCE(n_2001, 0) AS n_2001
+    FROM y2000 FULL OUTER JOIN y2001 ON y2000.o_custkey = y2001.o_custkey
+    """,
+)
+def join_full_outer_year_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-customer order counts across two years,
+    keeping customers active in either year (null-extended on the
+    missing side)."""
+    orders = read_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    y2000 = (
+        orders.filter(yr == 2000)
+        .groupBy(F.col("o_custkey").alias("k2000"))
+        .agg(F.count(F.lit(1)).alias("n_2000"))
+    )
+    y2001 = (
+        orders.filter(yr == 2001)
+        .groupBy(F.col("o_custkey").alias("k2001"))
+        .agg(F.count(F.lit(1)).alias("n_2001"))
+    )
+    return y2000.join(y2001, y2000.k2000 == y2001.k2001, "full_outer").select(
+        F.coalesce("k2000", "k2001").alias("custkey"),
+        F.coalesce("n_2000", F.lit(0)).alias("n_2000"),
+        F.coalesce("n_2001", F.lit(0)).alias("n_2001"),
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT o_orderpriority,

@@ -172,6 +172,22 @@ def stream_stream_click_purchase_join(
     ).select("user_id", "purchase_id", "click_id", "ts", "c_ts", "value")
 
 
+def dedup_events_stream(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keys
+    state by ``event_id`` and expires it once the watermark passes, so
+    state stays bounded by (arrival skew x event rate) instead of
+    growing with the whole stream — the streaming twin of the batch
+    ``dedup_exact`` operator. Emits each event exactly once even when
+    the source delivers duplicates (at-least-once upstream)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 def run_foreach_batch_upsert(
     df: DataFrame, target_path: str, key_cols: list[str]
 ) -> None:
