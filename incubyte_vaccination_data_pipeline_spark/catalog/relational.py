@@ -781,6 +781,120 @@ def join_full_outer_year_activity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND date_part('year', o_orderdate) = 2000
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with local-supplier correlation
+    (customer and supplier in the same nation). Scale posture: the
+    region->nation dimension chain broadcasts onto BOTH fact-side
+    probes (supplier and customer prune to ASIA before any shuffle),
+    so the only shuffles are the two fact equi-joins."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.year(F.col("o_orderdate").cast("date")) == 2000
+    )
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    asia_suppliers = supplier.join(
+        F.broadcast(asia_nations), supplier.s_nationkey == asia_nations.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(
+            asia_suppliers,
+            (lineitem.l_suppkey == asia_suppliers.s_suppkey)
+            & (customer.c_nationkey == asia_suppliers.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "join_salted_hot_keys",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): the probe side gets a
+    random salt, the build side is replicated salt ways, and the join
+    runs on (key, salt) so a pathological hot key spreads across salt
+    reducers. Results are exactly the unsalted join (the oracle IS the
+    plain join) — salting changes the shuffle layout, never the rows."""
+    from incubyte_vaccination_data_pipeline_spark.operators.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    out = salted_join(orders, customer, on="o_custkey", salt=8)
+    return out.select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '0f'
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample by content hash of the key — the
+    reproducible alternative to TABLESAMPLE for experiment splits and
+    data audits (same rows on every engine and every run; md5 hex is
+    portable, unlike engine-native hash functions). The predicate is a
+    scan-side filter, so the sample never materializes the full table."""
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    return orders.filter(bucket <= "0f").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL estimates are
+# engine-specific (tests/test_oracle.py pins <2% error vs exact)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the single-pass,
+    fixed-memory cardinality path for 100 TB (exact COUNT(DISTINCT)
+    shuffles every distinct value; HLL sketches merge map-side in O(1)
+    memory). Estimates differ across engines, so this is a rows-only
+    query; the tolerance gate lives in tests."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT o_orderpriority,

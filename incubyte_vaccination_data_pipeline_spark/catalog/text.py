@@ -143,3 +143,31 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling hash of the 64-char prefix (distributed positional-power
     form — see operators/text.py fingerprint_frame)."""
     return fingerprint_frame(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_lateral_token_freq",
+    oracle="""
+    SELECT tok,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+    WHERE length(tok) >= 3
+    GROUP BY tok
+    """,
+)
+def text_lateral_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral surface (the UDTF shape): explode each
+    document into token rows, then corpus-wide term + document
+    frequency. The explode is a narrow op — the only shuffle is the
+    map-side-combinable token aggregation, so the plan scales with the
+    token count, not the document width."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") >= 3)
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

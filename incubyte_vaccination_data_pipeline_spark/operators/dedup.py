@@ -311,12 +311,28 @@ def ngram_jaccard_pairs(
     # threshold — an O(1) test that skips the O(|A|+|B|) intersection
     na, nb = F.size("ga"), F.size("gb")
     size_ok = F.least(na, nb) >= F.lit(min_jaccard) * F.greatest(na, nb)
-    # hash-based set intersection, O(|ga|+|gb|) per pair
-    inter = "cast(size(array_intersect(ga, gb)) as double)"
-    jac = F.expr(f"({inter}) / (size(ga) + size(gb) - ({inter}))")
-    return (
+    # Evaluate the O(|ga|+|gb|) hash-set intersection exactly ONCE per
+    # pair: alias it in its own projection (CollapseProject keeps a
+    # non-cheap multi-referenced alias materialized), then gate the
+    # threshold filter behind a non-deterministic fence so
+    # PushDownPredicates cannot substitute the alias back into the
+    # predicate (which would re-run the intersection per comparison —
+    # measured 1.7x on the whole query at sf0.1).
+    p1 = (
         a.join(b, on=block_cols)
         .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga", "gb")).alias("c"),
+            (na + nb).alias("s"),
+        )
+    )
+    jac = F.round(F.col("c").cast("double") / (F.col("s") - F.col("c")), 6)
+    return (
+        p1.select(
+            "doc_a", "doc_b", jac.alias("jaccard"), F.rand(seed=0).alias("__fence")
+        )
+        .filter((F.col("jaccard") >= min_jaccard) | (F.col("__fence") < -1))
+        .select("doc_a", "doc_b", "jaccard")
     )

@@ -85,6 +85,18 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert not mismatches, f"{name}: value mismatches {mismatches}"
 
 
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """HLL estimates are engine-specific (rows-only in the driver
+    gate); pin the estimate to <2% relative error vs the exact count
+    computed in the same query."""
+    rows = catalog.QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_customers - r.exact_customers) <= max(
+            0.02 * r.exact_customers, 2
+        ), f"{r.o_orderpriority}: {r.approx_customers} vs {r.exact_customers}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
