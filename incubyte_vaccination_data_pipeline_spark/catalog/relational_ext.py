@@ -1,0 +1,427 @@
+"""Second wave of relational breadth: the remaining TPC-H query shapes
+expressible over the testdata star schema (Q7/Q10/Q14/Q19/Q22 — the
+lineitem table has no commit/receipt dates or ship modes, so Q4/Q12/Q21
+shapes are out of reach), statistical-moment aggregates, value window
+functions, UNPIVOT, array-function coverage over ``documents``, and
+batch hopping windows over ``events``.
+
+Determinism conventions as in ``vax.py``/``relational.py``: decimal
+money math cast to double only after aggregation, explicit tie-breaks
+on every LIMIT, ``round(.., 6)`` on any statistic whose merge order
+differs across engines, ANSI-safe element access (``F.get`` instead of
+``element_at`` so empty arrays yield NULL, not an error, under the
+driver gate's ANSI session).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+_DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(_DEC)
+
+
+def _revenue():
+    return _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+
+
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           date_part('year', l_shipdate) AS ship_year,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE cn.n_name <> sn.n_name
+      AND date_part('year', l_shipdate) BETWEEN 2000 AND 2001
+    GROUP BY cn.n_name, sn.n_name, date_part('year', l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume (customer nation !=
+    supplier nation) by ship year. Scale posture: nation broadcasts
+    onto BOTH the customer and supplier maps before the fact joins, so
+    the only shuffles are the lineitem-orders and fact-dimension
+    equi-joins; the inequality predicate runs post-join on two tiny
+    string columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+
+    nat_c = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    nat_s = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = customer.join(
+        F.broadcast(nat_c), customer.c_nationkey == nat_c.cnk
+    ).select("c_custkey", "cust_nation")
+    supp = supplier.join(
+        F.broadcast(nat_s), supplier.s_nationkey == nat_s.snk
+    ).select("s_suppkey", "supp_nation")
+
+    ship_year = F.year(F.col("l_shipdate").cast("date")).cast("bigint")
+    return (
+        li.filter(ship_year.between(2000, 2001))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", ship_year.alias("ship_year"))
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND date_part('year', o_orderdate) = 2000
+      AND date_part('quarter', o_orderdate) = 4
+    GROUP BY c_custkey, c_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in one quarter. The returnflag and date predicates are
+    scan-side (pushed to parquet) so the join inputs are pre-pruned;
+    the final top-20 is TakeOrderedAndProject over the aggregate."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    od = F.col("o_orderdate").cast("date")
+    orders_q4 = orders.filter((F.year(od) == 2000) & (F.quarter(od) == 4))
+    return (
+        li.join(orders_q4, li.l_orderkey == orders_q4.o_orderkey)
+        .join(customer, orders_q4.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT ROUND(
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} END)
+                    AS DOUBLE) * 100.0
+               / CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 6) AS promo_pct,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE date_part('year', l_shipdate) = 2000
+      AND date_part('month', l_shipdate) = 9
+    GROUP BY ALL
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — a single
+    global aggregate over a fact-dimension join with a conditional
+    numerator (sum-over-sum in decimal, divided in double)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    sd = F.col("l_shipdate").cast("date")
+    rev = _revenue()
+    return (
+        li.filter((F.year(sd) == 2000) & (F.month(sd) == 9))
+        .join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                * F.lit(100.0)
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q19_or_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY ALL
+    """,
+)
+def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates spanning
+    both join sides. Catalyst extracts the common single-side
+    implications (brand IN (...), size <= 15, quantity <= 30) as
+    pushable pre-join filters; the full OR runs post-join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q22_inactive_high_balance",
+    oracle="""
+    WITH thr AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer, thr
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND date_part('year', o_orderdate) = 2001)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no 2001
+    orders (global-average scalar subquery + anti join), by market
+    segment. The 1-row average broadcasts; the anti join's build side
+    is the year-pruned custkey projection of orders."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.year(F.col("o_orderdate").cast("date")) == 2001
+    )
+    thr = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        customer.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+           ROUND(var_samp(l_quantity), 6) AS qty_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates (stddev/variance/correlation/
+    covariance) — single-pass central-moment sketches that merge
+    map-side (Welford updates on both engines). Inputs are chosen
+    small-magnitude (quantity 1..50, discount 0..0.1) so the 6-dp
+    round absorbs merge-order float noise; skewness/kurtosis are
+    excluded because Spark reports population moments where DuckDB
+    bias-corrects (documented divergence, not an engine gap)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.stddev_samp(q), 6).alias("qty_stddev"),
+        F.round(F.var_samp(q), 6).alias("qty_var"),
+        F.round(F.corr(q, F.col("l_extendedprice")), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp(q, F.col("l_discount")), 6).alias("qty_disc_covar"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+           COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first/last/nth over the full-partition
+    frame) — each customer's first, latest, and second order alongside
+    every order row."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, value
+    FROM (SELECT p_partkey,
+                 CAST(p_retailprice AS DOUBLE) AS retailprice,
+                 CAST(p_size AS DOUBLE) AS size
+          FROM part)
+    UNPIVOT (value FOR measure IN (retailprice, size))
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt): per-part measures as (measure,
+    value) rows — the inverse of the pivot query, a pure narrow
+    transform (no shuffle)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_partkey", ["retailprice", "size"], "measure", "value")
+
+
+@query(
+    "array_functions_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           toks[1] AS first_token,
+           toks[-1] AS last_token,
+           list_contains(toks, 'the') AS has_the,
+           list_aggregate(list_transform(toks, x -> length(x)), 'max')
+               AS longest_len,
+           array_to_string(list_sort(list_distinct(toks))[1:3], '-')
+               AS top3_sorted
+    FROM t
+    """,
+)
+def array_functions_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over tokenized documents: size/distinct/
+    element access/contains/transform-max/sort-slice-join. Element
+    access uses ``F.get`` (NULL on out-of-range) so the plan is
+    ANSI-mode safe; all outputs are scalars (array-typed output columns
+    stringify differently across engines)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks"))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.get("toks", 0).alias("first_token"),
+        F.get("toks", F.size("toks") - 1).alias("last_token"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.array_max(F.transform("toks", F.length)).alias("longest_len"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("toks")), 1, 3), "-"
+        ).alias("top3_sorted"),
+    )
+
+
+@query(
+    "events_hopping_window",
+    oracle="""
+    WITH slots AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+               CAST(value AS DECIMAL(18,2))
+        FROM events
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM slots
+    GROUP BY window_start
+    """,
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows in batch: 10-minute windows every 5
+    minutes, so each event lands in exactly window/slide = 2 slots.
+    The oracle expresses the same thing as a UNION ALL of the two
+    5-minute-offset tumbling assignments."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )

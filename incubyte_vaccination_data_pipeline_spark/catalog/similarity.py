@@ -19,6 +19,7 @@ from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
 from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
     cosine_near_dup_pairs,
     topk_bruteforce,
+    topk_ivf,
     topk_lsh,
 )
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
@@ -83,6 +84,18 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
     return topk_lsh(emb, queries, k=TOP_K, n_planes=4, n_tables=4)
+
+
+@query("ann_ivf_topk")  # rows-only: approximation measured by recall in tests
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (16-cell coarse quantizer, probe 4):
+    the data-adapted ANN path alongside LSH — cells follow the actual
+    embedding distribution, so candidate lists concentrate where the
+    data does. Per query only ~n_probe/n_centroids of the corpus is
+    scored; recall vs the brute-force baseline is pinned in tests."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return topk_ivf(emb, queries, k=TOP_K, n_centroids=16, n_probe=4)
 
 
 @query(

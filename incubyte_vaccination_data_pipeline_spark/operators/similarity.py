@@ -210,6 +210,158 @@ def topk_lsh(
     )
 
 
+def _unit(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5 or 1.0
+    return [x / n for x in vec]
+
+
+def _dot_lit(vec_col: str, centroid: list[float]) -> Column:
+    """In-order double dot of an array column with a literal vector."""
+    arr = "array(" + ", ".join(f"{w!r}D" for w in centroid) + ")"
+    return F.expr(
+        f"""
+        aggregate(zip_with({vec_col}, {arr}, (x, w) -> cast(x as double) * w),
+                  cast(0.0 as double), (acc, v) -> acc + v)
+        """
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: unit-norm centroids.
+
+    Seeds are the ``n_centroids`` vectors with the smallest
+    ``md5(id)`` (a content-addressed "random" sample — same seeds on
+    every engine and every run), refined by ``refine_iters`` Lloyd
+    steps computed distributed: assign every vector to its nearest
+    seed (pure per-row expression), then per-(cluster, dimension)
+    mean via posexplode + groupBy (map-side combinable; at 100 TB the
+    build would run on a hash-sampled fraction — the assign/search
+    path is unchanged). Only ``n_centroids x dims`` floats are ever
+    collected to the driver.
+    """
+    seeds = [
+        _unit([float(x) for x in r[0]])
+        for r in (
+            df.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("__h"))
+            .orderBy("__h", F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        )
+    ]
+    dims = len(seeds[0])
+    for _ in range(refine_iters):
+        assigned = df.select(
+            F.col(vec_col).alias("__v"),
+            ivf_assign_expr(vec_col, seeds).alias("__cid"),
+        )
+        means = (
+            assigned.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg(F.col("__val").cast("double")).alias("__m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in means:
+            by_cid.setdefault(r["__cid"], [0.0] * dims)[r["__pos"]] = r["__m"]
+        seeds = [
+            _unit(by_cid[c]) if c in by_cid else seeds[c]
+            for c in range(len(seeds))
+        ]
+    return seeds
+
+
+def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (0-based) as a pure per-row expression —
+    no shuffle, no UDF. Centroids are unit-norm, so argmax of the
+    plain dot product IS argmax of cosine (the row norm is a common
+    positive factor). Ties resolve to the lowest centroid id."""
+    scores = F.array(*[_dot_lit(vec_col, c) for c in centroids])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_probes_expr(
+    vec_col: str, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest centroid ids for a query vector, as an
+    array (explode to fan the query out over its probe cells)."""
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-_dot_lit(vec_col, c)).alias("neg"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    The corpus is partitioned into ``n_centroids`` Voronoi cells by a
+    coarse quantizer (deterministic k-means, ``ivf_centroids``); each
+    query probes its ``n_probe`` nearest cells and scores only those
+    candidates. Versus LSH: candidates are data-adapted (cells follow
+    the distribution) rather than fixed random halfspaces. Assignment
+    is a per-row expression against literal centroids (broadcast-free),
+    the candidate join is an equi-join on the cell id, and the exact
+    re-rank only sees ~``n_probe / n_centroids`` of the corpus per
+    query. Output shape matches ``topk_bruteforce``; recall is
+    measured against it in tests.
+    """
+    from pyspark.sql import Window
+
+    centroids = ivf_centroids(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
+        ivf_assign_expr(vec_col, centroids).alias("cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
+        F.explode(ivf_probes_expr(vec_col, centroids, n_probe)).alias("cid"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
