@@ -13,11 +13,14 @@ Design for 100 TB (the whole point of these shapes):
   inlines upstream projections into lambda bodies, so an array-lambda
   formulation re-evaluates the whole upstream pipeline once per array
   element (measured 20x slowdown at sf0.001).
-- **The only shuffles are (a) per-doc re-aggregation (map-side
-  combinable) and (b) the LSH band / block self-join**, an equi-join
-  on band keys — Catalyst shuffles both sides by band, so candidate
-  generation is O(sum of bucket sizes squared), never the O(n^2)
-  cross product.
+- **The only shuffles are (a) a pre-explode fan-out of the compact
+  input keyed by doc (so the 100-1000x explode stage uses every core,
+  not the handful of file splits a small parquet input arrives as —
+  the per-doc re-aggregation then reuses that layout instead of
+  shuffling again) and (b) the LSH band / block self-join**, an
+  equi-join on band keys — Catalyst shuffles both sides by band, so
+  candidate generation is O(sum of bucket sizes squared), never the
+  O(n^2) cross product.
 - **Portable hashing**: md5 hex strings are identical in every engine,
   and the lexicographic MIN of md5 strings is a valid MinHash (any
   uniform injective order works), so signatures validate bit-for-bit
@@ -32,6 +35,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.operators.partitioning import (
+    fanout_repartition,
+)
 
 HEX_DIGITS = "0123456789abcdef"
 
@@ -138,9 +145,12 @@ def simhash_fingerprints(
     combinable groupBy sums votes per doc before packing the
     fingerprint. Arithmetic is bit-identical to ``simhash16``.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+    toks = fanout_repartition(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("__t")), " ")).alias("t"),
     ).select("doc_id", F.md5("t").alias("m"))
     dec = " + ".join(
         f"(instr('{HEX_DIGITS}', substring(m, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
@@ -192,10 +202,13 @@ def minhash_signatures(
     MINs. Docs with fewer than ``shingle_k`` words yield no shingles
     and are dropped (same as the array formulation's size>0 filter).
     """
-    words = df.select(
-        F.col(id_col).alias("doc"),
-        F.split(F.lower(F.col(text_col)), " ").alias("words"),
-    ).filter(F.size("words") >= shingle_k)
+    words = fanout_repartition(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.split(F.lower(F.col(text_col)), " ").alias("words"),
+        ).filter(F.size("words") >= shingle_k),
+        "doc",
+    )
     shingles = words.select(
         "doc",
         F.expr(
@@ -286,11 +299,14 @@ def ngram_jaccard_pairs(
     # rebuild the distinct gram set with collect_set — avoids the
     # interpreted per-element lower(text) re-evaluation of an
     # array-lambda formulation.
-    lowered = df.select(
-        F.col(id_col).alias("doc"),
-        *block_cols,
-        F.lower(F.col(text_col)).alias("lt"),
-    ).filter(F.length("lt") >= n)
+    lowered = fanout_repartition(
+        df.select(
+            F.col(id_col).alias("doc"),
+            *block_cols,
+            F.lower(F.col(text_col)).alias("lt"),
+        ).filter(F.length("lt") >= n),
+        "doc",
+    )
     gram_rows = lowered.select(
         "doc",
         *block_cols,

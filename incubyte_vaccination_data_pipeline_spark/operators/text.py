@@ -130,9 +130,16 @@ def fingerprint_frame(df, text_col: str = "text", id_col: str = "doc_id"):
     mod = FINGERPRINT_MOD
     pows = [pow(31, k, mod) for k in range(FINGERPRINT_PREFIX)]
     pow_arr = F.array(*[F.lit(p) for p in pows])
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        normalized_text(text_col).alias("nrm"),
+    from incubyte_vaccination_data_pipeline_spark.operators.partitioning import (
+        fanout_repartition,
+    )
+
+    base = fanout_repartition(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            normalized_text(text_col).alias("nrm"),
+        ),
+        "doc_id",
     ).select(
         "doc_id",
         F.md5("nrm").alias("content_md5"),

@@ -131,6 +131,51 @@ def test_date_cascade_compiles_wholestage(spark, sf_dir):
     assert plan.lstrip().startswith("*("), plan.splitlines()[0]
 
 
+def test_q10_predicates_pushed_to_scans(spark, sf_dir):
+    plan = _plan(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan), (
+        "returnflag predicate must reach the lineitem scan"
+    )
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, (
+        "top-20 must be TakeOrderedAndProject, not a global sort"
+    )
+
+
+def test_q7_nation_joins_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["q7_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "both nation maps must broadcast onto the fact-side probes"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_common_predicates_extracted_to_scans(spark, sf_dir):
+    """Catalyst must extract single-side implications of the OR-of-ANDs
+    (brand IN (...) on part, quantity bounds on lineitem) as pushable
+    pre-join filters — at 100 TB this is the difference between joining
+    3 brands' rows and joining the whole fact table."""
+    plan = _plan(QUERIES["q19_or_predicates"](spark, sf_dir))
+    scans = plan[plan.index("Scan parquet") :]
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand", scans), (
+        "brand disjunction must reach the part scan"
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", scans), (
+        "quantity bounds must reach the lineitem scan"
+    )
+
+
+def test_unpivot_no_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["unpivot_part_measures"](spark, sf_dir))
+    assert "Exchange" not in plan, "melt is a narrow transform; no shuffle"
+
+
+def test_ivf_candidate_join_is_equi_join(spark, sf_dir):
+    plan = _plan(QUERIES["ann_ivf_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Skew mitigation must not change results: salted equi-join ==
     plain equi-join on the same keys."""
