@@ -296,7 +296,16 @@ def _dirty_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k == 4, F.date_format(d, "dd-MM-yyyy"))
         .otherwise(F.lit(""))
     )
-    return orders.select(F.col("o_orderkey").alias("id"), raw.alias("raw"))
+    from incubyte_vaccination_data_pipeline_spark.operators.partitioning import (
+        fanout_repartition,
+    )
+
+    # the parse cascade downstream is ~100x the per-byte cost of the
+    # scan; spread the compact (id, raw) rows over every core first
+    # (the dead-letter UNION branches then reuse this one exchange)
+    return fanout_repartition(
+        orders.select(F.col("o_orderkey").alias("id"), raw.alias("raw")), "id"
+    )
 
 
 @query(

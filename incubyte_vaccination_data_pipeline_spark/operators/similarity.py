@@ -368,9 +368,20 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    salt: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
-    (or all-pairs when None). Returns (vec_a, vec_b, cosine >= thr)."""
+    (or all-pairs when None). Returns (vec_a, vec_b, cosine >= thr).
+
+    Blocking keys are low-cardinality by design (that's what makes
+    them blocks), so the pair join is skewed: at most |blocks|
+    reducers do all the scoring, and AQE coalesces the tiny-by-bytes
+    exchange further even though per-pair cosine work is heavy. The
+    probe side therefore gets a deterministic content salt
+    (``hash(id) % salt``), the build side replicates ``salt`` ways,
+    and both sides pin an explicit (block, salt) repartition that AQE
+    cannot shrink — pair count and results are unchanged, parallelism
+    becomes |blocks| x salt."""
     a = df.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("vec_a"),
@@ -383,7 +394,20 @@ def cosine_near_dup_pairs(
         F.col(vec_col).alias("vb"),
         norm_expr(vec_col).alias("nb"),
     )
-    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    if block_col and salt > 1:
+        n = max(df.sparkSession.sparkContext.defaultParallelism, salt)
+        a = a.withColumn("__s", F.pmod(F.hash("vec_a"), F.lit(salt)))
+        b = b.withColumn("__s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        keys = [block_col, "__s"]
+        joined = (
+            a.repartition(n, *keys)
+            .join(b.repartition(n, *keys), on=keys)
+            .drop("__s")
+        )
+    elif block_col:
+        joined = a.join(b, on=block_col)
+    else:
+        joined = a.crossJoin(b)
     cos = F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
     return (
         joined.filter(F.col("vec_a") < F.col("vec_b"))
