@@ -126,9 +126,17 @@ def test_date_cascade_compiles_wholestage(spark, sf_dir):
     single-expression form exceeded janino's 64KB method limit and fell
     back to interpreted eval — see functions/dates.py)."""
     df = QUERIES["vax_date_cascade"](spark, sf_dir)
+    # the fan-out repartition upstream means AQE wraps the plan; execute
+    # this DataFrame's own query so its adaptive plan finalizes and the
+    # codegen ids become visible (a noop write would execute a new plan)
+    df.collect()
     plan = _plan(df)
-    # '*(N)' prefixes mark operators fused into a compiled whole-stage
-    assert plan.lstrip().startswith("*("), plan.splitlines()[0]
+    # '*(N)' prefixes mark operators fused into a compiled whole-stage;
+    # the parse projection (the CASE WHEN cascade) must carry one
+    assert re.search(r"\*\(\d+\) Project \[.*CASE WHEN", plan), (
+        "date-parse projection fell out of whole-stage codegen:\n"
+        + "\n".join(plan.splitlines()[:8])
+    )
 
 
 def test_q10_predicates_pushed_to_scans(spark, sf_dir):
