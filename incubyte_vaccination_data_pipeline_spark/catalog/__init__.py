@@ -28,6 +28,7 @@ from incubyte_vaccination_data_pipeline_spark.catalog.registry import (  # noqa:
 from incubyte_vaccination_data_pipeline_spark.catalog import vax  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import relational  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import relational_ext  # noqa: F401,E402
+from incubyte_vaccination_data_pipeline_spark.catalog import tpch_gap  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import events  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import dedup  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import text  # noqa: F401,E402
