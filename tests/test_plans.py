@@ -200,3 +200,33 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         "o_orderkey", "c_name"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_q8_snowflake_broadcasts_dims_no_cartesian(spark, sf_dir):
+    plan = _plan(QUERIES["q8_market_share"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "nation/region maps must broadcast onto customer and supplier"
+    )
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    plan = _plan(QUERIES["q4_priority_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must compile to a semi join"
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
+    plan = _plan(QUERIES["q21_sole_returning_supplier"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, (
+        "EXISTS/NOT-EXISTS must compile to semi + anti joins"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_having_filter_before_semi_join(spark, sf_dir):
+    plan = _plan(QUERIES["q20_supplier_part_quantity"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
