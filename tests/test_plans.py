@@ -230,3 +230,28 @@ def test_q20_having_filter_before_semi_join(spark, sf_dir):
     plan = _plan(QUERIES["q20_supplier_part_quantity"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_plan_audit_api(spark, sf_dir):
+    """plans.audit must report the same facts the string asserts above
+    check: broadcasts, no cartesian, pushed filters on the scan."""
+    from incubyte_vaccination_data_pipeline_spark.plans import assert_scalable, audit
+
+    rep = audit(QUERIES["agg_revenue_by_nation"](spark, sf_dir))
+    assert rep.broadcast_joins >= 2
+    assert not rep.cartesian and not rep.nested_loop_joins
+    assert rep.scans, "scan inventory missing"
+    assert any(s.pushed_filters for s in rep.scans)
+
+    rep2 = assert_scalable(QUERIES["q1_pricing_summary"](spark, sf_dir), max_shuffles=1)
+    assert rep2.hash_aggregates >= 2  # partial + final
+
+    # degraded plan must be caught
+    import pytest as _pytest
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    with _pytest.raises(AssertionError):
+        assert_scalable(n.crossJoin(r))
