@@ -68,10 +68,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(augmented_documents(spark, sf_dir))
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH aug AS ({AUG_SQL}),
+_MINHASH_CTES = f"""aug AS ({AUG_SQL}),
     tok AS (
         SELECT doc_id AS doc, string_split(lower(text), ' ') AS words FROM aug
     ),
@@ -107,7 +104,13 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs p
         JOIN sig sa ON sa.doc = p.doc_a
         JOIN sig sb ON sb.doc = p.doc_b
-    )
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
     SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
     """,
 )
@@ -206,3 +209,46 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_jaccard=0.5,
         len_bucket_width=20,
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs5 AS (
+        SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs5
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs5
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group assignment: connected components over the
+    MinHash+LSH candidate pairs, each document labeled with its
+    group's minimum doc id. Spark side is iterative min-label
+    propagation (distributed joins, no driver graph); the oracle is
+    DuckDB's recursive-CTE transitive closure — same components,
+    engine-appropriate algorithms on both sides."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(
+        augmented_documents(spark, sf_dir),
+        n_hashes=12,
+        bands=4,
+        shingle_k=3,
+        min_est_jaccard=0.5,
+    )
+    return duplicate_clusters(pairs)

@@ -171,3 +171,72 @@ def text_lateral_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks WHERE length(tok) >= 3
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok) AS rn
+        FROM scored
+    )
+    SELECT doc_id, tok, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: each document's three most distinctive terms. Term
+    frequency is a (doc, token) aggregate; document frequency reuses
+    that aggregate (one extra shuffle on token); the corpus size is a
+    1-row broadcast; the final top-3 is a window over the doc key with
+    a lexicographic tie-break. Smoothed idf = ln((N+1)/(df+1)) —
+    exact integer inputs, so the 6-dp round is engine-stable."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") >= 3)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", "rn")
+    )

@@ -352,3 +352,47 @@ def ngram_jaccard_pairs(
         .filter((F.col("jaccard") >= min_jaccard) | (F.col("__fence") < -1))
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 4,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs:
+    assign every document in a duplicate group the group's minimum
+    doc id (its canonical representative).
+
+    Iterative min-label propagation, fully distributed: each round is
+    one equi-join (edges against current labels) + one min-aggregate,
+    i.e. two hash-partitioned shuffles — no driver-side graph, no
+    collect. ``max_iters`` bounds the propagation radius; it must be
+    >= the largest component's diameter (near-dup clusters are
+    planted pairs/triples here, so 4 is ample; raise it for corpora
+    with long duplicate chains).
+
+    Replaces the reference's absent grouping step — its window dedup
+    (view_generator.py:42-45) keys on exact CUST_I equality only.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor = edges.join(
+            labels, edges.dst == labels.node
+        ).select(F.col("src").alias("node"), "label")
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
