@@ -460,3 +460,200 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+        FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ), costed AS (
+        SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, supplycost,
+               MIN(supplycost) OVER (PARTITION BY p_partkey) AS best
+        FROM ps
+        JOIN eu ON s_suppkey = l_suppkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size = 25
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(supplycost AS DOUBLE) AS supplycost
+    FROM costed WHERE supplycost = best
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no ``partsupp`` table in the testdata -> the
+    part-supplier relation is derived from lineitem: supplycost :=
+    MIN(l_extendedprice) per (part, supplier)): for size-25 parts,
+    the EUROPE-region suppliers offering the per-part minimum cost —
+    the classic correlated-MIN argmin, compiled as a window MIN over
+    p_partkey instead of a per-row subquery.
+
+    Scale posture: the part-supplier rollup is one hash aggregate on
+    (l_partkey, l_suppkey); the region-restricted supplier dimension
+    broadcasts onto it; the argmin window and the part join both
+    hash on the part key, so AQE reuses one exchange layout for the
+    window and the join. Costs stay decimal(18,2) end-to-end — the
+    min/equality comparisons are exact, cast to double only at
+    output."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("supplycost")
+    )
+    eu = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            ).select("n_nationkey", "n_name")
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .join(part, ps.l_partkey == part.p_partkey)
+        .withColumn("best", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("best"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           date_part('year', o_orderdate) AS o_year,
+           CAST(SUM({_REVENUE_SQL}
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no ``partsupp``/supplycost -> cost proxied by
+    p_retailprice * quantity): profit on 'widget' parts by supplier
+    nation and order year. Five-table snowflake anchored on lineitem;
+    the p_name LIKE predicate pushes into the part scan so the
+    lineitem-part join probes only matching parts, nation broadcasts
+    onto supplier, and the money math stays decimal until the final
+    per-group cast.
+
+    At 100 TB the only large-large exchange is lineitem-orders on the
+    order key; part after the LIKE filter and the supplier dimension
+    both fit AQE's broadcast threshold."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+
+    supp_nat = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = _revenue() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "nation",
+            F.year(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY 1
+    )
+    SELECT partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+    FROM pv
+    WHERE CAST(value AS DOUBLE)
+          > (SELECT CAST(SUM(value) AS DOUBLE) FROM pv) * 0.001
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no ``partsupp`` -> per-part "stock value" is
+    SUM(extendedprice * quantity) of one nation's suppliers' lines):
+    parts whose value exceeds 0.1% of the nation-wide total — the
+    global-scalar-subquery HAVING.
+
+    The scalar total is a second aggregate over the same grouped
+    result, attached with a broadcast cross join (one row), so the
+    threshold comparison runs map-side with no driver collect and no
+    recomputation of the base join. Values are exact decimals on
+    both engines; the double cast happens only at the comparison and
+    output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+
+    nat_supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("value"))
+    )
+    total = pv.agg(F.sum("value").cast("double").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("total") * 0.001)
+        .select("partkey", F.round("value", 2).cast("double").alias("value"))
+    )

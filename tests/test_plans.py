@@ -255,3 +255,35 @@ def test_plan_audit_api(spark, sf_dir):
     r = read_table(spark, sf_dir, "region")
     with _pytest.raises(AssertionError):
         assert_scalable(n.crossJoin(r))
+
+
+def test_q2_argmin_pushes_filters_and_broadcasts(spark, sf_dir):
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_size,25\)", plan), (
+        "part-size predicate must reach the part scan"
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(r_name,EUROPE\)", plan), (
+        "region predicate must reach the region scan"
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_like_pushed_and_dims_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["q9_product_type_profit"](spark, sf_dir))
+    assert "StringContains(p_name,widget)" in plan, (
+        "LIKE predicate must push to the part scan as StringContains"
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_scalar_total_is_single_row_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["q11_important_stock"](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(n_name,NATION_3\)", plan), (
+        "nation predicate must reach the nation scan"
+    )
+    # the only nested-loop is the 1-row scalar-total broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
