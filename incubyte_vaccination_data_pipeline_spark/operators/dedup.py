@@ -370,7 +370,17 @@ def duplicate_clusters(
     collect. ``max_iters`` bounds the propagation radius; it must be
     >= the largest component's diameter (near-dup clusters are
     planted pairs/triples here, so 4 is ample; raise it for corpora
-    with long duplicate chains).
+    with long duplicate chains). The loop exits early once a round
+    changes no label (converged components).
+
+    Lineage discipline: without truncation, round i+1's plan embeds
+    round i's plan twice (the union branch and the join branch), so
+    the candidate-pair pipeline would be re-optimized and re-executed
+    ~2^iters times. Edges are materialized once up front and labels
+    are ``localCheckpoint``-ed every round, keeping each iteration's
+    plan two shuffles wide regardless of iteration count. (On a
+    multi-node cluster, swap for reliable ``checkpoint`` with a
+    checkpoint dir — same semantics, executor-loss-safe.)
 
     Replaces the reference's absent grouping step — its window dedup
     (view_generator.py:42-45) keys on exact CUST_I equality only.
@@ -378,21 +388,36 @@ def duplicate_clusters(
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor = edges.join(
             labels, edges.dst == labels.node
         ).select(F.col("src").alias("node"), "label")
-        labels = (
+        new_labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
+        changed = (
+            new_labels.alias("n")
+            .join(
+                labels.alias("o"),
+                F.col("n.node") == F.col("o.node"),
+            )
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
