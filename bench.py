@@ -47,17 +47,24 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_headline_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # full local copy: the driver's recorded BENCH_r{N}.json truncated
+    # the per-query head in round 1, so keep the complete timing set
+    # in-repo for round-over-round comparison
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_local.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

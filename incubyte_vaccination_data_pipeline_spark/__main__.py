@@ -10,9 +10,11 @@ them for determinism.
 
 from __future__ import annotations
 
+import logging
 import sys
 
 from incubyte_vaccination_data_pipeline_spark.pipeline import run_pipeline
+from incubyte_vaccination_data_pipeline_spark.run_logging import setup_run_logging
 from incubyte_vaccination_data_pipeline_spark.session import get_spark
 
 
@@ -20,12 +22,15 @@ def main(argv: list[str]) -> int:
     if len(argv) < 2:
         print(
             "usage: python -m incubyte_vaccination_data_pipeline_spark"
-            " <data_dir> <out_dir> [--strict]",
+            " <data_dir> <out_dir> [--strict] [--dead-letter-csv]",
             file=sys.stderr,
         )
         return 2
     data_dir, out_dir = argv[0], argv[1]
-    strict = "--strict" in argv[2:]
+    flags = argv[2:]
+    strict = "--strict" in flags
+    log_path = setup_run_logging()  # logs/etl_pipeline_{ts}.log (C5 parity)
+    logging.getLogger(__name__).info("run log: %s", log_path)
     spark = get_spark(app_name="ivdp-pipeline")
     stored, views = run_pipeline(
         spark,
@@ -33,6 +38,7 @@ def main(argv: list[str]) -> int:
         warehouse_path=f"{out_dir}/warehouse",
         dead_letter_path=f"{out_dir}/dead_letter",
         strict=strict,
+        dead_letter_format="csv" if "--dead-letter-csv" in flags else "parquet",
     )
     print(f"warehouse rows: {stored.count()}")
     for v in views:

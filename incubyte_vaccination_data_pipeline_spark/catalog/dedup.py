@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
 from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
     exact_dedup,
+    md5_half_decode_sql,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -68,6 +71,17 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(augmented_documents(spark, sf_dir))
 
 
+# Mirrors operators/dedup.py exactly: one md5 per shingle, positional
+# decode of the two 32-bit digest halves (strpos is DuckDB's instr),
+# then the same literal universal-hash coefficients mod the same prime.
+_D1 = md5_half_decode_sql("m", 1, instr_fn="strpos")
+_D2 = md5_half_decode_sql("m", 9, instr_fn="strpos")
+_SIG_MINS = ",\n               ".join(
+    f"MIN(({a} * v1 + {b} * v2 + {c}) % {MINHASH_PRIME}) AS h{i}"
+    for i, (a, b, c) in enumerate(MINHASH_COEFFS)
+)
+_SIG_LIST = "list_value(" + ", ".join(f"h{i}" for i in range(12)) + ")"
+
 _MINHASH_CTES = f"""aug AS ({AUG_SQL}),
     tok AS (
         SELECT doc_id AS doc, string_split(lower(text), ' ') AS words FROM aug
@@ -78,18 +92,28 @@ _MINHASH_CTES = f"""aug AS ({AUG_SQL}),
                               i -> array_to_string(words[i:i+2], ' ')) AS shingles
         FROM tok
     ),
+    shex AS (
+        SELECT doc, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ),
+    hm AS (
+        SELECT doc, md5(s) AS m FROM shex
+    ),
+    hv AS (
+        SELECT doc, {_D1} AS v1, {_D2} AS v2 FROM hm
+    ),
+    sigagg AS (
+        SELECT doc, {_SIG_MINS}
+        FROM hv GROUP BY doc
+    ),
     sig AS (
-        SELECT doc,
-               list_transform(range(0, 12),
-                   h -> list_min(list_transform(shingles,
-                           s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sig
-        FROM sh WHERE len(shingles) > 0
+        SELECT doc, {_SIG_LIST} AS sig FROM sigagg
     ),
     banded AS (
         SELECT doc, sig,
                unnest(list_transform(range(0, 4),
-                   b -> md5(CAST(b AS VARCHAR) || '|'
-                            || array_to_string(sig[b*3+1:b*3+3], '|')))) AS band
+                   b -> CAST(b AS VARCHAR) || '|'
+                        || array_to_string(list_transform(sig[b*3+1:b*3+3],
+                                          x -> CAST(x AS VARCHAR)), '|'))) AS band
         FROM sig
     ),
     pairs AS (
@@ -134,14 +158,11 @@ _TOKVAL_SQL = (
 )
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH aug AS ({AUG_SQL}),
-    tok AS (
+_SIMHASH_CTES = f"""aug AS ({AUG_SQL}),
+    stok AS (
         SELECT doc_id, string_split(lower(text), ' ') AS words FROM aug
     ),
-    votes AS (
+    svotes AS (
         SELECT doc_id,
                list_transform(range(0, 16),
                    j -> list_reduce(
@@ -151,21 +172,102 @@ _TOKVAL_SQL = (
                                     THEN CAST(1 AS BIGINT)
                                     ELSE CAST(-1 AS BIGINT) END)),
                        (a, b) -> a + b)) AS v
-        FROM tok
-    )
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(v, x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT)
-                                          ELSE CAST(0 AS BIGINT) END)),
-               (a, b) -> a * 2 + b) AS simhash
-    FROM votes
+        FROM stok
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(v, x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT)
+                                              ELSE CAST(0 AS BIGINT) END)),
+                   (a, b) -> a * 2 + b) AS simhash
+        FROM svotes
+    )"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM fp
     """,
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (identical texts collide; near-dups
     land within small Hamming distance)."""
     return simhash_fingerprints(augmented_documents(spark, sf_dir))
+
+
+# 32-bit SimHash mirror for the Hamming-pair query (the 16-bit
+# fingerprint caps band blocking at 16 buckets/band — quadratic
+# candidate growth with corpus size; 32-bit/8-bit bands gives 256).
+# Same one-md5-per-token decode as Spark (md5_half_decode_sql reused
+# with strpos) and an aggregation-form vote sum — bit-identical.
+_SV32_DECODE = md5_half_decode_sql("m", 1, instr_fn="strpos")
+_SVOTES32 = ",\n               ".join(
+    f"SUM(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(32)
+)
+_SPACK32 = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST({1 << (31 - j)} AS BIGINT)"
+    f" ELSE CAST(0 AS BIGINT) END)"
+    for j in range(32)
+)
+
+_SIMHASH32_CTES = f"""aug AS ({AUG_SQL}),
+    stok32 AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM aug
+    ),
+    shm32 AS (
+        SELECT doc_id, md5(t) AS m FROM stok32
+    ),
+    sv32 AS (
+        SELECT doc_id, {_SV32_DECODE} AS v FROM shm32
+    ),
+    svot32 AS (
+        SELECT doc_id, {_SVOTES32}
+        FROM sv32 GROUP BY doc_id
+    ),
+    fp32 AS (
+        SELECT doc_id, {_SPACK32} AS simhash FROM svot32
+    )"""
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_SIMHASH32_CTES},
+    sbanded AS (
+        SELECT doc_id, simhash,
+               unnest(list_transform(range(0, 4),
+                   b -> CAST(b AS VARCHAR) || '|'
+                        || CAST((simhash >> (b * 8)) & 255 AS VARCHAR))) AS band
+        FROM fp32
+    ),
+    spairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sbanded a JOIN sbanded b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+    FROM spairs p
+    JOIN fp32 fa ON fa.doc_id = p.doc_a
+    JOIN fp32 fb ON fb.doc_id = p.doc_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+    """,
+)
+def dedup_simhash_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 over a 32-bit
+    fingerprint, via 4x8-bit-band blocking (pigeonhole: <=3 differing
+    bits leave >=1 band intact, so the band equi-join is
+    recall-complete) — completes the SimHash family: fingerprints ->
+    pairs without all-pairs. 32 bits (vs the fingerprint query's
+    oracle-portable 16) keeps band buckets from growing quadratically
+    with the corpus; production would use 64-bit with 16-bit bands."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import simhash_near_pairs
+
+    fps = simhash_fingerprints(augmented_documents(spark, sf_dir), bits=32)
+    return simhash_near_pairs(fps, max_hamming=3, bits=32, bands=4)
 
 
 @query(

@@ -343,3 +343,40 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         dedup_events_stream(doubled), "ivdp_stream_dedup", "append"
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH user_weeks AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM user_weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           u.week AS activity_week,
+           COUNT(DISTINCT u.user_id) AS n_users
+    FROM user_weeks u JOIN cohorts c ON u.user_id = c.user_id
+    GROUP BY c.cohort_week, u.week
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted in every week they were active — the canonical
+    product-analytics rollup. Both engines truncate weeks to Monday.
+    Scale shape: the (user, week) distinct and the per-user min share
+    one hash partitioning on user_id, then a second small shuffle on
+    the (cohort, week) pair."""
+    events = read_table(spark, sf_dir, "events")
+    user_weeks = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy("cohort_week", F.col("week").alias("activity_week"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -879,18 +879,34 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # rows-only: HLL estimates are
-# engine-specific (tests/test_oracle.py pins <2% error vs exact)
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the single-pass,
     fixed-memory cardinality path for 100 TB (exact COUNT(DISTINCT)
     shuffles every distinct value; HLL sketches merge map-side in O(1)
-    memory). Estimates differ across engines, so this is a rows-only
-    query; the tolerance gate lives in tests."""
+    memory). Raw HLL estimates are engine-specific and cannot
+    hash-match an oracle, so the value check emits the exact count plus
+    a boolean error-bound assertion on the estimate (rsd=0.02 is the
+    target relative standard deviation; 5%% is a safe hard bound the
+    oracle states as literal TRUE). tests/test_oracle.py additionally
+    pins <2%% observed error vs exact."""
     orders = read_table(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact = F.countDistinct("o_custkey")
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
+        exact.alias("exact_customers"),
+        (
+            F.abs(approx.cast("double") / exact.cast("double") - 1.0) <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -425,3 +425,59 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "n_events", "total_value"
         )
     )
+
+
+@query(
+    "sample_stratified_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+          <= CASE WHEN o_orderpriority = '1-URGENT' THEN '33' ELSE '0c' END
+    """,
+)
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: ~20% of URGENT orders, ~5%
+    of everything else, by content hash of the key — per-stratum rates
+    for experiment splits where the rare stratum must be oversampled.
+    Same scale posture as ``sample_hash_deterministic``: the predicate
+    is a scan-side filter (no shuffle, no materialized full table) and
+    identical rows on every engine/run, unlike TABLESAMPLE."""
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    cutoff = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit("33")
+    ).otherwise(F.lit("0c"))
+    return orders.filter(bucket <= cutoff).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in
+    >= 2 orders (the frequent-itemset/candidate-pair shape). The
+    self-join is an equi-join on l_orderkey, so both sides share ONE
+    hash partitioning — per-order fan-out is bounded by basket size
+    squared (TPC-H baskets are <= 7 items), never a cross product."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

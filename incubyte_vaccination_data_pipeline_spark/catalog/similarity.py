@@ -114,3 +114,32 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding leg of the dedup family)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=NEAR_DUP_THRESHOLD)
+
+
+RANGE_THRESHOLD = 0.25
+
+
+@query(
+    "ann_cosine_range",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {N_QUERY_VECTORS}
+    )
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+      AND round({_cos_sql('q.qv', 'e.embedding')}, 6) >= {RANGE_THRESHOLD}
+    """,
+)
+def ann_cosine_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search: every neighbor with cosine >= 0.25 for
+    the first 5 query vectors — the threshold twin of top-k, for
+    'find everything this similar' workloads (near-dup audit, recall
+    sweeps). Shuffle-free: broadcast queries x corpus scan + filter."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import range_search
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return range_search(emb, queries, threshold=RANGE_THRESHOLD)

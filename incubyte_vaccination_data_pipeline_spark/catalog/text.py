@@ -240,3 +240,33 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tfidf", "rn")
     )
+
+
+@query(
+    "text_normalized_exact_dedup",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS norm_hash
+        FROM documents
+    )
+    SELECT norm_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+    FROM norm GROUP BY norm_hash
+    """,
+)
+def text_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation/case/whitespace-insensitive exact dedup: normalize
+    (lower, collapse every non-alnum run to one space, trim) then
+    hash-groupBy — the cheap normalization layer between byte-exact
+    dedup and MinHash. One shuffle with map-side combine, same as
+    ``dedup_exact``."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        docs.select(F.md5(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -21,10 +21,17 @@ Design for 100 TB (the whole point of these shapes):
   equi-join on band keys — Catalyst shuffles both sides by band, so
   candidate generation is O(sum of bucket sizes squared), never the
   O(n^2) cross product.
-- **Portable hashing**: md5 hex strings are identical in every engine,
-  and the lexicographic MIN of md5 strings is a valid MinHash (any
-  uniform injective order works), so signatures validate bit-for-bit
-  against the DuckDB oracle with no custom UDFs on either side.
+- **Portable hashing, one digest per shingle**: each shingle is
+  md5-hashed ONCE; the hex digest's two 32-bit halves are positionally
+  decoded to bigints and the ``n_hashes`` MinHash positions come from a
+  2-universal family ``(a_i*v1 + b_i*v2 + c_i) mod p`` (p = 2^31-1,
+  literal coefficients below). Any uniform hash family is a valid
+  MinHash order; md5 + integer arithmetic are bit-identical in every
+  engine, so signatures (and thus est-Jaccard) validate exactly
+  against the DuckDB oracle with no custom UDFs on either side. This
+  replaced round 1's 12 seeded md5-string hashes per shingle
+  (18.9s -> the md5 work drops 12x and all min/compare/shuffle
+  traffic moves from 32-char strings to bigints).
 
 SimHash bit arithmetic uses explicit hex-digit positional decoding
 (``instr('0123456789abcdef', c) - 1``) instead of engine-specific
@@ -41,6 +48,50 @@ from incubyte_vaccination_data_pipeline_spark.operators.partitioning import (
 )
 
 HEX_DIGITS = "0123456789abcdef"
+
+
+class ClustersNotConverged(RuntimeError):
+    """``duplicate_clusters`` exhausted ``max_iters`` with labels still
+    propagating — a duplicate chain longer than the propagation radius
+    exists and the clustering would silently under-merge."""
+
+
+# 2-universal MinHash family over the two 32-bit halves of md5(shingle):
+# h_i = (A_i*v1 + B_i*v2 + C_i) mod MINHASH_PRIME. Coefficients are
+# literals (fixed seed 20260813) so the DuckDB oracle states identical
+# arithmetic; A,B < 2^30 and v1,v2 < 2^32 keep every intermediate well
+# under 2^63 (no overflow in either engine, ANSI mode included).
+MINHASH_PRIME = 2147483647
+MINHASH_COEFFS = [
+    (1064082031, 199401393, 596987482),
+    (573612697, 958392529, 1479347476),
+    (486173717, 58225163, 291219900),
+    (215489561, 117017239, 1406942087),
+    (880590499, 633842771, 924035316),
+    (586349399, 1019488621, 402639405),
+    (1071644563, 678835137, 1355823818),
+    (1056605313, 334462875, 252657889),
+    (588912591, 214015921, 1696544697),
+    (115448327, 397332019, 1758809000),
+    (740016489, 429239621, 527406850),
+    (53291263, 951695955, 87966394),
+]
+
+
+def md5_half_decode_sql(md5_col: str, start: int, instr_fn: str = "instr") -> str:
+    """SQL expression decoding 8 hex digits of ``md5_col`` starting at
+    1-based ``start`` into a bigint via positional lookup — the only
+    engine difference is the position function name (Spark ``instr``,
+    DuckDB ``strpos``), so the oracle reuses this builder verbatim.
+    Power-of-16 literals carry an explicit BIGINT cast: the first term
+    is 15 * 16^7 > 2^31, which would overflow 32-bit int arithmetic
+    (DuckDB errors; Spark ANSI mode errors too)."""
+    terms = [
+        f"({instr_fn}('{HEX_DIGITS}', substring({md5_col}, {start + k}, 1)) - 1)"
+        f" * cast({16 ** (7 - k)} as bigint)"
+        for k in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def word_shingles(text_col: str, k: int = 3) -> Column:
@@ -66,28 +117,43 @@ def char_ngrams(text_col: str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles_col: str, n_hashes: int = 12) -> Column:
-    """MinHash signature: per seed, the lexicographic min of
-    ``md5(seed || '|' || shingle)`` over all shingles. NULL-free only
+    """MinHash signature (array-expression form, for small in-row
+    shingle arrays): per position i, min over shingles of
+    ``(A_i*v1 + B_i*v2 + C_i) mod p`` where (v1, v2) are the decoded
+    md5 halves. Bit-identical to the distributed
+    ``minhash_signatures`` form, which is the path real queries take
+    (array lambdas are interpreted, not codegen'd). NULL-free only
     when the shingle array is non-empty — filter first."""
-    return F.expr(
-        f"""
-        transform(sequence(0, {n_hashes - 1}),
-                  h -> array_min(transform({shingles_col},
-                                           s -> md5(concat(cast(h as string), '|', s)))))
-        """
+    d1 = md5_half_decode_sql("m", 1)
+    d2 = md5_half_decode_sql("m", 9)
+    halves = (
+        f"transform(transform({shingles_col}, s -> md5(s)),"
+        f" m -> struct(cast({d1} as bigint) as v1, cast({d2} as bigint) as v2))"
     )
+    mins = [
+        F.expr(
+            f"array_min(transform({halves},"
+            f" x -> ({a} * x.v1 + {b} * x.v2 + {c}) % {MINHASH_PRIME}))"
+        )
+        for a, b, c in MINHASH_COEFFS[:n_hashes]
+    ]
+    return F.array(*mins)
 
 
 def lsh_band_keys(sig_col: str, bands: int, rows_per_band: int) -> Column:
-    """Band keys: md5 of each band's concatenated signature slice.
-    Docs sharing any band key become candidate pairs."""
+    """Band keys: each band's signature slice joined into a short
+    ``'b|h1|h2|h3'`` string (bigints, ~10 digits each — far cheaper
+    than round 1's md5-of-concat). Docs sharing any band key become
+    candidate pairs; the key never appears in output, only as the
+    equi-join column."""
     return F.expr(
         f"""
         transform(sequence(0, {bands - 1}),
-                  b -> md5(concat(cast(b as string), '|',
-                                  array_join(slice({sig_col},
-                                                   b * {rows_per_band} + 1,
-                                                   {rows_per_band}), '|'))))
+                  b -> concat(cast(b as string), '|',
+                              array_join(transform(slice({sig_col},
+                                                         b * {rows_per_band} + 1,
+                                                         {rows_per_band}),
+                                                   x -> cast(x as string)), '|')))
         """
     )
 
@@ -135,16 +201,23 @@ def simhash16(tokens_col: str) -> Column:
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
-    """(doc_id, simhash) 16-bit SimHash per document, distributed form.
+    """(doc_id, simhash) ``bits``-bit SimHash per document, distributed.
 
     Tokens explode to rows, each token's md5 is decoded ONCE into a
-    16-bit value (the array-lambda form recomputed md5 per bit — 16x),
-    the 16 per-bit +-1 votes are codegen'd columns, and a map-side
+    ``bits``-bit value (the array-lambda form recomputed md5 per bit —
+    16x), the per-bit +-1 votes are codegen'd columns, and a map-side
     combinable groupBy sums votes per doc before packing the
-    fingerprint. Arithmetic is bit-identical to ``simhash16``.
-    """
+    fingerprint. At ``bits=16`` the arithmetic is bit-identical to
+    ``simhash16``; wider fingerprints (32 here, 64+ in production)
+    are what make Hamming-band blocking scale — band-bucket count is
+    2^(bits/bands), so a 16-bit fingerprint caps at 16 buckets/band
+    (quadratic bucket growth with corpus size) while 32-bit with 8-bit
+    bands gives 256 and a 64-bit production config 65k."""
+    if bits % 4 or not 4 <= bits <= 60:
+        raise ValueError("bits must be a multiple of 4 in [4, 60] (hex decode)")
+    digits = bits // 4
     toks = fanout_repartition(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
         "doc_id",
@@ -153,24 +226,79 @@ def simhash_fingerprints(
         F.explode(F.split(F.lower(F.col("__t")), " ")).alias("t"),
     ).select("doc_id", F.md5("t").alias("m"))
     dec = " + ".join(
-        f"(instr('{HEX_DIGITS}', substring(m, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
-        for p in range(4)
+        f"(instr('{HEX_DIGITS}', substring(m, {p + 1}, 1)) - 1)"
+        f" * cast({16 ** (digits - 1 - p)} as bigint)"
+        for p in range(digits)
     )
     vals = toks.select("doc_id", F.expr(f"cast({dec} as bigint)").alias("v"))
     votes = [
         F.sum(
-            F.when(F.expr(f"(v div {1 << j}) % 2 = 1"), F.lit(1)).otherwise(F.lit(-1))
+            F.when(F.expr(f"(shiftright(v, {j}) & 1) = 1"), F.lit(1)).otherwise(
+                F.lit(-1)
+            )
         ).alias(f"_s{j}")
-        for j in range(16)
+        for j in range(bits)
     ]
     packed = sum(
-        (F.when(F.col(f"_s{j}") > 0, F.lit(1 << (15 - j))).otherwise(F.lit(0))
-         for j in range(16)),
+        (
+            F.when(F.col(f"_s{j}") > 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0))
+            for j in range(bits)
+        ),
         F.lit(0),
     )
     return (
         vals.groupBy("doc_id").agg(*votes)
         .select("doc_id", packed.cast("bigint").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    fps: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, found without
+    an all-pairs comparison: split the ``bits``-bit fingerprint into
+    ``bands`` equal slices — any pair within Hamming distance
+    ``bands - 1`` shares at least one intact slice (pigeonhole), so a
+    band-key equi-join generates a complete candidate set, then the
+    exact ``bit_count(xor)`` filter keeps true near-dups. Requires
+    ``max_hamming < bands`` for full recall (asserted). Returns
+    (doc_a, doc_b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError("full recall needs max_hamming < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fps.select(
+        F.col(id_col).alias("doc"),
+        F.col(sim_col).alias("fp"),
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, {bands - 1}),
+                          b -> concat(cast(b as string), '|',
+                                      cast(shiftright({sim_col}, b * {width}) & {mask}
+                                           as string)))
+                """
+            )
+        ).alias("band"),
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("fp").alias("fp_a"), "band")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b"), "band")
+    return (
+        a.join(b, on="band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -195,13 +323,17 @@ def minhash_signatures(
     n_hashes: int = 12,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(doc, sig) MinHash signatures via explode + groupBy.
+    """(doc, sig) bigint MinHash signatures via explode + groupBy.
 
-    One row per (doc, shingle); the ``n_hashes`` seeded md5s are flat
-    codegen'd columns, re-aggregated per doc with map-side-combined
-    MINs. Docs with fewer than ``shingle_k`` words yield no shingles
-    and are dropped (same as the array formulation's size>0 filter).
+    One row per (doc, shingle); each shingle is md5'd ONCE, its two
+    32-bit halves decoded to (v1, v2) in codegen, and the ``n_hashes``
+    universal-hash positions are flat bigint columns re-aggregated per
+    doc with map-side-combined MINs. Docs with fewer than
+    ``shingle_k`` words yield no shingles and are dropped (same as the
+    array formulation's size>0 filter).
     """
+    if n_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"n_hashes <= {len(MINHASH_COEFFS)} (fixed coefficient set)")
     words = fanout_repartition(
         df.select(
             F.col(id_col).alias("doc"),
@@ -218,12 +350,20 @@ def minhash_signatures(
             """
         ).alias("shingle"),
     )
+    halves = shingles.select("doc", F.md5("shingle").alias("m")).select(
+        "doc",
+        F.expr(f"cast({md5_half_decode_sql('m', 1)} as bigint)").alias("v1"),
+        F.expr(f"cast({md5_half_decode_sql('m', 9)} as bigint)").alias("v2"),
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"_h{h}")
-        for h in range(n_hashes)
+        F.min(
+            (F.lit(a) * F.col("v1") + F.lit(b) * F.col("v2") + F.lit(c))
+            % F.lit(MINHASH_PRIME)
+        ).alias(f"_h{h}")
+        for h, (a, b, c) in enumerate(MINHASH_COEFFS[:n_hashes])
     ]
     return (
-        shingles.groupBy("doc")
+        halves.groupBy("doc")
         .agg(*mins)
         .select("doc", F.array(*[f"_h{h}" for h in range(n_hashes)]).alias("sig"))
     )
@@ -240,11 +380,17 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
-    explode shingles -> seeded md5 columns -> groupBy-min signature ->
-    band keys -> explode -> band self-join (equi-join shuffle; the
-    aggregated signature exchange is reused across both sides) ->
-    distinct pairs -> estimated Jaccard filter.
+    explode shingles -> one md5 + 12 universal-hash bigint columns ->
+    groupBy-min signature -> band keys -> explode -> band self-join
+    (equi-join shuffle; the aggregated signature exchange is reused
+    across both sides) -> distinct pairs -> estimated Jaccard filter.
     Returns (doc_a, doc_b, est_jaccard).
+
+    The pair dedup carries both signatures through its shuffle: at 12
+    bigints (96 B) per side that is cheaper than deduping bare ids and
+    re-attaching signatures via two extra join shuffles (round 1's
+    32-char md5 signature arrays were 8x wider, which is what made the
+    carry expensive).
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
@@ -358,7 +504,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iters: int = 4,
+    max_iters: int = 8,
 ) -> DataFrame:
     """Connected components over near-duplicate candidate pairs:
     assign every document in a duplicate group the group's minimum
@@ -367,11 +513,20 @@ def duplicate_clusters(
     Iterative min-label propagation, fully distributed: each round is
     one equi-join (edges against current labels) + one min-aggregate,
     i.e. two hash-partitioned shuffles — no driver-side graph, no
-    collect. ``max_iters`` bounds the propagation radius; it must be
-    >= the largest component's diameter (near-dup clusters are
-    planted pairs/triples here, so 4 is ample; raise it for corpora
-    with long duplicate chains). The loop exits early once a round
-    changes no label (converged components).
+    collect. ``max_iters`` bounds the propagation radius; components
+    whose diameter exceeds it would keep split labels, so the loop
+    tracks whether the final round still changed labels and RAISES
+    ``ClustersNotConverged`` instead of silently under-merging
+    (round-1 review finding). Near-dup clusters are planted
+    pairs/triples here (diameter <= 2); raise ``max_iters`` for
+    corpora with long duplicate chains. The loop exits early once a
+    round changes no label.
+
+    Per-round cost is exactly ONE Spark job: the changed-label count
+    rides the materialization job as an ``Observation`` metric (the
+    pre-aggregation frame carries each node's previous label, so
+    ``sum(label < prev)`` is observable on the result), replacing
+    round 1's separate join + limit(1) + count job per iteration.
 
     Lineage discipline: without truncation, round i+1's plan embeds
     round i's plan twice (the union branch and the join branch), so
@@ -385,6 +540,8 @@ def duplicate_clusters(
     Replaces the reference's absent grouping step — its window dedup
     (view_generator.py:42-45) keys on exact CUST_I equality only.
     """
+    from pyspark.sql import Observation
+
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
@@ -395,29 +552,38 @@ def duplicate_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = None
     for _ in range(max_iters):
         neighbor = edges.join(
             labels, edges.dst == labels.node
-        ).select(F.col("src").alias("node"), "label")
+        ).select(
+            F.col("src").alias("node"),
+            "label",
+            F.lit(None).cast(labels.schema["label"].dataType).alias("prev"),
+        )
+        mine = labels.select("node", "label", F.col("label").alias("prev"))
+        obs = Observation()
         new_labels = (
-            labels.unionByName(neighbor)
+            mine.unionByName(neighbor)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("prev").alias("prev"))
+            .observe(
+                obs,
+                F.sum((F.col("label") < F.col("prev")).cast("long")).alias("changed"),
+            )
+            .select("node", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(
-                labels.alias("o"),
-                F.col("n.node") == F.col("o.node"),
-            )
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
+        changed = obs.get["changed"] or 0
         if changed == 0:
             break
+    if changed:
+        raise ClustersNotConverged(
+            f"label propagation still changing after {max_iters} iterations "
+            f"({changed} labels moved last round); a duplicate chain longer "
+            f"than max_iters exists — raise max_iters"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

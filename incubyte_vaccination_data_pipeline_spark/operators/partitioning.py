@@ -24,6 +24,9 @@ def fanout_repartition(df: DataFrame, *cols: str) -> DataFrame:
     cluster (the 100 TB case) this is a no-op-sized reshuffle that
     preserves the existing parallelism.
     """
-    sc = df.sparkSession.sparkContext
-    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
     return df.repartition(n, *cols)

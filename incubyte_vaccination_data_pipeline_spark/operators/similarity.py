@@ -108,6 +108,48 @@ def topk_bruteforce(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All neighbors with cosine >= ``threshold`` per query vector
+    (self-matches excluded) — the radius/range twin of
+    ``topk_bruteforce``: same broadcast-queries x corpus-scan shape and
+    per-vector precomputed norms, but an unbounded result set filtered
+    by score instead of a window top-k (no shuffle at all: the only
+    wide op in top-k was the rank window). Returns
+    (query_id, neighbor_id, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+        # same optimizer fence as cosine_near_dup_pairs: evaluate the
+        # dot fold once, never inside a scan-level predicate
+        .withColumn("__fence", F.rand(seed=0))
+        .filter((F.col("cosine") >= threshold) | (F.col("__fence") < -1))
+        .drop("__fence")
+    )
+
+
 def _plane(j: int, dims: int) -> list[float]:
     """Plane ``j``: component ``d`` is +-1 by the parity of the first
     hex digit of ``md5(j || '|' || d)`` — the same values the previous

@@ -33,12 +33,17 @@ def run_pipeline(
     as_of: str | _dt.date | None = None,
     load_date: str | _dt.datetime | None = None,
     strict: bool = False,
+    dead_letter_format: str = "parquet",
 ) -> tuple[DataFrame, list[str]]:
-    """Run the full batch: returns (warehouse DataFrame, view names)."""
+    """Run the full batch: returns (warehouse DataFrame, view names).
+
+    ``dead_letter_format="csv"`` switches the quarantine channel to the
+    reference's timestamped-CSV convention (see ``write_dead_letter``).
+    """
     raw = load_source_data(spark, data_dir, strict=strict)
     clean, dead = validate_types(raw)
     if dead_letter_path is not None:
-        write_dead_letter(dead, dead_letter_path)
+        write_dead_letter(dead, dead_letter_path, fmt=dead_letter_format)
     valid = get_valid_records(clean)
     warehouse = to_warehouse(valid, load_date=load_date)
     write_warehouse(warehouse, warehouse_path, mode="overwrite")

@@ -32,15 +32,34 @@ TESTDATA_TABLES = [
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read nanos as long and convert with exact integer
-        # division (a double round-trip would lose precision at 1e18).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return _read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` normalized to session-tz TIMESTAMP (UTC).
+
+    The generated file's physical ``ts`` type has varied across
+    testdata generations, so adapt to what the footer declares:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it; read nanos as long
+      and convert with exact integer division (a double round-trip
+      would lose precision at 1e18).
+    - TIMESTAMP(MICROS, no-UTC-adjust): arrives as TIMESTAMP_NTZ; cast
+      to TIMESTAMP — with the session pinned to UTC the wall-clock is
+      the instant, matching DuckDB's (ntz) reading of the same file.
+    - TIMESTAMP: already session-tz.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -81,8 +100,26 @@ def write_bucketed_warehouse(
     writer.saveAsTable(table)
 
 
-def write_dead_letter(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_dead_letter(
+    df: DataFrame, path: str, mode: str = "append", fmt: str = "parquet"
+) -> None:
     """S6 equivalent: quarantined rows + error metadata
-    (``data_validator.py:194-216``), parquet instead of timestamped CSV
-    so the channel is itself queryable."""
+    (``data_validator.py:194-216``). Default is parquet so the channel
+    is itself queryable at scale; ``fmt="csv"`` writes the reference's
+    observable format instead — a timestamped
+    ``invalid_records_{YYYYmmdd_HHMMSS}.csv`` directory with a header,
+    coalesced to one file for drop-in migration compatibility (the
+    reference emits a single pandas CSV; keep parquet for anything
+    big enough that one writer is a bottleneck)."""
+    if fmt == "csv":
+        from datetime import datetime
+
+        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+        (
+            df.coalesce(1)
+            .write.mode(mode)
+            .option("header", "true")
+            .csv(f"{path}/invalid_records_{ts}.csv")
+        )
+        return
     df.write.mode(mode).parquet(path)

@@ -34,32 +34,34 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_GAP = "30 minutes"
 _DEC = "decimal(18,2)"
 
-#: physical schema of events.parquet (ts is TIMESTAMP(NANOS) -> long)
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see sources/parquet_io)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Physical schema of events.parquet, probed from the footer (a
+    driver-side metadata read): the generated ``ts`` type has varied
+    across testdata generations (TIMESTAMP(NANOS) -> long under
+    ``nanosAsLong``, TIMESTAMP(MICROS) -> timestamp_ntz), and a file
+    stream needs the declared schema to match the files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (one-file glob locally;
     a directory of arriving files or Kafka in production)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_file_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         # file streams need a directory source; the glob narrows the
         # testdata dir to the events table
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) read as long
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):  # UTC session: ntz == instant
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -287,3 +287,66 @@ def test_q11_scalar_total_is_single_row_broadcast(spark, sf_dir):
     # the only nested-loop is the 1-row scalar-total broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_fence_intersection_evaluated_once(spark, sf_dir):
+    """The rand() fence in ngram_jaccard_pairs exists solely to stop
+    PushDownPredicates re-inlining the O(|A|+|B|) set intersection into
+    the threshold predicate (re-evaluating it per comparison, measured
+    1.7x whole-query). The fence is load-bearing on optimizer
+    internals, so a Spark upgrade that re-inlines must fail HERE, not
+    silently cost 1.7x: the physical plan must evaluate
+    array_intersect exactly once."""
+    plan = _plan(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    n = plan.count("array_intersect")
+    assert n == 1, f"array_intersect appears {n}x in physical plan (fence broken)"
+
+
+def test_embedding_cosine_fence_dot_fold_evaluated_once(spark, sf_dir):
+    """Same fence-guard as the ngram test: the O(dim) dot-product fold
+    (aggregate over zip_with) must appear exactly once in the physical
+    plan — twice means the threshold filter was substituted below the
+    projection and every candidate pair pays the fold twice."""
+    plan = _plan(QUERIES["dedup_embedding_cosine"](spark, sf_dir))
+    n = plan.count("zip_with")
+    assert n == 1, f"dot-fold zip_with appears {n}x in physical plan (fence broken)"
+
+
+def test_deadletter_fence_error_render_not_in_scan(spark, sf_dir):
+    """dates.py gates the dead-letter error renderer behind the same
+    rand() fence so the format_string cascade never becomes a
+    scan-level predicate (it blew the janino 64KB codegen method limit
+    when inlined). The scan's pushed/data filters must not contain the
+    rendered error text machinery."""
+    plan = _plan(QUERIES["vax_deadletter"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Scan " in line and "format_string" in line:
+            raise AssertionError(
+                "error renderer reached the scan node (fence broken): " + line[:200]
+            )
+
+
+def test_simhash_hamming_band_join_is_equi_join(spark, sf_dir):
+    plan = _plan(QUERIES["dedup_simhash_hamming"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_pairs_single_keyed_join(spark, sf_dir):
+    plan = _plan(QUERIES["basket_part_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_search_is_broadcast_and_shuffle_free(spark, sf_dir):
+    """Radius search is a broadcast-queries x corpus scan + filter —
+    at 100 TB the corpus is never shuffled for this operator."""
+    plan = _plan(QUERIES["ann_cosine_range"](spark, sf_dir))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 0, "range search must not shuffle the corpus"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_filter_at_scan(spark, sf_dir):
+    plan = _plan(QUERIES["sample_stratified_orders"](spark, sf_dir))
+    assert "Exchange" not in plan, "stratified sample is a scan-side filter"

@@ -140,12 +140,23 @@ def test_cli_entry_runs_pipeline(tmp_path):
     (d / "AUS (1) 1(Sheet1).csv").write_text(AUS_CSV)
     out = tmp_path / "out"
     r = subprocess.run(
-        [sys.executable, "-m", "incubyte_vaccination_data_pipeline_spark", str(d), str(out)],
+        [
+            sys.executable, "-m", "incubyte_vaccination_data_pipeline_spark",
+            str(d), str(out), "--dead-letter-csv",
+        ],
         capture_output=True,
         text=True,
         timeout=600,
-        cwd="/root/repo",
+        cwd=str(tmp_path),
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "warehouse rows:" in r.stdout
     assert (out / "warehouse").exists() and (out / "dead_letter").exists()
+    # C5 parity: a per-run timestamped log file under logs/
+    logs = list((tmp_path / "logs").glob("etl_pipeline_*.log"))
+    assert logs and logs[0].stat().st_size > 0
+    # reference-style dead-letter: timestamped CSV with header
+    csvs = list((out / "dead_letter").glob("invalid_records_*.csv/*.csv"))
+    assert csvs, "timestamped CSV dead-letter missing"
+    assert csvs[0].read_text().splitlines()[0].count(",") >= 2
