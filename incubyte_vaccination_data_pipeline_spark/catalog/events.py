@@ -380,3 +380,103 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", F.col("week").alias("activity_week"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    w2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN w1 ON e.user_id = w1.user_id
+        WHERE e.event_type = 'click' AND e.ts > w1.t_view
+        GROUP BY e.user_id
+    ),
+    w3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN w2 ON e.user_id = w2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > w2.t_click
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, (SELECT COUNT(*) FROM w1) AS n_users
+    UNION ALL
+    SELECT 'click', (SELECT COUNT(*) FROM w2)
+    UNION ALL
+    SELECT 'purchase', (SELECT COUNT(*) FROM w3)
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that click — strict event-time ordering,
+    not mere co-occurrence. Each stage is one groupBy + an equi-join on
+    user_id against the previous stage, so all three stages reuse a
+    single user_id hash partitioning at scale."""
+    events = read_table(spark, sf_dir, "events")
+    w1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    w2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(w1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    w3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(w2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    spark_counts = [
+        w1.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("view")),
+        w2.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("click")),
+        w3.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("purchase")
+        ),
+    ]
+    out = spark_counts[0]
+    for c in spark_counts[1:]:
+        out = out.unionByName(c)
+    return out.select("step", "n_users")
+
+
+@query(
+    "events_value_trend",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           round(covar_pop(value, CAST(epoch_us(ts) AS DOUBLE))
+                 / NULLIF(var_pop(CAST(epoch_us(ts) AS DOUBLE)), 0)
+                 * 86400000000, 6) AS slope_per_day
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time (regression
+    aggregates): slope = covar_pop/var_pop over epoch-microsecond
+    timestamps, scaled to per-day units and rounded to 6 dp (merge
+    order of the moment sums differs across engines). One map-side
+    combinable shuffle — the moments are distributive."""
+    events = read_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts")).cast("double")
+    return (
+        events.select("user_id", F.col("value"), t.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.expr("covar_pop(value, t) / nullif(var_pop(t), 0)") * 86400000000,
+                6,
+            ).alias("slope_per_day"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
