@@ -350,3 +350,24 @@ def test_range_search_is_broadcast_and_shuffle_free(spark, sf_dir):
 def test_stratified_sample_filter_at_scan(spark, sf_dir):
     plan = _plan(QUERIES["sample_stratified_orders"](spark, sf_dir))
     assert "Exchange" not in plan, "stratified sample is a scan-side filter"
+
+
+def test_funnel_stages_are_equi_joins(spark, sf_dir):
+    plan = _plan(QUERIES["events_funnel_conversion"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_value_trend_single_aggregation_shuffle(spark, sf_dir):
+    """Regression moments are distributive: partial + final
+    HashAggregate around one exchange, like any sum/count."""
+    plan = _plan(QUERIES["events_value_trend"](spark, sf_dir))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, f"per-user moments need one keyed shuffle, saw {shuffles}"
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_percent_rank_single_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["window_percent_rank_cume"](spark, sf_dir))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, "ranking window needs exactly one keyed shuffle"
