@@ -303,11 +303,24 @@ def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_running_totals")  # rows-only: custom stateful operator
+@query(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, TRUE AS matches_batch
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState custom stateful operator (per-user
-    running totals); rows-only check — state semantics are covered by
-    tests/test_streaming.py against a batch ground truth."""
+    running totals), driven to completion and certified against its
+    batch twin in the same frame: per user, the final stream state
+    (max n_events + its total via max_by — update mode may emit one
+    row per micro-batch) must equal the plain batch aggregation. The
+    oracle restates user_id/n_events and ``matches_batch`` as literal
+    TRUE — the in-query-assert pattern for non-SQL-expressible
+    operators (state arrival-order float sums carry a 1e-6 relative
+    tolerance; exact per-state semantics stay in
+    tests/test_streaming.py)."""
     from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
         read_events_stream,
         run_to_memory,
@@ -315,8 +328,30 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_events_stream(spark, sf_dir)
-    return run_to_memory(
+    updates = run_to_memory(
         running_user_totals(stream), "ivdp_stream_running", "update"
+    )
+    final = updates.groupBy("user_id").agg(
+        F.max("n_events").alias("s_n"),
+        F.expr("max_by(total_value, n_events)").alias("s_total"),
+    )
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("b_total"),
+        )
+    )
+    tol = F.lit(1e-6) * F.greatest(F.lit(1.0), F.abs(F.col("b_total")))
+    return batch.join(final, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        F.coalesce(
+            (F.col("s_n") == F.col("n_events"))
+            & (F.abs(F.col("s_total") - F.col("b_total")) <= tol),
+            F.lit(False),
+        ).alias("matches_batch"),
     )
 
 

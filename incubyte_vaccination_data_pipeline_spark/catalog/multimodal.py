@@ -1,8 +1,14 @@
 """Multimodal-column queries: binary payloads + typed metadata, and the
-Arrow-batched (stubbed) decode/feature-extract stage.
+Arrow-batched decode/feature-extract stage.
 
-``multimodal_features`` has no SQL oracle (mapInPandas operator;
-rows-only check) — its batch shape and determinism are covered by
+``multimodal_features`` runs a mapInPandas decoder whose feature values
+are not SQL-restatable, so the query emits what IS restatable
+(``doc_id``, ``n_bytes = octet_length``, the decoder tag — every
+``documents`` payload is text, hence ``fake-bytehist-v1``) plus a
+``features_ok`` invariant boolean (16 bins, each in [0, 1], summing to
+1 within 6-dp rounding error) the oracle states as literal TRUE — the
+same in-query-assert pattern as ``agg_approx_count_distinct``. Feature
+*values* stay pinned by determinism tests in
 ``tests/test_training_ops.py``."""
 
 from __future__ import annotations
@@ -43,19 +49,38 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: mapInPandas operator
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'fake-bytehist-v1' AS decoder,
+           TRUE AS features_ok
+    FROM documents
+    """,
+)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode -> feature extraction over binary payloads via
-    Arrow-batched mapInPandas (deterministic byte-histogram fake;
-    real codecs raise DecoderNotAvailable in this container)."""
+    """Decode -> feature extraction over binary payloads via
+    Arrow-batched mapInPandas (PNG/WAV decode real; text payloads take
+    the deterministic 16-bin byte-histogram path). Emits the
+    restatable columns plus a ``features_ok`` histogram invariant (see
+    module docstring)."""
     docs = read_table(spark, sf_dir, "documents")
     feats = extract_features(to_binary_table(docs))
-    # project the array to scalars so the rows-only check sees a
-    # stable flat schema
+    # 16 bins rounded to 6 dp each -> |sum - 1| <= 16 * 5e-7
+    hist_sum = F.aggregate(
+        "features", F.lit(0.0), lambda acc, v: acc + v
+    )
+    in_range = F.forall(
+        "features", lambda v: (v >= F.lit(0.0)) & (v <= F.lit(1.0))
+    )
     return feats.select(
         "doc_id",
         "n_bytes",
         "decoder",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
+        (
+            (F.size("features") == F.lit(16))
+            & in_range
+            & (F.abs(hist_sum - F.lit(1.0)) <= F.lit(1e-5))
+        ).alias("features_ok"),
     )

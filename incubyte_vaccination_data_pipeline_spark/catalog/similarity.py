@@ -5,9 +5,15 @@ the Spark expression (``list_reduce`` over index-ordered products), so
 scores match bit-for-bit before the 6-dp round — no reliance on
 DuckDB's SIMD ``list_cosine_similarity`` evaluation order.
 
-``ann_lsh_topk`` has no SQL oracle (rows-only check): its candidate
-sets are an approximation whose value is measured as recall against
-``ann_bruteforce_topk`` in ``tests/test_training_ops.py``.
+``ann_lsh_topk`` / ``ann_ivf_topk`` are approximations, so their
+neighbor sets cannot be restated in SQL; instead each query computes
+its own recall against an in-frame brute-force twin and emits a
+``recall_ok`` boolean the oracle states as literal TRUE (the same
+in-query-assert pattern as ``agg_approx_count_distinct``). Floors are
+set from measured deterministic recall at sf0.001/0.01/0.1
+(LSH 0.38-0.52 aggregate, IVF 0.48-0.62) with margin; the raw
+neighbor-set recall behavior stays pinned in
+``tests/test_training_ops.py`` against the operator functions.
 """
 
 from __future__ import annotations
@@ -75,27 +81,75 @@ def ann_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_bruteforce(emb, queries, k=TOP_K)
 
 
-@query("ann_lsh_topk")  # rows-only: approximation measured by recall in tests
+LSH_RECALL_FLOOR = 0.30  # measured 0.38-0.52 aggregate across sfs
+IVF_RECALL_FLOOR = 0.35  # measured 0.48-0.62 aggregate across sfs
+
+_RECALL_ORACLE = """
+    SELECT count(DISTINCT vec_id) AS n_queries,
+           {k} AS k,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {nq}
+"""
+
+
+def _recall_certified(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """One-row recall certificate: |approx ∩ exact| / |exact| >= floor.
+
+    Left-joining the exact top-k (the recall denominator) against the
+    approximate neighbor set keeps everything in one frame, so the
+    driver's hash compare fails loudly if a refactor degrades the index
+    below the floor — the oracle states the boolean as literal TRUE.
+    """
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        ex.join(ap, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+                >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+        .select("n_queries", F.lit(TOP_K).alias("k"), "recall_ok")
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=_RECALL_ORACLE.format(k=TOP_K, nq=N_QUERY_VECTORS),
+)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH approximate top-10 (4 tables x 4 hyperplanes):
     the 100 TB scale path — per query, candidates shrink to
     ~n_tables/2^n_planes of the corpus while any-table collision keeps
-    recall (measured against the brute-force baseline in tests)."""
+    recall. Emits a one-row recall certificate vs an in-frame
+    brute-force twin (see module docstring); neighbor-level behavior
+    is pinned in tests against ``topk_lsh`` directly."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
-    return topk_lsh(emb, queries, k=TOP_K, n_planes=4, n_tables=4)
+    exact = topk_bruteforce(emb, queries, k=TOP_K)
+    approx = topk_lsh(emb, queries, k=TOP_K, n_planes=4, n_tables=4)
+    return _recall_certified(exact, approx, LSH_RECALL_FLOOR)
 
 
-@query("ann_ivf_topk")  # rows-only: approximation measured by recall in tests
+@query(
+    "ann_ivf_topk",
+    oracle=_RECALL_ORACLE.format(k=TOP_K, nq=N_QUERY_VECTORS),
+)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (16-cell coarse quantizer, probe 4):
     the data-adapted ANN path alongside LSH — cells follow the actual
     embedding distribution, so candidate lists concentrate where the
     data does. Per query only ~n_probe/n_centroids of the corpus is
-    scored; recall vs the brute-force baseline is pinned in tests."""
+    scored. Emits a one-row recall certificate vs an in-frame
+    brute-force twin (see module docstring); neighbor-level behavior
+    is pinned in tests against ``topk_ivf`` directly."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
-    return topk_ivf(emb, queries, k=TOP_K, n_centroids=16, n_probe=4)
+    exact = topk_bruteforce(emb, queries, k=TOP_K)
+    approx = topk_ivf(emb, queries, k=TOP_K, n_centroids=16, n_probe=4)
+    return _recall_certified(exact, approx, IVF_RECALL_FLOOR)
 
 
 @query(

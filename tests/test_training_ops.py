@@ -68,9 +68,20 @@ def test_ngram_jaccard_scores_planted_pairs_high(spark, sf_dir):
     assert min(by_pair[p] for p in planted) > 0.6
 
 
+def _ann_inputs(spark, sf_dir):
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import N_QUERY_VECTORS
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
-    exact = QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
-    approx = QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import topk_bruteforce, topk_lsh
+
+    emb, queries = _ann_inputs(spark, sf_dir)
+    exact = topk_bruteforce(emb, queries, k=10).collect()
+    approx = topk_lsh(emb, queries, k=10, n_planes=4, n_tables=4).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -89,8 +100,11 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
-    exact = QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
-    approx = QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+    emb, queries = _ann_inputs(spark, sf_dir)
+    exact = topk_bruteforce(emb, queries, k=10).collect()
+    approx = topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
