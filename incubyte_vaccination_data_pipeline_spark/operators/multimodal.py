@@ -21,6 +21,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,41 +76,69 @@ def decode_image(payload: bytes) -> dict:
         )
     raw = zlib.decompress(b"".join(idat))
     stride = width * channels
-    out = bytearray()
-    prev = bytearray(stride)
-    pos = 0
-    for _y in range(height):
-        f = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+    expected = height * (stride + 1)
+    if len(raw) < expected:
+        raise DecoderNotAvailable("truncated PNG pixel data")
+    # numpy-vectorized unfiltering: rows stay sequential (Up/Average/
+    # Paeth read the decoded row above), but per-byte work is array ops.
+    # None is a copy, Sub is a per-channel-lane cumsum mod 256, Up is
+    # one vector add; Average/Paeth carry a true left-to-right data
+    # dependency, so they walk x with the channel lanes vectorized —
+    # the standard pure-numpy decoder shape.
+    scan = np.frombuffer(raw, dtype=np.uint8, count=expected).reshape(
+        height, stride + 1
+    )
+    ftypes = scan[:, 0]
+    unknown = [int(f) for f in np.unique(ftypes) if f > 4]
+    if unknown:
+        raise DecoderNotAvailable(f"unknown PNG filter {unknown[0]}")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = int(ftypes[y])
+        line = scan[y, 1:].astype(np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: cumulative sum along x per channel lane
+            lanes = line.reshape(width, channels).astype(np.uint64)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.int32).reshape(stride)
         elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            cur = (line + prev) & 0xFF
         elif f == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif f != 0:
-            raise DecoderNotAvailable(f"unknown PNG filter {f}")
-        out.extend(line)
-        prev = line
+            rawpx = line.reshape(width, channels)
+            up = prev.reshape(width, channels)
+            cur2 = np.empty((width, channels), dtype=np.int32)
+            left = np.zeros(channels, dtype=np.int32)
+            for x in range(width):
+                left = (rawpx[x] + ((left + up[x]) >> 1)) & 0xFF
+                cur2[x] = left
+            cur = cur2.reshape(stride)
+        else:  # Paeth
+            rawpx = line.reshape(width, channels)
+            uprow = prev.reshape(width, channels)
+            cur2 = np.empty((width, channels), dtype=np.int32)
+            left = np.zeros(channels, dtype=np.int32)
+            upleft = np.zeros(channels, dtype=np.int32)
+            for x in range(width):
+                up = uprow[x]
+                p = left + up - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (rawpx[x] + pred) & 0xFF
+                cur2[x] = left
+                upleft = up
+            cur = cur2.reshape(stride)
+        out[y] = cur
+        prev = cur
     return {
         "width": width,
         "height": height,
         "channels": channels,
-        "pixels": bytes(out),
+        "pixels": out.tobytes(),
     }
 
 
@@ -141,7 +170,7 @@ def decode_audio(payload: bytes) -> dict:
             f"WAV variant out of scope (format={audio_format}, bits={bits})"
         )
     n = len(data) // 2
-    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    samples = np.frombuffer(data, dtype="<i2", count=n).tolist()
     return {"sample_rate": sample_rate, "channels": channels, "samples": samples}
 
 
@@ -161,15 +190,47 @@ def to_binary_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def _bytehist_features(data: bytes) -> list[float]:
-    hist = [0] * FEATURE_BINS
-    for byte in data:
-        hist[byte % FEATURE_BINS] += 1
+    arr = np.frombuffer(data, dtype=np.uint8)
+    hist = np.bincount(arr & (FEATURE_BINS - 1), minlength=FEATURE_BINS)
     total = max(len(data), 1)
-    return [round(h / total, 6) for h in hist]
+    return [round(float(h) / total, 6) for h in hist]
 
 
 def _pad(feats: list[float]) -> list[float]:
     return (feats + [0.0] * FEATURE_BINS)[:FEATURE_BINS]
+
+
+def _decode_one(data: bytes) -> tuple[list[float], str]:
+    """Route one payload by magic bytes -> (features, decoder tag)."""
+    if data.startswith(PNG_MAGIC):
+        img = decode_image(data)
+        ch = img["channels"]
+        px = np.frombuffer(img["pixels"], dtype=np.uint8)
+        if len(px):
+            means = [
+                round(float(m) / 255.0, 6)
+                for m in px.reshape(-1, ch).mean(axis=0, dtype=np.float64)
+            ]
+        else:
+            means = [0.0] * ch
+        feats = _pad([float(img["width"]), float(img["height"]), float(ch)] + means)
+        return feats, "png-v1"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        au = decode_audio(data)
+        s = np.asarray(au["samples"] or [0], dtype=np.float64)
+        n = len(s)
+        rms = float(np.sqrt(np.mean(s * s)))
+        feats = _pad(
+            [
+                float(au["sample_rate"]),
+                float(au["channels"]),
+                float(n),
+                round(rms / 32768.0, 6),
+                round(float(s.mean()) / 32768.0, 6),
+            ]
+        )
+        return feats, "wav-pcm-v1"
+    return _bytehist_features(data), "fake-bytehist-v1"
 
 
 def decode_features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,40 +243,30 @@ def decode_features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     - else -> deterministic 16-bin byte histogram (``fake-bytehist-v1``)
 
     All feature vectors are zero-padded to FEATURE_BINS so the column
-    type is stable across modalities."""
+    type is stable across modalities.
+
+    Robustness: a payload that LOOKS like PNG/WAV by magic bytes but
+    has a corrupt body (bad zlib stream, short chunks, out-of-scope
+    variant) must not fail the whole mapInPandas task — at 100 TB a
+    single malformed blob would otherwise kill the job. Such rows fall
+    back to the byte-histogram path, tagged ``bytehist-fallback-v1``
+    so the degradation is observable downstream. Direct calls to
+    ``decode_image``/``decode_audio`` still raise."""
     for pdf in batch_iter:
         out_rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             data = bytes(payload)
-            if data.startswith(PNG_MAGIC):
-                img = decode_image(data)
-                px, ch = img["pixels"], img["channels"]
-                npx = max(len(px) // ch, 1)
-                means = [
-                    round(sum(px[c::ch]) / npx / 255.0, 6) for c in range(ch)
-                ]
-                feats = _pad(
-                    [float(img["width"]), float(img["height"]), float(ch)] + means
-                )
-                decoder = "png-v1"
-            elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-                au = decode_audio(data)
-                s = au["samples"] or [0]
-                n = len(s)
-                rms = (sum(v * v for v in s) / n) ** 0.5
-                feats = _pad(
-                    [
-                        float(au["sample_rate"]),
-                        float(au["channels"]),
-                        float(n),
-                        round(rms / 32768.0, 6),
-                        round(sum(s) / n / 32768.0, 6),
-                    ]
-                )
-                decoder = "wav-pcm-v1"
-            else:
+            try:
+                feats, decoder = _decode_one(data)
+            except (
+                DecoderNotAvailable,
+                zlib.error,
+                struct.error,
+                IndexError,
+                ValueError,
+            ):
                 feats = _bytehist_features(data)
-                decoder = "fake-bytehist-v1"
+                decoder = "bytehist-fallback-v1"
             out_rows.append(
                 {
                     "doc_id": doc_id,

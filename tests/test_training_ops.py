@@ -139,10 +139,44 @@ def test_unsupported_payloads_raise():
         decode_audio(b"RIFF")
 
 
-def _make_png(width, height, pixels, channels=3):
-    """Minimal dependency-free PNG encoder for the decoder test: rows
-    alternate filter 0 (None) and filter 2 (Up) to exercise
-    unfiltering."""
+def _paeth_pred(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+
+def _filter_row(f, row, prev, channels):
+    """Reference (pure-Python) PNG row FILTER — the encoder-side
+    inverse of the decoder's numpy unfiltering, per the PNG spec."""
+    stride = len(row)
+
+    def left(i):
+        return row[i - channels] if i >= channels else 0
+
+    def upleft(i):
+        return prev[i - channels] if i >= channels else 0
+
+    if f == 0:
+        return bytes(row)
+    if f == 1:
+        return bytes((row[i] - left(i)) & 0xFF for i in range(stride))
+    if f == 2:
+        return bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+    if f == 3:
+        return bytes(
+            (row[i] - ((left(i) + prev[i]) >> 1)) & 0xFF for i in range(stride)
+        )
+    return bytes(
+        (row[i] - _paeth_pred(left(i), prev[i], upleft(i))) & 0xFF
+        for i in range(stride)
+    )
+
+
+def _make_png(width, height, pixels, channels=3, filters=None):
+    """Minimal dependency-free PNG encoder for the decoder tests.
+    ``filters`` gives the per-row filter type (default: alternate
+    None/Up); all five spec filters are supported so every decoder
+    path gets exercised."""
     import struct
     import zlib
 
@@ -161,10 +195,8 @@ def _make_png(width, height, pixels, channels=3):
     prev = bytes(stride)
     for y in range(height):
         row = bytes(pixels[y * stride : (y + 1) * stride])
-        if y % 2 == 0:
-            raw += b"\x00" + row
-        else:
-            raw += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        f = filters[y] if filters else (0 if y % 2 == 0 else 2)
+        raw += bytes([f]) + _filter_row(f, row, prev, channels)
         prev = row
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -192,6 +224,55 @@ def test_png_decoder_roundtrip():
     img = decode_image(_make_png(4, 2, pixels))
     assert (img["width"], img["height"], img["channels"]) == (4, 2, 3)
     assert img["pixels"] == pixels
+
+
+def test_png_decoder_all_filters_roundtrip():
+    """Every PNG filter type (0-4) and every supported channel count
+    through the numpy unfiltering paths, vs. the pure-Python spec
+    filter as the encoder-side reference."""
+    import random
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_image
+
+    rng = random.Random(42)
+    for channels in (1, 3, 4):
+        w, h = 7, 10
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        filters = [y % 5 for y in range(h)]
+        img = decode_image(_make_png(w, h, pixels, channels, filters=filters))
+        assert img["pixels"] == pixels, f"channels={channels}"
+        # filter type constant per image too (cumsum / pure-vector paths)
+        for f in range(5):
+            img2 = decode_image(_make_png(w, h, pixels, channels, filters=[f] * h))
+            assert img2["pixels"] == pixels, f"channels={channels} filter={f}"
+
+
+def test_corrupt_media_payloads_fall_back_per_row(spark):
+    """A payload with valid PNG/WAV magic but a corrupt body must not
+    fail the mapInPandas job — it falls back to the byte histogram,
+    tagged distinctly (advice: round-2 regression vs the round-1
+    total-fallback behavior)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        PNG_MAGIC,
+        extract_features,
+    )
+
+    corrupt_png = PNG_MAGIC + b"\x00\x00\x00\x0dIHDR" + b"\x99" * 20
+    corrupt_wav = b"RIFF\x10\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00"
+    good_png = _make_png(2, 2, bytes(range(12)))
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(corrupt_png)),
+            (2, bytearray(corrupt_wav)),
+            (3, bytearray(good_png)),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in extract_features(rows).collect()}
+    assert out[1]["decoder"] == "bytehist-fallback-v1"
+    assert out[2]["decoder"] == "bytehist-fallback-v1"
+    assert out[3]["decoder"] == "png-v1"
+    assert abs(sum(out[1]["features"]) - 1.0) < 1e-5
 
 
 def test_wav_decoder_roundtrip():
