@@ -131,6 +131,33 @@ _MINHASH_CTES = f"""aug AS ({AUG_SQL}),
     )"""
 
 
+#: Candidate pairs persisted once per (Spark app, sf_dir):
+#: ``dedup_minhash_lsh`` and ``dedup_clusters`` both consume the same
+#: shingle -> signature -> band pipeline, and a catalog/bench/driver
+#: run executes them back-to-back — without sharing, the clusters
+#: query re-runs the whole heavy pipeline just to materialize its edge
+#: list. Pairs are tiny relative to the corpus, so MEMORY_AND_DISK
+#: persist is safe at any scale. (The un-persisted operator plan shape
+#: stays guarded in tests/test_plans.py via ``minhash_candidate_pairs``
+#: directly — a persisted frame's plan renders as InMemoryRelation.)
+_SHARED_PAIRS: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHARED_PAIRS.get(key)
+    if df is None:
+        df = minhash_candidate_pairs(
+            augmented_documents(spark, sf_dir),
+            n_hashes=12,
+            bands=4,
+            shingle_k=3,
+            min_est_jaccard=0.5,
+        ).persist()
+        _SHARED_PAIRS[key] = df
+    return df
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -140,13 +167,7 @@ _MINHASH_CTES = f"""aug AS ({AUG_SQL}),
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) + LSH(4 bands x 3 rows) near-dup candidate pairs."""
-    return minhash_candidate_pairs(
-        augmented_documents(spark, sf_dir),
-        n_hashes=12,
-        bands=4,
-        shingle_k=3,
-        min_est_jaccard=0.5,
-    )
+    return shared_minhash_pairs(spark, sf_dir)
 
 
 _HEX = "0123456789abcdef"
@@ -343,14 +364,6 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-appropriate algorithms on both sides."""
     from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
         duplicate_clusters,
-        minhash_candidate_pairs,
     )
 
-    pairs = minhash_candidate_pairs(
-        augmented_documents(spark, sf_dir),
-        n_hashes=12,
-        bands=4,
-        shingle_k=3,
-        min_est_jaccard=0.5,
-    )
-    return duplicate_clusters(pairs)
+    return duplicate_clusters(shared_minhash_pairs(spark, sf_dir))

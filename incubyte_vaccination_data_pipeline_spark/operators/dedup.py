@@ -511,11 +511,15 @@ def duplicate_clusters(
     doc id (its canonical representative).
 
     Iterative min-label propagation, fully distributed: each round is
-    one equi-join (edges against current labels) + one min-aggregate,
-    i.e. two hash-partitioned shuffles — no driver-side graph, no
-    collect. ``max_iters`` bounds the propagation radius; components
-    whose diameter exceeds it would keep split labels, so the loop
-    tracks whether the final round still changed labels and RAISES
+    one equi-join (edges against current labels) + one min-aggregate
+    — no driver-side graph, no collect. ``max_iters`` bounds the
+    propagation radius; components whose diameter exceeds it would
+    keep split labels, so convergence is CERTIFIED by a zero-change
+    round: the loop runs up to ``max_iters`` propagation rounds plus
+    one confirming round (a component of diameter exactly
+    ``max_iters`` converges on its last round with nothing left to
+    propagate — the extra round proves it instead of spuriously
+    raising). If the confirming round still moves labels, RAISE
     ``ClustersNotConverged`` instead of silently under-merging
     (round-1 review finding). Near-dup clusters are planted
     pairs/triples here (diameter <= 2); raise ``max_iters`` for
@@ -548,62 +552,68 @@ def duplicate_clusters(
     edges = fwd.unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
     # The propagation loop operates on PAIRS-scale data (orders of
-    # magnitude below corpus scale), but its per-round shuffles would
+    # magnitude below corpus scale), but its shuffles would otherwise
     # run at the session's corpus-scale width — mostly task-scheduling
     # overhead (measured 6.6s -> 4.2s at sf0.1 by narrowing). Derive
     # the loop width from the materialized edge count (a driver-side
     # scalar of checkpointed data, not a data collect): one partition
     # per ~20k edges, capped at the session width so a 100 TB run with
-    # billions of candidate edges keeps full parallelism. Conf is
-    # restored in `finally`; loop actions all happen inside this scope.
+    # billions of candidate edges keeps full parallelism. The width is
+    # applied with explicit keyed `repartition(loop_width, ...)` on
+    # the loop frames — NOT by mutating the session-global
+    # spark.sql.shuffle.partitions, which would silently narrow any
+    # concurrent query on the same session (round-2 review finding).
+    # localCheckpoint preserves the hash partitioning, so each round's
+    # edges-labels equi-join lines up on pre-partitioned sides and the
+    # only new exchange per round is the keyed repartition before the
+    # min-aggregate.
     spark = pairs.sparkSession
     n_edges = edges.count()
-    orig_width = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    loop_width = max(1, min(int(orig_width), n_edges // 20000 + 1))
+    sess_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_width = max(1, min(sess_width, n_edges // 20000 + 1))
+    edges = edges.repartition(loop_width, "dst").localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(loop_width, "node")
+        .localCheckpoint()
+    )
     changed = None
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
-        for _ in range(max_iters):
-            neighbor = edges.join(
-                labels, edges.dst == labels.node
-            ).select(
-                F.col("src").alias("node"),
-                "label",
-                F.lit(None).cast(labels.schema["label"].dataType).alias("prev"),
+    for _ in range(max_iters + 1):  # +1: the convergence-confirming round
+        neighbor = edges.join(
+            labels, edges.dst == labels.node
+        ).select(
+            F.col("src").alias("node"),
+            "label",
+            F.lit(None).cast(labels.schema["label"].dataType).alias("prev"),
+        )
+        mine = labels.select("node", "label", F.col("label").alias("prev"))
+        obs = Observation()
+        new_labels = (
+            mine.unionByName(neighbor)
+            .repartition(loop_width, "node")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.min("prev").alias("prev"))
+            .observe(
+                obs,
+                F.sum((F.col("label") < F.col("prev")).cast("long")).alias(
+                    "changed"
+                ),
             )
-            mine = labels.select("node", "label", F.col("label").alias("prev"))
-            obs = Observation()
-            new_labels = (
-                mine.unionByName(neighbor)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"), F.min("prev").alias("prev"))
-                .observe(
-                    obs,
-                    F.sum((F.col("label") < F.col("prev")).cast("long")).alias(
-                        "changed"
-                    ),
-                )
-                .select("node", "label")
-                .localCheckpoint()
-            )
-            labels = new_labels
-            changed = obs.get["changed"] or 0
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig_width)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+        labels = new_labels
+        changed = obs.get["changed"] or 0
+        if changed == 0:
+            break
     if changed:
         raise ClustersNotConverged(
-            f"label propagation still changing after {max_iters} iterations "
-            f"({changed} labels moved last round); a duplicate chain longer "
-            f"than max_iters exists — raise max_iters"
+            f"label propagation still changing after {max_iters} propagation "
+            f"rounds plus a confirming round ({changed} labels moved last); "
+            f"a duplicate chain longer than max_iters exists — raise max_iters"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

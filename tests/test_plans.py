@@ -46,7 +46,16 @@ def test_star_join_broadcasts_dimensions(spark, sf_dir):
 
 
 def test_minhash_band_join_is_equi_join(spark, sf_dir):
-    plan = _plan(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    # guard the operator's un-persisted plan: the catalog query returns
+    # the shared persisted frame, whose plan renders as InMemoryRelation
+    from incubyte_vaccination_data_pipeline_spark.catalog.dedup import augmented_documents
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(
+        augmented_documents(spark, sf_dir),
+        n_hashes=12, bands=4, shingle_k=3, min_est_jaccard=0.5,
+    )
+    plan = _plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # candidate generation must be a hash-partitioned equi-join on band
@@ -179,7 +188,17 @@ def test_unpivot_no_shuffle(spark, sf_dir):
 
 
 def test_ivf_candidate_join_is_equi_join(spark, sf_dir):
-    plan = _plan(QUERIES["ann_ivf_topk"](spark, sf_dir))
+    # guard the operator plan: the catalog query now embeds the
+    # brute-force recall twin, whose broadcast cross join is the
+    # deliberate baseline shape
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import topk_ivf
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -339,3 +339,38 @@ def test_duplicate_clusters_long_chain_converges_and_raises(spark):
 
     with pytest.raises(ClustersNotConverged):
         duplicate_clusters(chain, max_iters=3)
+
+
+def test_duplicate_clusters_diameter_equal_to_max_iters_converges(spark):
+    """A component whose diameter exactly equals max_iters converges on
+    its last propagation round; the extra confirming round must certify
+    that instead of spuriously raising (round-2 review finding)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pair = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pair, max_iters=1).collect()}
+    assert out == {1: 1, 2: 1}
+
+    chain4 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(chain4, max_iters=3).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_duplicate_clusters_leaves_session_conf_untouched(spark):
+    """The loop-width narrowing must use explicit repartition, never
+    the session-global shuffle-partitions conf (round-2 review: a
+    concurrent query would silently run at the narrowed width)."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    duplicate_clusters(pairs).collect()
+    assert spark.conf.get(key) == before
