@@ -150,6 +150,52 @@ def vax_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vax_bucketed_roundtrip",
+    oracle=f"""
+    WITH recs AS ({_VAX_RECORDS_SQL}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cust_i ORDER BY consul_dt DESC, o_orderkey DESC
+        ) AS rn
+        FROM recs
+    )
+    SELECT {_VAX_VIEW_PROJ} FROM ranked WHERE rn = 1
+    """,
+)
+def vax_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exercise of the bucketed warehouse sink
+    (``sources/parquet_io.write_bucketed_warehouse``): write the
+    intermediate records bucketed by ``cust_i`` (sorted by
+    ``consul_dt`` within buckets), read the managed table back, and
+    run dedup-latest over the re-read — the bucketed scan already
+    satisfies the window's required hash partitioning, so the dedup
+    runs shuffle-free (plan pinned in tests/test_plans.py). The
+    roundtrip must be lossless: the oracle is the same dedup-latest
+    restatement as ``vax_dedup_latest`` over the source tables."""
+    import hashlib
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        write_bucketed_warehouse,
+    )
+
+    table = "vax_bucketed_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    write_bucketed_warehouse(
+        _vax_records(spark, sf_dir),
+        table,
+        bucket_col="cust_i",
+        n_buckets=8,
+        sort_col="consul_dt",
+    )
+    deduped = dedup_latest(
+        spark.table(table),
+        key="cust_i",
+        order_col="consul_dt",
+        tie_breakers=[F.col("o_orderkey").desc()],
+    )
+    return _vax_view_frame(deduped)
+
+
+@query(
     "vax_distinct_countries",
     oracle="""
     SELECT DISTINCT n_name AS country

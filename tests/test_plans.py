@@ -82,6 +82,16 @@ def test_window_topk_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, "top-k per key needs exactly one shuffle"
 
 
+def test_bucketed_roundtrip_dedup_shuffle_free(spark, sf_dir):
+    """The vax_bucketed_roundtrip catalog query's window must consume
+    the bucketed scan's hash partitioning — no Exchange between the
+    managed-table read and the dedup-latest window."""
+    plan = _plan(QUERIES["vax_bucketed_roundtrip"](spark, sf_dir))
+    assert "Exchange" not in plan, (
+        "bucketed roundtrip dedup must be shuffle-free; got:\n" + plan
+    )
+
+
 def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
     plan = _plan(QUERIES["events_asof_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
