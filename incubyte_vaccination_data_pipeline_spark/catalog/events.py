@@ -402,18 +402,29 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen week,
     counted in every week they were active — the canonical
     product-analytics rollup. Both engines truncate weeks to Monday.
-    Scale shape: the (user, week) distinct and the per-user min share
-    one hash partitioning on user_id, then a second small shuffle on
-    the (cohort, week) pair."""
+    Scale shape: ONE events scan and ONE explicit user_id repartition
+    feed the (user, week) distinct AND the cohort assignment — the
+    per-user min is a window over the same partitioning, not a
+    self-join (a join back to a per-user aggregate would re-execute
+    the scan+shuffle for the build side: Spark self-joins duplicate
+    the subtree). Then one small shuffle on the (cohort, week) pair.
+    The final count is a plain count — user_weeks is distinct per
+    (user, week) and cohort_week is functionally dependent on
+    user_id, so COUNT(DISTINCT) would only add the two-phase
+    distinct-aggregate exchange."""
     events = read_table(spark, sf_dir, "events")
-    user_weeks = events.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
-    ).distinct()
-    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    user_weeks = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+        )
+        .repartition("user_id")
+        .distinct()
+    )
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
     return (
-        user_weeks.join(cohorts, "user_id")
+        user_weeks.withColumn("cohort_week", cohort)
         .groupBy("cohort_week", F.col("week").alias("activity_week"))
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

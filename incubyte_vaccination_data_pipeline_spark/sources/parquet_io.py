@@ -94,6 +94,19 @@ def write_bucketed_warehouse(
     any customer-key join read co-located data — the scan reports hash
     partitioning on the bucket column, so Catalyst drops the Exchange
     entirely (asserted by tests/test_plans.py)."""
+    if mode == "overwrite":
+        # a managed-table LOCATION left by a previous Spark app is not
+        # in this session's catalog, and saveAsTable refuses to adopt
+        # it (LOCATION_ALREADY_EXISTS) — drop both the entry and any
+        # stale directory so overwrite is idempotent across sessions
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)

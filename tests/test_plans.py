@@ -396,6 +396,24 @@ def test_value_trend_single_aggregation_shuffle(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_sessionization_single_shuffle(spark, sf_dir):
+    """lag + cumulative-flag + per-session agg all share the user_id
+    hash partitioning: exactly one keyed shuffle end-to-end."""
+    plan = _plan(QUERIES["events_sessionization"](spark, sf_dir))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, f"sessionization needs one user_id shuffle, saw {shuffles}"
+
+
+def test_retention_cohorts_two_shuffles(spark, sf_dir):
+    """One explicit user_id repartition serves the distinct and the
+    cohort-min window (no self-join, single events scan); the only
+    other shuffle is the small (cohort, week) rollup."""
+    plan = _plan(QUERIES["events_retention_cohorts"](spark, sf_dir))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, f"retention rollup needs <=2 shuffles, saw {shuffles}"
+    assert "CartesianProduct" not in plan
+
+
 def test_percent_rank_single_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["window_percent_rank_cume"](spark, sf_dir))
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
