@@ -96,5 +96,6 @@ def test_hash_arithmetic_matches_oracle_on_hostile_corpus(spark, tmp_path, seed)
         dt = sorted(map(tuple, d[cols].astype(str).values.tolist()))
         assert st == dt, (
             f"{name} seed={seed}: {len(st)} spark vs {len(dt)} oracle rows; "
-            f"first diff: {next((a, b) for a, b in zip(st, dt) if a != b) if st and dt else (st[:1], dt[:1])}"
+            f"first diff: "
+            f"{next(((a, b) for a, b in zip(st, dt) if a != b), '<no pairwise diff; row counts differ>') if st and dt else (st[:1], dt[:1])}"
         )
