@@ -354,6 +354,7 @@ def topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -367,12 +368,17 @@ def topk_ivf(
     re-rank only sees ~``n_probe / n_centroids`` of the corpus per
     query. Output shape matches ``topk_bruteforce``; recall is
     measured against it in tests.
+
+    Pass a prebuilt ``centroids`` list to amortize the index across
+    query batches — production IVF builds the quantizer once, not per
+    search (the catalog caches it per corpus).
     """
     from pyspark.sql import Window
 
-    centroids = ivf_centroids(
-        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
