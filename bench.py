@@ -25,6 +25,23 @@ HEADLINE = list(catalog.QUERIES)
 
 RUNS = 2  # timed runs after the discarded warmup
 
+#: the driver keeps only this many trailing stdout chars; the LAST
+#: printed line must parse from inside that window
+DRIVER_TAIL_CHARS = 2000
+COMPACT_TOP_N = 25
+
+
+def compact_payload(payload: dict, timings: dict[str, float]) -> dict:
+    """A copy of the bench payload with only the slowest queries, sized
+    to fit the driver's tail window (regression-tested)."""
+    compact = dict(payload)
+    compact["queries"] = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:COMPACT_TOP_N]
+    )
+    compact["n_queries"] = len(timings)
+    compact["queries_full"] = "BENCH_local.json"
+    return compact
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,14 +86,7 @@ def main() -> None:
     # that 2000-char tail window (slowest queries only), so the
     # driver's parse of the final line succeeds (r1/r2 recorded
     # parsed: null because the full ~100-query line overflowed it)
-    compact = dict(payload)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:25]
-    )
-    compact["queries"] = slowest
-    compact["n_queries"] = len(timings)
-    compact["queries_full"] = "BENCH_local.json"
-    print(json.dumps(compact))
+    print(json.dumps(compact_payload(payload, timings)))
 
 
 if __name__ == "__main__":

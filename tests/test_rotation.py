@@ -55,6 +55,38 @@ def test_window_covers_least_recently_verified():
         assert rounds.get(n, 0) >= max_in_window or n in window
 
 
+def test_every_query_has_an_oracle():
+    """Round-3 invariant: zero rows-only queries. Every registered
+    query carries a DuckDB oracle — approximate/stateful/decoder
+    operators do it via in-query boolean certificates the oracle
+    states as literal TRUE. A new query without an oracle is a
+    regression, not a style choice."""
+    assert set(catalog.QUERIES) == set(catalog.ORACLES)
+
+
+def test_bench_compact_line_fits_driver_tail():
+    """The driver records only the last 2000 chars of bench stdout;
+    the final line bench prints must parse from within that window,
+    even with every real catalog query name in the timing map."""
+    import json as _json
+
+    import bench
+
+    timings = {name: 123.4567 for name in catalog.QUERIES}
+    payload = {
+        "metric": "total_headline_query_sec",
+        "value": 12345.6789,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+    }
+    line = _json.dumps(bench.compact_payload(payload, timings))
+    assert len(line) < bench.DRIVER_TAIL_CHARS - 100, (
+        f"compact bench line too long for the driver tail: {len(line)}"
+    )
+    assert _json.loads(line)["n_queries"] == len(catalog.QUERIES)
+
+
 def test_load_state_tolerates_missing_file(tmp_path):
     assert vr.load_state(tmp_path / "nope.json") == {}
     bad = tmp_path / "bad.json"
