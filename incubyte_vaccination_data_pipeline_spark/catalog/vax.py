@@ -171,20 +171,26 @@ def vax_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfies the window's required hash partitioning, so the dedup
     runs shuffle-free (plan pinned in tests/test_plans.py). The
     roundtrip must be lossless: the oracle is the same dedup-latest
-    restatement as ``vax_dedup_latest`` over the source tables."""
+    restatement as ``vax_dedup_latest`` over the source tables. The
+    table location is pinned under the repo's own warehouse dir — the
+    session's spark.sql.warehouse.dir is a static conf derived from
+    the harness's CWD, which this query must not write to."""
     import hashlib
+    from pathlib import Path
 
     from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
         write_bucketed_warehouse,
     )
 
     table = "vax_bucketed_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    repo_root = Path(__file__).resolve().parents[2]
     write_bucketed_warehouse(
         _vax_records(spark, sf_dir),
         table,
         bucket_col="cust_i",
         n_buckets=8,
         sort_col="consul_dt",
+        path=str(repo_root / "spark-warehouse" / table),
     )
     deduped = dedup_latest(
         spark.table(table),

@@ -87,29 +87,44 @@ def write_bucketed_warehouse(
     n_buckets: int = 32,
     sort_col: str | None = "CONSUL_DT",
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed-table sink: the 100 TB path for workloads that
+    """Bucketed table sink: the 100 TB path for workloads that
     repeatedly dedup/join on one key. Bucketing by ``CUST_I`` (sorted
     by ``CONSUL_DT`` within buckets) lets the dedup-latest window and
     any customer-key join read co-located data — the scan reports hash
     partitioning on the bucket column, so Catalyst drops the Exchange
-    entirely (asserted by tests/test_plans.py)."""
+    entirely (asserted by tests/test_plans.py).
+
+    ``path`` pins the table location explicitly (external table)
+    instead of relying on ``spark.sql.warehouse.dir`` — which is a
+    STATIC conf resolved from the CWD of whatever process created the
+    session, so callers that must control where data lands (e.g. the
+    catalog queries, which may run under an external harness with an
+    arbitrary CWD) should always pass it."""
     if mode == "overwrite":
-        # a managed-table LOCATION left by a previous Spark app is not
-        # in this session's catalog, and saveAsTable refuses to adopt
-        # it (LOCATION_ALREADY_EXISTS) — drop both the entry and any
+        # a table LOCATION left by a previous Spark app is not in this
+        # session's catalog, and saveAsTable refuses to adopt it
+        # (LOCATION_ALREADY_EXISTS) — drop both the entry and any
         # stale directory so overwrite is idempotent across sessions
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
         import shutil
         from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-        if wh.scheme in ("", "file"):
-            shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
+        if path is not None:
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            wh = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            )
+            if wh.scheme in ("", "file"):
+                shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
