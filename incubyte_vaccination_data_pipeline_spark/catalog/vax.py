@@ -508,7 +508,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'SEG_1'
+    WHERE c_mktsegment = 'BUILDING'
       AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
       AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
     GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
@@ -530,7 +530,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     )
     return (
-        customer.filter(F.col("c_mktsegment") == "SEG_1")
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
         .join(orders, customer.c_custkey == orders.o_custkey)
         .filter(F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
