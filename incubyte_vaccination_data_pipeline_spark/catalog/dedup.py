@@ -140,22 +140,23 @@ _MINHASH_CTES = f"""aug AS ({AUG_SQL}),
 #: persist is safe at any scale. (The un-persisted operator plan shape
 #: stays guarded in tests/test_plans.py via ``minhash_candidate_pairs``
 #: directly — a persisted frame's plan renders as InMemoryRelation.)
-_SHARED_PAIRS: dict[tuple[str, str], DataFrame] = {}
+from incubyte_vaccination_data_pipeline_spark.catalog.shared_cache import BoundedCache
+
+_SHARED_PAIRS = BoundedCache()
 
 
 def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_PAIRS.get(key)
-    if df is None:
-        df = minhash_candidate_pairs(
+    return _SHARED_PAIRS.get_or_build(
+        key,
+        lambda: minhash_candidate_pairs(
             augmented_documents(spark, sf_dir),
             n_hashes=12,
             bands=4,
             shingle_k=3,
             min_est_jaccard=0.5,
-        ).persist()
-        _SHARED_PAIRS[key] = df
-    return df
+        ).persist(),
+    )
 
 
 @query(

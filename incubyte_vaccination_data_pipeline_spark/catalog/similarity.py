@@ -88,31 +88,30 @@ IVF_RECALL_FLOOR = 0.35  # measured 0.48-0.62 aggregate across sfs
 #: both recall certificates, and the IVF quantizer is a build-once
 #: index (production IVF never re-trains per search). Both are tiny
 #: (50 rows / 16x64 floats).
-_SHARED_EXACT: dict[tuple[str, str], DataFrame] = {}
-_SHARED_CENTROIDS: dict[tuple[str, str], list] = {}
+from incubyte_vaccination_data_pipeline_spark.catalog.shared_cache import BoundedCache
+
+_SHARED_EXACT = BoundedCache()
+_SHARED_CENTROIDS = BoundedCache()
 
 
 def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_EXACT.get(key)
-    if df is None:
+    def build() -> DataFrame:
         emb = read_table(spark, sf_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
-        df = topk_bruteforce(emb, queries, k=TOP_K).persist()
-        _SHARED_EXACT[key] = df
-    return df
+        return topk_bruteforce(emb, queries, k=TOP_K).persist()
+
+    return _SHARED_EXACT.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir), build
+    )
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> list:
     from incubyte_vaccination_data_pipeline_spark.operators.similarity import ivf_centroids
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cents = _SHARED_CENTROIDS.get(key)
-    if cents is None:
-        emb = read_table(spark, sf_dir, "embeddings")
-        cents = ivf_centroids(emb, n_centroids=16)
-        _SHARED_CENTROIDS[key] = cents
-    return cents
+    return _SHARED_CENTROIDS.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: ivf_centroids(read_table(spark, sf_dir, "embeddings"), n_centroids=16),
+    )
 
 _RECALL_ORACLE = """
     SELECT count(DISTINCT vec_id) AS n_queries,
