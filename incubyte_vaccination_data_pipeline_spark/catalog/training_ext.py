@@ -161,7 +161,38 @@ def ngram_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, evals, n=8, min_overlap=0.3)
 
 
+CORPUS_REPORT_ORACLE = """
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+           round(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           round(COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6) AS unique_ratio
+    FROM documents
+    GROUP BY source, lang
+"""
+
+
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per (source, lang): doc/token counts, mean
+    length, and content-hash uniqueness ratio — the summary a training
+    pipeline publishes per corpus slice before mixing. One scan, one
+    grouped aggregate; the distinct-hash count is the only expansion
+    and rides the same shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), " "))).alias("n_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.round(
+            F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+        ).alias("unique_ratio"),
+    )
+
+
 STAGED: dict[str, tuple] = {
+    "corpus_report": (corpus_report_q, CORPUS_REPORT_ORACLE),
     "split_train_val_test": (split_train_val_test_q, SPLIT_COUNTS_ORACLE),
     "split_contamination": (split_contamination_q, CONTAMINATION_ORACLE),
     "ngram_contamination_partial_leak": (
