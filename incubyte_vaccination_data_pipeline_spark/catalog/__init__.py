@@ -49,7 +49,12 @@ from incubyte_vaccination_data_pipeline_spark.catalog import verify_rotation  # 
 
 
 def _rotate_least_recently_verified() -> None:
-    rounds = verify_rotation.load_state()
+    # order by the LIVE driver history (rebuilt from the committed
+    # CORRECTNESS_r*.json files at import — cheap, deterministic), so a
+    # new round's file takes effect without a manual state rebuild;
+    # verified_rounds.json stays as the committed, test-enforced
+    # artifact of the same computation
+    rounds = verify_rotation.rebuild_verified_rounds()
     order = verify_rotation.rotation_order(list(QUERIES), rounds)
     ordered = {k: QUERIES[k] for k in order}
     QUERIES.clear()

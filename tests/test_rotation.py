@@ -35,7 +35,7 @@ def test_state_file_matches_driver_history():
 
 
 def test_catalog_registration_is_lrv_sorted():
-    rounds = vr.load_state()
+    rounds = vr.rebuild_verified_rounds()  # the ordering source at import
     staleness = [rounds.get(n, 0) for n in catalog.QUERIES]
     assert staleness == sorted(staleness)
     # oracle dict ordering mirrors the query dict
@@ -47,7 +47,7 @@ def test_window_covers_least_recently_verified():
     """Every query whose last driver row is oldest sits inside the
     50-slot window — i.e. no query is more than ceil(N/50) rounds from
     re-verification."""
-    rounds = vr.load_state()
+    rounds = vr.rebuild_verified_rounds()
     names = list(catalog.QUERIES)
     window = set(names[:50])
     max_in_window = max(rounds.get(n, 0) for n in names[:50])
