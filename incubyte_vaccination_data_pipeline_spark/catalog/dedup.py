@@ -288,7 +288,16 @@ def dedup_simhash_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus; production would use 64-bit with 16-bit bands."""
     from incubyte_vaccination_data_pipeline_spark.operators.dedup import simhash_near_pairs
 
-    fps = simhash_fingerprints(augmented_documents(spark, sf_dir), bits=32)
+    # materialize the fingerprints before the band self-join: the pair
+    # generator references them on both sides, and Spark self-joins
+    # duplicate the subtree — without this the corpus (3-scan
+    # augmentation union) is scanned 6x and the explode+vote aggregate
+    # runs twice. Fingerprints are ~12 bytes/doc, so the checkpoint is
+    # negligible at any corpus size; the banding/join plan downstream
+    # stays visible to the plan guard.
+    fps = simhash_fingerprints(
+        augmented_documents(spark, sf_dir), bits=32
+    ).localCheckpoint()
     return simhash_near_pairs(fps, max_hamming=3, bits=32, bands=4)
 
 
