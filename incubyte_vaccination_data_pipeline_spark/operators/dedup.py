@@ -459,9 +459,14 @@ def ngram_jaccard_pairs(
         F.explode(F.expr(f"sequence(1, length(lt) - {n - 1})")).alias("pos"),
         "lt",
     ).select("doc", *block_cols, F.expr(f"substring(lt, pos, {n})").alias("gram"))
+    # materialize the per-doc gram sets before the blocked self-join:
+    # both join sides reference this frame and Spark self-joins
+    # duplicate the subtree, so without the checkpoint the source is
+    # scanned twice and the explode -> collect_set aggregate (the
+    # expensive stage) runs twice per execution
     grams = gram_rows.groupBy("doc", *block_cols).agg(
         F.collect_set("gram").alias("grams")
-    )
+    ).localCheckpoint()
     a = grams.select(
         *block_cols, F.col("doc").alias("doc_a"), F.col("grams").alias("ga")
     )
