@@ -381,10 +381,17 @@ def minhash_candidate_pairs(
     """MinHash+LSH near-duplicate pairs.
 
     explode shingles -> one md5 + 12 universal-hash bigint columns ->
-    groupBy-min signature -> band keys -> explode -> band self-join
-    (equi-join shuffle; the aggregated signature exchange is reused
-    across both sides) -> distinct pairs -> estimated Jaccard filter.
+    groupBy-min signature -> checkpoint -> band keys -> explode ->
+    band self-join -> distinct pairs -> estimated Jaccard filter.
     Returns (doc_a, doc_b, est_jaccard).
+
+    The signature frame is materialized before the self-join: Spark
+    duplicates self-join subtrees (no exchange reuse fires across the
+    two banded sides), so without it the corpus is scanned and the
+    shingle->signature aggregate computed twice per execution. The
+    signature frame is ~100 B/doc — orders of magnitude below corpus
+    bytes — so one materialization beats a second full corpus pass at
+    the design point.
 
     The pair dedup carries both signatures through its shuffle: at 12
     bigints (96 B) per side that is cheaper than deduping bare ids and
@@ -393,7 +400,7 @@ def minhash_candidate_pairs(
     carry expensive).
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).localCheckpoint()
     # sig is an aggregation output attribute here, so the band-key
     # lambda slices a materialized 12-element array — cheap per band.
     banded = sigs.select(
