@@ -191,8 +191,145 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBEDDING_QUANTIZE_ORACLE = """
+    WITH q AS (
+        SELECT vec_id,
+               round(list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127, 9) AS scale
+        FROM embeddings
+    ),
+    quant AS (
+        SELECT e.vec_id, q.scale,
+               list_transform(e.embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / q.scale) AS BIGINT)) AS qv
+        FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+    )
+    SELECT vec_id, scale,
+           CAST(len(qv) AS INT) AS n_dims,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                            (a, b) -> a + b) AS BIGINT) AS q_sum,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(qv, v -> abs(v))), (a, b) -> a + b)
+                AS BIGINT) AS q_l1,
+           CAST(list_max(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_max_abs
+    FROM quant
+"""
+
+
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scale = max|v|/127) — the standard vector-compression step
+    before ANN index build (4x smaller, dot products in integer
+    arithmetic). Quantized values are exact integers, so the oracle
+    restates the identical arithmetic; the row carries scalar digests
+    (sum / L1 / max-abs) rather than the raw array because the driver
+    hash compares stringified cells, and array renderings differ
+    between engines. q_max_abs <= 127 by construction."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    scale = F.round(
+        F.expr(
+            "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+            " cast(0.0 as double), (a, x) -> greatest(a, x))"
+        )
+        / F.lit(127),
+        9,
+    )
+    with_scale = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qv = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) / scale) as bigint))"
+    )
+    quant = with_scale.select("vec_id", "scale", qv.alias("qv"))
+    return quant.select(
+        "vec_id",
+        "scale",
+        F.size("qv").alias("n_dims"),
+        F.expr(
+            "aggregate(qv, cast(0 as bigint), (a, v) -> a + v)"
+        ).alias("q_sum"),
+        F.expr(
+            "aggregate(qv, cast(0 as bigint), (a, v) -> a + abs(v))"
+        ).alias("q_l1"),
+        F.expr(
+            "aggregate(qv, cast(0 as bigint), (a, v) -> greatest(a, abs(v)))"
+        ).alias("q_max_abs"),
+    )
+
+
+EVENT_SEQUENCES_ORACLE = """
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           array_to_string(list(event_type ORDER BY rn), ' ') AS prefix_seq
+    FROM ranked WHERE rn <= 20
+    GROUP BY user_id
+"""
+
+
+def event_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered behavior sequence (first 20 events by
+    (ts, event_id)) — the sequence-building step that turns an event
+    log into training examples for next-event/recommendation models.
+    One window + one aggregate, both on the user_id partitioning;
+    deterministic tie-break on event_id keeps both engines identical."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 20)
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(rn, event_type))),"
+                   " s -> s.event_type)"),
+            " ",
+        ).alias("prefix_seq"),
+    )
+
+
+APPROX_PCTL_ORACLE = """
+    SELECT o_orderpriority,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+def approx_percentile_certified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch) is the single-pass scale path for
+    quantiles; like agg_approx_count_distinct, the sketch value is
+    engine-specific, so the row carries the exact interpolated median
+    plus an in-query 5%-error certificate the oracle states as
+    literal TRUE."""
+    orders = read_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("double")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile(p, F.lit(0.5)), 6).alias("exact_p50"),
+        (
+            F.abs(
+                F.percentile_approx(p, F.lit(0.5), F.lit(10000))
+                / F.percentile(p, F.lit(0.5))
+                - 1.0
+            )
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
 STAGED: dict[str, tuple] = {
     "corpus_report": (corpus_report_q, CORPUS_REPORT_ORACLE),
+    "embedding_quantize_int8": (embedding_quantize_q, EMBEDDING_QUANTIZE_ORACLE),
+    "events_user_sequences": (event_sequences_q, EVENT_SEQUENCES_ORACLE),
+    "agg_approx_percentile_certified": (
+        approx_percentile_certified_q,
+        APPROX_PCTL_ORACLE,
+    ),
     "split_train_val_test": (split_train_val_test_q, SPLIT_COUNTS_ORACLE),
     "split_contamination": (split_contamination_q, CONTAMINATION_ORACLE),
     "ngram_contamination_partial_leak": (
