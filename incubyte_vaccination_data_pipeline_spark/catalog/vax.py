@@ -280,37 +280,61 @@ _DIRTY_DATES_SQL = """
     FROM orders
 """
 
-# DuckDB re-implementation of the compact-digit branch (date_parser.py:41-77
-# semantics with correct Gregorian leap rule; engine divergences documented
-# in functions/dates.py). Only reachable branch for the strings above.
+# DuckDB re-implementation of the FULL cascade (date_parser.py:41-77
+# semantics with correct Gregorian leap rule; engine divergences
+# documented in functions/dates.py):
+# - float-form strip ('X.Y' digits keep the integer part, the pandas
+#   float-render artifact the reference handles);
+# - compact-digit branch for >= 6 digits (positional M/D/Y fields,
+#   2-digit year += 2000, range checks, real month lengths);
+# - < 6 digits: the strptime cascade can never succeed (every format
+#   needs a 4-digit year plus month and day digits, and there are no
+#   2-digit-year formats), so non-empty short strings always carry the
+#   reference's "Unable to parse date '<cleaned>'" error;
+# - >9-digit year fields overflow INT to NULL on both engines ->
+#   coalesce to the -1 sentinel so they fail the range check exactly
+#   like the Spark side.
+# Cross-engine agreement on hostile inputs is fuzzed in
+# tests/test_date_fuzz.py over this same SQL.
 _COMPACT_PARSE_SQL = """
     parts AS (
         SELECT id, raw,
-               regexp_replace(raw, '[^0-9]', '', 'g') AS digits
+               CASE WHEN regexp_matches(trim(raw), '^[0-9]+\\.[0-9]+$')
+                    THEN regexp_extract(trim(raw), '^([0-9]+)\\.', 1)
+                    ELSE trim(raw) END AS s
         FROM dirty
     ),
+    parts2 AS (
+        SELECT id, raw, s,
+               regexp_replace(s, '[^0-9]', '', 'g') AS digits,
+               regexp_replace(s, '[^0-9/-]', '', 'g') AS cleaned
+        FROM parts
+    ),
     fields AS (
-        SELECT id, raw, digits, length(digits) AS nd,
+        SELECT id, raw, s, digits, cleaned, length(digits) AS nd,
             CASE WHEN length(digits) = 7 THEN TRY_CAST(substr(digits, 1, 1) AS INT)
                  ELSE TRY_CAST(substr(digits, 1, 2) AS INT) END AS m,
             CASE WHEN length(digits) = 7 THEN TRY_CAST(substr(digits, 2, 2) AS INT)
                  ELSE TRY_CAST(substr(digits, 3, 2) AS INT) END AS dd,
-            CASE WHEN length(digits) = 7 THEN TRY_CAST(substr(digits, 4, 4) AS INT)
-                 ELSE TRY_CAST(substr(digits, 5, 16) AS INT) END AS yraw
-        FROM parts
+            COALESCE(
+                CASE WHEN length(digits) = 7 THEN TRY_CAST(substr(digits, 4, 4) AS INT)
+                     ELSE TRY_CAST(substr(digits, 5, 16) AS INT) END,
+                -1) AS yraw
+        FROM parts2
     ),
     adj AS (
-        SELECT *, CASE WHEN yraw < 100 THEN yraw + 2000 ELSE yraw END AS y
+        SELECT *, CASE WHEN yraw < 100 AND yraw >= 0 THEN yraw + 2000
+                       ELSE yraw END AS y
         FROM fields
     ),
     parsed AS (
         SELECT id, raw, nd, m, dd, y,
-            CASE WHEN trim(raw) = '' OR raw IS NULL THEN NULL
+            CASE WHEN s IS NULL OR s = '' THEN NULL
                  WHEN nd >= 6 AND m BETWEEN 1 AND 12 AND dd >= 1
                       AND y BETWEEN 1900 AND 2100
                  THEN TRY_CAST(printf('%04d-%02d-%02d', y, m, dd) AS DATE)
             END AS parsed,
-            CASE WHEN trim(raw) = '' OR raw IS NULL THEN 'Empty date string'
+            CASE WHEN s IS NULL OR s = '' THEN 'Empty date string'
                  WHEN nd >= 6 THEN
                    CASE WHEN m < 1 OR m > 12
                         THEN printf('Invalid month: %d (must be between 1 and 12)', m)
@@ -324,6 +348,8 @@ _COMPACT_PARSE_SQL = """
                                     CAST(date_part('day', last_day(make_date(y, m, 1))) AS INT),
                                     m)
                    END
+                 ELSE printf('Unable to parse date ''%s'': format not recognized',
+                             cleaned)
             END AS error
         FROM adj
     )

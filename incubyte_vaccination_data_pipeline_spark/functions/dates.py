@@ -85,11 +85,17 @@ def parse_date_struct(col: Column) -> Column:
         # simply fails the range check, as in the reference
         F.substring(digits, 5, 16)
     ).cast("int")
-    # > 18-digit years overflow the int cast to NULL under non-ANSI eval;
-    # coalesce to an out-of-range sentinel so they fail the range check
-    # (the reference raises "Invalid year" for any year outside 1900-2100).
+    # > 9-digit years overflow the int cast to NULL under non-ANSI eval;
+    # coalesce to a -1 sentinel AND keep the 2-digit-year adjustment off
+    # negatives (else -1 + 2000 = 1999 would sail through the range
+    # check and a 15-digit string would "parse") so they fail as
+    # Invalid year, like the reference — whose error text prints the
+    # full huge number where we print -1 (documented divergence; same
+    # classification).
     raw_year = F.coalesce(raw_year, F.lit(-1))
-    year = F.when(raw_year < 100, raw_year + 2000).otherwise(raw_year)
+    year = F.when((raw_year >= 0) & (raw_year < 100), raw_year + 2000).otherwise(
+        raw_year
+    )
 
     compact_date = F.try_to_date(
         F.format_string("%04d-%02d-%02d", year, month, day), "yyyy-MM-dd"
@@ -187,8 +193,10 @@ def _parse_prefix(df, src_col: str):
         }
     )
     yraw = F.col("_pd_yraw")
+    # guard the 2-digit-year adjustment off the -1 overflow sentinel
+    # (see parse_date_struct: -1 + 2000 would pass the range check)
     return out.withColumn(
-        "_pd_y", F.when(yraw < 100, yraw + 2000).otherwise(yraw)
+        "_pd_y", F.when((yraw >= 0) & (yraw < 100), yraw + 2000).otherwise(yraw)
     )
 
 

@@ -38,6 +38,10 @@ CASES = [
     # year range
     ("01011899", None, "Invalid year: 1899"),
     ("01012101", None, "Invalid year: 2101"),
+    # year-field INT overflow -> -1 sentinel fails the range check
+    # (round-3 fix: the 2-digit-year +2000 adjustment previously
+    # turned the sentinel into a VALID 1999)
+    ("1231999999999999", None, "Invalid year: -1"),
     # leap handling: engine uses correct Gregorian (documented divergence
     # from the reference's year%4 rule for 1900/2100)
     ("02292024", dt.date(2024, 2, 29), None),
