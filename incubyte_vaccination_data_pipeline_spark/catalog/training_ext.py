@@ -322,7 +322,64 @@ def approx_percentile_certified_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+SKEW_REPORT_ORACLE = """
+    WITH per_key AS (
+        SELECT o_custkey AS key, COUNT(*) AS n
+        FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(n) AS BIGINT) AS max_n,
+               round(AVG(CAST(n AS DOUBLE)), 6) AS avg_n
+        FROM per_key
+    ),
+    top AS (
+        SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
+        FROM per_key
+    )
+    SELECT t.rk AS rank, t.key, CAST(t.n AS BIGINT) AS n_rows,
+           round(t.n * 1.0 / s.total, 6) AS share,
+           round(t.n / s.avg_n, 6) AS x_avg
+    FROM top t CROSS JOIN stats s
+    WHERE t.rk <= 10
+"""
+
+
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregate-key skew diagnostic: the 10 heaviest o_custkey
+    values with their row share and multiple-of-average — the
+    measurement that decides between a plain shuffle, AQE skew-join
+    splitting, and explicit salting (operators/skew.py). Two narrow
+    aggregations plus a 1-row broadcast of the totals; never collects
+    per-key data to the driver."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_key.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg(F.col("n").cast("double")), 6).alias("avg_n"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("key"))
+    top = per_key.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rank",
+        "key",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.round(F.col("n") / F.col("avg_n"), 6).alias("x_avg"),
+    )
+
+
 STAGED: dict[str, tuple] = {
+    "skew_report_orders": (skew_report_q, SKEW_REPORT_ORACLE),
     "corpus_report": (corpus_report_q, CORPUS_REPORT_ORACLE),
     "embedding_quantize_int8": (embedding_quantize_q, EMBEDDING_QUANTIZE_ORACLE),
     "events_user_sequences": (event_sequences_q, EVENT_SEQUENCES_ORACLE),
