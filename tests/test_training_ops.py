@@ -341,6 +341,43 @@ def test_duplicate_clusters_long_chain_converges_and_raises(spark):
         duplicate_clusters(chain, max_iters=3)
 
 
+def test_simhash_banding_recall_complete_random_fingerprints(spark):
+    """Property: for random 32-bit fingerprints, the banded pair
+    generator finds EXACTLY the pairs a brute-force all-pairs Hamming
+    scan finds at d <= bands-1 — the pigeonhole completeness claim,
+    checked against an independent Python reference instead of
+    planted fixtures."""
+    import random
+
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import simhash_near_pairs
+
+    rng = random.Random(1234)
+    # half uniform, half mutated copies (1-3 bit flips) so near pairs exist
+    fps = {}
+    for i in range(120):
+        fps[i] = rng.getrandbits(32)
+    for i in range(120, 200):
+        base = fps[rng.randrange(120)]
+        mutated = base
+        for _ in range(rng.randint(1, 3)):
+            mutated ^= 1 << rng.randrange(32)
+        fps[i] = mutated
+    want = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in fps.items()], "doc_id long, simhash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(df, max_hamming=3, bits=32, bands=4).collect()
+    }
+    assert got == want
+
+
 def test_duplicate_clusters_diameter_equal_to_max_iters_converges(spark):
     """A component whose diameter exactly equals max_iters converges on
     its last propagation round; the extra confirming round must certify
@@ -361,6 +398,44 @@ def test_duplicate_clusters_diameter_equal_to_max_iters_converges(spark):
         for r in duplicate_clusters(chain4, max_iters=3).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_duplicate_clusters_random_graphs_match_union_find(spark):
+    """Property: on random sparse graphs, distributed min-label
+    propagation produces exactly the components an independent Python
+    union-find computes (label = component minimum)."""
+    import random
+
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        nodes = list(range(1, 81))
+        edges = [
+            (a, b)
+            for _ in range(60)
+            for a, b in [sorted(rng.sample(nodes, 2))]
+        ]
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {n for e in edges for n in e}
+        want = {n: find(n) for n in touched}
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(df, max_iters=16).collect()
+        }
+        assert got == want, f"seed={seed}"
 
 
 def test_duplicate_clusters_leaves_session_conf_untouched(spark):
