@@ -231,12 +231,19 @@ def dead_letter_frame(df, src_col: str, err_name: str = "validation_error"):
     Each branch's plan contains only its own branch of the parser, so
     every whole-stage method compiles (the all-in-one form, with or
     without chaining, exceeds janino's 64 KB ``processNext`` limit and
-    falls back to interpreted eval); the branch predicates also push
-    all the way into the scan, so each pass skips non-candidate rows
-    early instead of rendering errors behind an optimizer fence.
+    falls back to interpreted eval).
+
+    The shared normalization prefix is materialized ONCE before the
+    branch split: the three union branches each reference it, and
+    Spark duplicates referenced subtrees — without the checkpoint the
+    source was scanned and the regex-heavy prefix computed three
+    times per execution. The checkpoint costs one narrow
+    materialization of (source columns + a handful of int/str temps);
+    each branch still compiles its own whole-stage method, so the
+    janino-limit rationale for the union is unchanged.
     """
     orig = df.columns
-    base = _parse_prefix(df, src_col)
+    base = _parse_prefix(df, src_col).localCheckpoint()
     empty, nd = F.col("_pd_empty"), F.col("_pd_nd")
 
     b_empty = base.filter(empty).select(
