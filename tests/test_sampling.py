@@ -22,6 +22,40 @@ def test_split_boundaries_cover_all_buckets():
         split_boundaries({"a": 0.5, "b": 0.2})
 
 
+def test_split_boundaries_property_random_fractions():
+    """Property (hypothesis): for any normalized fraction mapping, the
+    boundaries are strictly increasing, cover [0, BUCKETS) exactly
+    (last forced to BUCKETS — rounding can never drop rows), and each
+    split's bucket width is within 1 of fraction * BUCKETS."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def check(weights):
+        total = sum(weights)
+        fractions = {f"s{i}": w / total for i, w in enumerate(weights)}
+        # renormalize drift so the sum gate passes
+        fractions[f"s{len(weights) - 1}"] += 1.0 - sum(fractions.values())
+        bounds = split_boundaries(fractions)
+        assert bounds[-1][1] == BUCKETS
+        uppers = [u for _, u in bounds]
+        assert uppers == sorted(uppers)
+        lower = 0
+        for (name, upper) in bounds[:-1]:
+            width = upper - lower
+            assert abs(width - fractions[name] * BUCKETS) <= 1.0
+            lower = upper
+
+    check()
+
+
 def test_split_is_exhaustive_disjoint_and_proportional(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     labeled = with_split(docs, "doc_id")
