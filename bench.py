@@ -20,8 +20,14 @@ from incubyte_vaccination_data_pipeline_spark import catalog  # noqa: E402
 from incubyte_vaccination_data_pipeline_spark.session import get_spark  # noqa: E402
 
 #: queries timed by the harness (the full catalog; each also serves as
-#: the per-round BENCH feedback loop while widening coverage)
-HEADLINE = list(catalog.QUERIES)
+#: the per-round BENCH feedback loop while widening coverage).
+#: CANONICAL name-sorted order, deliberately independent of the
+#: driver-window registration rotation: shared warm caches (session,
+#: scans, the dedup/ANN shared_cache frames) make per-query numbers
+#: order-sensitive, so a fixed order is what makes round-over-round
+#: per-query deltas attributable to code changes rather than to the
+#: rotation reshuffling who pays the warm-up (r3 verdict, finding #4).
+HEADLINE = sorted(catalog.QUERIES)
 
 RUNS = 2  # timed runs after the discarded warmup
 
@@ -34,7 +40,7 @@ COMPACT_TOP_N = 25
 def compact_payload(payload: dict, timings: dict[str, float]) -> dict:
     """A copy of the bench payload with only the slowest queries, sized
     to fit the driver's tail window (regression-tested)."""
-    compact = dict(payload)
+    compact = {k: v for k, v in payload.items() if k != "queries_cold"}
     compact["queries"] = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:COMPACT_TOP_N]
     )
@@ -50,6 +56,7 @@ def main() -> None:
 
     spark = get_spark(app_name="ivdp-bench")
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
         best = None
@@ -59,7 +66,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             if i == 0:
-                continue  # warmup
+                # first touch: plan compile + any shared-cache build this
+                # query triggers — recorded separately so warm numbers
+                # stay comparable round-over-round
+                cold[name] = round(dt, 4)
+                continue
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
 
@@ -69,6 +80,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "sf": sf,
     }
     line = json.dumps(payload)

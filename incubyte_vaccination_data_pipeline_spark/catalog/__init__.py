@@ -34,6 +34,12 @@ from incubyte_vaccination_data_pipeline_spark.catalog import dedup  # noqa: F401
 from incubyte_vaccination_data_pipeline_spark.catalog import text  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import similarity  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import multimodal  # noqa: F401,E402
+from incubyte_vaccination_data_pipeline_spark.catalog import training_ext  # noqa: E402
+
+# round 4: the training-data extension family (splits, contamination,
+# corpus report, int8 quantization, sequences, certified percentiles,
+# skew report) joins the live registry
+training_ext.register()
 
 FLAGSHIP_COUNTRY = vax.FLAGSHIP_COUNTRY
 
@@ -54,8 +60,8 @@ def _rotate_least_recently_verified() -> None:
     # new round's file takes effect without a manual state rebuild;
     # verified_rounds.json stays as the committed, test-enforced
     # artifact of the same computation
-    rounds = verify_rotation.rebuild_verified_rounds()
-    order = verify_rotation.rotation_order(list(QUERIES), rounds)
+    hist = verify_rotation.rebuild_history()
+    order = verify_rotation.rotation_order(list(QUERIES), hist)
     ordered = {k: QUERIES[k] for k in order}
     QUERIES.clear()
     QUERIES.update(ordered)

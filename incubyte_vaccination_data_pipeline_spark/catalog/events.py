@@ -319,8 +319,10 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle restates user_id/n_events and ``matches_batch`` as literal
     TRUE — the in-query-assert pattern for non-SQL-expressible
     operators (state arrival-order float sums carry a 1e-6 relative
-    tolerance; exact per-state semantics stay in
-    tests/test_streaming.py)."""
+    tolerance). Caveat: the oracle independently value-checks only
+    user_id/n_events; ``matches_batch`` is computed by the Spark job
+    under test, so its real verification is the exact per-state
+    semantics pinned in tests/test_streaming.py."""
     from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
         read_events_stream,
         run_to_memory,

@@ -306,7 +306,9 @@ def approx_percentile_certified_q(spark: SparkSession, sf_dir: str) -> DataFrame
     quantiles; like agg_approx_count_distinct, the sketch value is
     engine-specific, so the row carries the exact interpolated median
     plus an in-query 5%-error certificate the oracle states as
-    literal TRUE."""
+    literal TRUE. The exact_p50 column IS independently cross-checked
+    (DuckDB quantile_cont); only the approx-vs-exact bound is
+    in-frame."""
     orders = read_table(spark, sf_dir, "orders")
     p = F.col("o_totalprice").cast("double")
     return orders.groupBy("o_orderpriority").agg(

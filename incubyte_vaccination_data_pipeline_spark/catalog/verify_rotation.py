@@ -10,16 +10,22 @@ queries stale forever.
 This module implements the generalizing policy:
 
 * ``verified_rounds.json`` (repo root) maps query name -> the latest
-  round in which the driver recorded ANY row for it (green or
-  rows-only).  It is rebuilt from the ``CORRECTNESS_r*.json`` files the
-  driver writes, so it cannot drift from the actual driver history.
-* Registration order is re-sorted ascending by that round number.
-  Queries with no driver row ever (new this round) sort first
-  (round 0); then the least-recently-checked; most-recently-checked
-  last.  Ties keep original registration order (stable sort).
+  round in which the driver recorded ANY row for it, plus whether that
+  row carried a value check (``hash_match: true``) or was rows-only
+  (``no_oracle``).  It is rebuilt from the ``CORRECTNESS_r*.json``
+  files the driver writes, so it cannot drift from the actual driver
+  history.
+* Registration order is re-sorted ascending by
+  ``(last_round, value_checked)``: queries with no driver row ever
+  (new this round) sort first (round 0); then, within a round,
+  rows-only ``no_oracle`` rows sort ahead of value-checked green rows
+  — a query the driver looked at but could not value-verify needs the
+  window sooner than one it fully verified the same round.  Ties keep
+  original registration order (stable sort).
 
 Invariant: every query re-enters the 50-slot window within
-``ceil(N_queries / 50)`` rounds, and a refactor that touches an old
+``ceil(N_queries / 50)`` rounds (pinned by a growth simulation in
+``tests/test_rotation.py``), and a refactor that touches an old
 query's code path is re-driver-verified at most one round later.
 The rotation is *stated* in README.md and ROUND_NOTES.md so the
 external grader knows which queries carry only local-pytest oracle
@@ -37,55 +43,116 @@ REPO_ROOT = Path(__file__).resolve().parents[2]
 STATE_FILE = REPO_ROOT / "verified_rounds.json"
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
 
+WINDOW = 50  # driver verifies the first WINDOW registered queries
 
-def rebuild_verified_rounds(repo_root: Path = REPO_ROOT) -> dict[str, int]:
-    """Scan every driver-written CORRECTNESS_r*.json -> {query: last_round}.
 
-    A row of any kind (green, rows-only ``no_oracle``, or even an error)
-    counts as "the driver looked at it that round": the rotation's job is
-    recency of *driver attention*, not of success — a failed row gets
-    fixed and naturally stays near the front only if the driver skipped
-    it entirely.
+def rebuild_history(
+    repo_root: Path = REPO_ROOT, max_round: int | None = None
+) -> dict[str, dict]:
+    """Scan driver-written CORRECTNESS_r*.json files ->
+    ``{query: {"round": last_round, "value": bool}}``.
+
+    A row of any kind (green, rows-only ``no_oracle``, or even an
+    error) counts as "the driver looked at it that round"; ``value``
+    records whether that *latest* row carried a value check
+    (``hash_match: true``).  Rows-only queries therefore re-enter the
+    window ahead of same-round green ones.
+
+    ``max_round`` limits the scan to rounds <= that number, letting the
+    committed-state test compare against exactly the history that
+    existed when the state file was written (the driver writes
+    CORRECTNESS_r{N}.json *after* the builder's last round-N commit).
     """
-    rounds: dict[str, int] = {}
+    hist: dict[str, dict] = {}
     for p in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         m = _CORRECTNESS_RE.search(p.name)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             data = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):
             continue
         if not isinstance(data, dict):
             continue
-        for name in data:
-            rounds[name] = max(rounds.get(name, 0), rnd)
-    return rounds
+        for name, row in data.items():
+            prev = hist.get(name)
+            if prev is not None and prev["round"] > rnd:
+                continue
+            value = bool(isinstance(row, dict) and row.get("hash_match") is True)
+            hist[name] = {"round": rnd, "value": value}
+    return hist
 
 
-def write_state(rounds: dict[str, int], path: Path = STATE_FILE) -> None:
+def rebuild_verified_rounds(
+    repo_root: Path = REPO_ROOT, max_round: int | None = None
+) -> dict[str, int]:
+    """Back-compat view of :func:`rebuild_history`: {query: last_round}."""
+    return {k: v["round"] for k, v in rebuild_history(repo_root, max_round).items()}
+
+
+def write_state(hist: dict[str, dict], path: Path = STATE_FILE) -> None:
     path.write_text(
-        json.dumps(dict(sorted(rounds.items())), indent=1, sort_keys=True) + "\n"
+        json.dumps(dict(sorted(hist.items())), indent=1, sort_keys=True) + "\n"
     )
 
 
-def load_state(path: Path = STATE_FILE) -> dict[str, int]:
+def load_state(path: Path = STATE_FILE) -> dict[str, dict]:
     try:
         data = json.loads(path.read_text())
     except (OSError, json.JSONDecodeError):
         return {}
     if not isinstance(data, dict):
         return {}
-    return {k: int(v) for k, v in data.items() if isinstance(v, (int, float))}
+    out: dict[str, dict] = {}
+    for k, v in data.items():
+        if isinstance(v, dict) and isinstance(v.get("round"), (int, float)):
+            out[k] = {"round": int(v["round"]), "value": bool(v.get("value"))}
+        elif isinstance(v, (int, float)):  # pre-round-4 int format
+            out[k] = {"round": int(v), "value": True}
+    return out
 
 
-def rotation_order(names: list[str], rounds: dict[str, int]) -> list[str]:
-    """Stable sort: never-verified first, then least-recently-verified."""
-    return sorted(names, key=lambda n: rounds.get(n, 0))
+def _sort_key(hist: dict[str, dict], name: str) -> tuple[int, bool]:
+    row = hist.get(name)
+    if row is None:
+        return (0, False)
+    return (row["round"], row["value"])
+
+
+def rotation_order(names: list[str], hist: dict[str, dict]) -> list[str]:
+    """Stable sort: never-verified first, then least-recently-verified;
+    within a round, rows-only (``no_oracle``) rows ahead of green."""
+    return sorted(names, key=lambda n: _sort_key(hist, n))
+
+
+def simulate_max_gap(names: list[str], hist: dict[str, dict], rounds: int = 8) -> int:
+    """Simulate ``rounds`` future driver rounds (each verifies the first
+    WINDOW queries of the current rotation, value-checked) and return
+    the largest observed gap, in rounds, between consecutive driver
+    rows for any query.  Used by tests to pin the coverage invariant
+    BEFORE a registration change ships: a planned growth that pushes a
+    stale query out of its guaranteed window fails the suite, not the
+    next round's verdict."""
+    sim = {k: dict(v) for k, v in hist.items()}
+    start = max((v["round"] for v in sim.values()), default=0)
+    max_gap = 0
+    for rnd in range(start + 1, start + 1 + rounds):
+        order = rotation_order(names, sim)
+        for n in order[:WINDOW]:
+            prev = sim.get(n, {"round": rnd - 1})["round"]
+            max_gap = max(max_gap, rnd - prev)
+            sim[n] = {"round": rnd, "value": True}
+    # anything never hit inside the horizon counts as an unbounded gap
+    for n in names:
+        if n not in sim:
+            return rounds + 1
+    return max_gap
 
 
 if __name__ == "__main__":  # pragma: no cover - maintenance entry point
-    state = rebuild_verified_rounds()
+    state = rebuild_history()
     write_state(state)
     print(f"wrote {STATE_FILE} with {len(state)} entries")

@@ -38,6 +38,7 @@ Documented divergences (SURVEY.md §2.12, §7.3):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -233,17 +234,26 @@ def dead_letter_frame(df, src_col: str, err_name: str = "validation_error"):
     without chaining, exceeds janino's 64 KB ``processNext`` limit and
     falls back to interpreted eval).
 
-    The shared normalization prefix is materialized ONCE before the
+    The shared normalization prefix is persisted ONCE before the
     branch split: the three union branches each reference it, and
-    Spark duplicates referenced subtrees — without the checkpoint the
-    source was scanned and the regex-heavy prefix computed three
-    times per execution. The checkpoint costs one narrow
-    materialization of (source columns + a handful of int/str temps);
-    each branch still compiles its own whole-stage method, so the
-    janino-limit rationale for the union is unchanged.
+    Spark duplicates referenced subtrees — without the shared cache
+    the source was scanned and the regex-heavy prefix computed three
+    times per execution. The persist is LAZY (``MEMORY_AND_DISK``):
+    building the frame has no side effect, the first action populates
+    the cache and the remaining branches read it, and lineage stays
+    intact so an executor loss recomputes the lost partitions instead
+    of failing the job (unlike ``localCheckpoint``, which severs
+    lineage into non-fault-tolerant executor storage — wrong at the
+    100 TB design point for a full-width prefix). Each branch still
+    compiles its own whole-stage method, so the janino-limit rationale
+    for the union is unchanged.
+
+    The cache handle is attached to the returned frame as
+    ``_ivdp_persisted_base``; long-lived callers release it with
+    :func:`release_dead_letter_cache` after their terminal action.
     """
     orig = df.columns
-    base = _parse_prefix(df, src_col).localCheckpoint()
+    base = _parse_prefix(df, src_col).persist(StorageLevel.MEMORY_AND_DISK)
     empty, nd = F.col("_pd_empty"), F.col("_pd_nd")
 
     b_empty = base.filter(empty).select(
@@ -304,7 +314,17 @@ def dead_letter_frame(df, src_col: str, err_name: str = "validation_error"):
             ).alias(err_name),
         )
     )
-    return b_empty.unionByName(b_compact).unionByName(b_casc)
+    out = b_empty.unionByName(b_compact).unionByName(b_casc)
+    out._ivdp_persisted_base = base
+    return out
+
+
+def release_dead_letter_cache(df) -> None:
+    """Unpersist the shared parse-prefix cache attached by
+    :func:`dead_letter_frame` (no-op for frames without one)."""
+    base = getattr(df, "_ivdp_persisted_base", None)
+    if base is not None:
+        base.unpersist()
 
 
 def with_parsed_date(

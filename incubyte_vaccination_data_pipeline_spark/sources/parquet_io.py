@@ -80,6 +80,34 @@ def write_warehouse(
     writer.parquet(path)
 
 
+def _remove_spark_table_dir(path: str) -> None:
+    """Delete ``path`` only if it is absent, empty, or recognizably a
+    prior Spark table directory (``_SUCCESS`` marker or ``part-*``
+    data files at the top level). A mistyped location must raise, not
+    silently erase an unrelated directory (overwrite is also kept
+    two-step — drop then write — so the check is the only thing
+    standing between a typo and data loss)."""
+    import os
+    import shutil
+
+    if not os.path.exists(path):
+        return
+    if not os.path.isdir(path):
+        raise ValueError(f"refusing to overwrite non-directory: {path!r}")
+    entries = os.listdir(path)
+    looks_like_table = not entries or any(
+        e == "_SUCCESS" or e.startswith("part-") or e.startswith("_committed")
+        for e in entries
+    )
+    if not looks_like_table:
+        raise ValueError(
+            f"refusing to delete {path!r}: does not look like a Spark "
+            f"table directory (no _SUCCESS/part-* files); remove it "
+            f"manually if overwrite is really intended"
+        )
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def write_bucketed_warehouse(
     df: DataFrame,
     table: str,
@@ -109,17 +137,16 @@ def write_bucketed_warehouse(
         # stale directory so overwrite is idempotent across sessions
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        import shutil
         from urllib.parse import urlparse
 
         if path is not None:
-            shutil.rmtree(path, ignore_errors=True)
+            _remove_spark_table_dir(path)
         else:
             wh = urlparse(
                 spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
             )
             if wh.scheme in ("", "file"):
-                shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
+                _remove_spark_table_dir(f"{wh.path}/{table.lower()}")
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)

@@ -157,3 +157,41 @@ def test_dedup_latest_keeps_most_recent(spark):
     out = {r["CUST_I"]: r for r in dedup_latest(df).collect()}
     assert out["1"]["NAME"] == "b"  # latest wins; NULLs sort last in DESC
     assert out["2"]["NAME"] == "d"  # all-NULL group still yields one row
+
+
+def test_remove_spark_table_dir_guards_unrelated_dirs(tmp_path):
+    """Overwrite-mode table replacement must never rmtree a directory
+    that doesn't look like a prior Spark table (ADVICE r3): a mistyped
+    path raises instead of silently deleting."""
+    import pytest
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        _remove_spark_table_dir,
+    )
+
+    # absent path: no-op
+    _remove_spark_table_dir(str(tmp_path / "nope"))
+    # empty dir: removable
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    _remove_spark_table_dir(str(empty))
+    assert not empty.exists()
+    # prior Spark table (has _SUCCESS + part files): removable
+    table = tmp_path / "table"
+    table.mkdir()
+    (table / "_SUCCESS").touch()
+    (table / "part-00000-abc.snappy.parquet").touch()
+    _remove_spark_table_dir(str(table))
+    assert not table.exists()
+    # unrelated content: refuse
+    home = tmp_path / "home"
+    home.mkdir()
+    (home / "notes.txt").write_text("important")
+    with pytest.raises(ValueError, match="refusing to delete"):
+        _remove_spark_table_dir(str(home))
+    assert (home / "notes.txt").exists()
+    # a file path: refuse
+    f = tmp_path / "file.parquet"
+    f.touch()
+    with pytest.raises(ValueError, match="non-directory"):
+        _remove_spark_table_dir(str(f))

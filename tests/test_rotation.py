@@ -15,19 +15,41 @@ from incubyte_vaccination_data_pipeline_spark import catalog
 from incubyte_vaccination_data_pipeline_spark.catalog import verify_rotation as vr
 
 
+def _h(round_, value=True):
+    return {"round": round_, "value": value}
+
+
 def test_rotation_order_never_verified_first():
-    rounds = {"a": 2, "b": 1, "d": 1}
-    assert vr.rotation_order(["a", "b", "c", "d"], rounds) == ["c", "b", "d", "a"]
+    hist = {"a": _h(2), "b": _h(1), "d": _h(1)}
+    assert vr.rotation_order(["a", "b", "c", "d"], hist) == ["c", "b", "d", "a"]
 
 
 def test_rotation_order_stable_within_round():
-    rounds = {"x": 1, "y": 1, "z": 1}
-    assert vr.rotation_order(["z", "x", "y"], rounds) == ["z", "x", "y"]
+    hist = {"x": _h(1), "y": _h(1), "z": _h(1)}
+    assert vr.rotation_order(["z", "x", "y"], hist) == ["z", "x", "y"]
+
+
+def test_rotation_order_rows_only_before_green_same_round():
+    """A no_oracle (rows-only) driver row needs the window sooner than a
+    value-checked green row from the same round."""
+    hist = {"green": _h(2, value=True), "weak": _h(2, value=False), "old": _h(1)}
+    assert vr.rotation_order(["green", "weak", "old"], hist) == [
+        "old",
+        "weak",
+        "green",
+    ]
 
 
 def test_state_file_matches_driver_history():
+    """The committed state must equal the rebuild over the rounds that
+    existed when it was written.  The driver writes CORRECTNESS_r{N}
+    AFTER the builder's last round-N commit, so a newer driver file in
+    the working tree must not redden the suite — compare only rounds
+    <= the committed maximum."""
     committed = vr.load_state()
-    rebuilt = vr.rebuild_verified_rounds()
+    assert committed, "verified_rounds.json missing or unparseable"
+    max_round = max(v["round"] for v in committed.values())
+    rebuilt = vr.rebuild_history(max_round=max_round)
     assert committed == rebuilt, (
         "verified_rounds.json is stale — run "
         "python -m incubyte_vaccination_data_pipeline_spark.catalog.verify_rotation"
@@ -35,9 +57,9 @@ def test_state_file_matches_driver_history():
 
 
 def test_catalog_registration_is_lrv_sorted():
-    rounds = vr.rebuild_verified_rounds()  # the ordering source at import
-    staleness = [rounds.get(n, 0) for n in catalog.QUERIES]
-    assert staleness == sorted(staleness)
+    hist = vr.rebuild_history()  # the ordering source at import
+    keys = [vr._sort_key(hist, n) for n in catalog.QUERIES]
+    assert keys == sorted(keys)
     # oracle dict ordering mirrors the query dict
     oracle_names = list(catalog.ORACLES)
     assert oracle_names == [n for n in catalog.QUERIES if n in catalog.ORACLES]
@@ -47,12 +69,44 @@ def test_window_covers_least_recently_verified():
     """Every query whose last driver row is oldest sits inside the
     50-slot window — i.e. no query is more than ceil(N/50) rounds from
     re-verification."""
-    rounds = vr.rebuild_verified_rounds()
+    hist = vr.rebuild_history()
     names = list(catalog.QUERIES)
-    window = set(names[:50])
-    max_in_window = max(rounds.get(n, 0) for n in names[:50])
-    for n in names[50:]:
-        assert rounds.get(n, 0) >= max_in_window or n in window
+    window = set(names[: vr.WINDOW])
+    max_in_window = max(hist.get(n, _h(0))["round"] for n in names[: vr.WINDOW])
+    for n in names[vr.WINDOW :]:
+        assert hist.get(n, _h(0))["round"] >= max_in_window or n in window
+
+
+def test_simulated_growth_keeps_gap_bounded():
+    """Window-preview guard: under the CURRENT registration (including
+    any queries staged into the registry this round), no query may go
+    more than ceil(N/50) rounds without a driver row.  Catches a
+    registration change that silently pushes a stale query out of its
+    guaranteed window (the round-3 pos-52/53/57 miss)."""
+    import math
+
+    names = list(catalog.QUERIES)
+    hist = vr.rebuild_history()
+    bound = math.ceil(len(names) / vr.WINDOW)
+    gap = vr.simulate_max_gap(names, hist, rounds=2 * bound + 2)
+    assert gap <= bound, f"simulated verification gap {gap} > ceil(N/50)={bound}"
+
+
+def test_round4_window_contains_staged_and_certificate_queries():
+    """The specific round-4 contract: the 8 newly-registered
+    training_ext queries AND the 4 r2 rows-only certificate queries all
+    sit inside the driver's 50-slot window."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import training_ext
+
+    window = list(catalog.QUERIES)[: vr.WINDOW]
+    must_have = set(training_ext.STAGED) | {
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "multimodal_features",
+        "stream_running_totals",
+    }
+    missing = must_have - set(window)
+    assert not missing, f"queries outside the driver window: {sorted(missing)}"
 
 
 def test_every_query_has_an_oracle():
@@ -122,5 +176,14 @@ def test_rebuild_counts_any_row_kind(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({"q_green": {"hash_match": True}})
     )
-    rounds = vr.rebuild_verified_rounds(tmp_path)
-    assert rounds == {"q_green": 2, "q_weak": 1}
+    hist = vr.rebuild_history(tmp_path)
+    assert hist == {
+        "q_green": {"round": 2, "value": True},
+        "q_weak": {"round": 1, "value": False},
+    }
+    assert vr.rebuild_verified_rounds(tmp_path) == {"q_green": 2, "q_weak": 1}
+    # max_round cutoff ignores newer driver files
+    assert vr.rebuild_history(tmp_path, max_round=1) == {
+        "q_green": {"round": 1, "value": True},
+        "q_weak": {"round": 1, "value": False},
+    }

@@ -449,3 +449,33 @@ def test_duplicate_clusters_leaves_session_conf_untouched(spark):
     pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
     duplicate_clusters(pairs).collect()
     assert spark.conf.get(key) == before
+
+
+def test_multimodal_features_ok_for_empty_payload(spark):
+    """ADVICE r3: a zero-length payload has an all-zero histogram by
+    definition and must still certify features_ok = TRUE (a single
+    empty document in a future testdata generation must not flip the
+    driver certificate)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.multimodal import (
+        multimodal_features_q,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        _bytehist_features,
+    )
+
+    assert _bytehist_features(b"") == [0.0] * 16
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, ""), (1, "hello world")], "doc_id bigint, text string"
+        ).withColumn("lang", F.lit("en")).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        rows = {
+            r["doc_id"]: r for r in multimodal_features_q(spark, d).collect()
+        }
+    assert rows[0]["n_bytes"] == 0 and rows[0]["features_ok"] is True
+    assert rows[1]["features_ok"] is True
