@@ -30,10 +30,23 @@ TESTDATA_TABLES = [
 ]
 
 
+#: unexecuted DataFrame handles per (session, dir, table) — building a
+#: scan costs several driver<->JVM round-trips (footer read, schema),
+#: ~0.1 s per table per query build; the handle is an immutable lazy
+#: plan, so reuse is free and nothing is persisted or pinned
+_READ_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _READ_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _READ_CACHE[key] = df
+    return df
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,14 +34,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_GAP = "30 minutes"
 _DEC = "decimal(18,2)"
 
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
 def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Physical schema of events.parquet, probed from the footer (a
     driver-side metadata read): the generated ``ts`` type has varied
     across testdata generations (TIMESTAMP(NANOS) -> long under
     ``nanosAsLong``, TIMESTAMP(MICROS) -> timestamp_ntz), and a file
-    stream needs the declared schema to match the files."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream needs the declared schema to match the files. Probed once
+    per (session, dir) — every stream query in the family re-reads the
+    same immutable footer otherwise."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,6 +248,7 @@ def run_to_memory(
     name: str,
     output_mode: str = "complete",
     shuffle_partitions: int | None = 8,
+    no_data_batches: bool = False,
 ) -> DataFrame:
     """Drive a streaming frame to completion against the memory sink
     (synchronous; for tests/smoke — production uses real sinks +
@@ -247,23 +258,66 @@ def run_to_memory(
     partitioning is fixed for the life of the query): local sources are
     tiny, and every state partition costs a state-store instance —
     stream-stream joins keep four per partition, so 32 partitions is
-    pure overhead here. Production sizes this to the cluster instead.
+    pure overhead here (8 measured best locally: 4 starves the
+    aggregation/Python-state parallelism, 16+ pays store overhead).
+    Production sizes this to the cluster instead.
+
+    ``no_data_batches`` defaults OFF: the trailing empty micro-batch
+    only exists to advance the watermark so APPEND-mode *aggregates*
+    can emit their final windows and stateful ops can evict. Every
+    query this runner drives is complete/update-mode or an
+    emit-on-arrival append op (inner stream-stream join, dedup), whose
+    visible rows are identical without it — the extra trigger was pure
+    fixed cost (~0.2-0.4 s per query locally). Pass ``True`` for
+    append-mode windowed aggregates, which DO need it to emit.
     """
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     try:
-        q = (
+        writer = (
             df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
-            .start()
         )
+        ckpt = _ephemeral_checkpoint_dir(name)
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         try:
             q.processAllAvailable()
         finally:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
+        if ckpt is not None:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def _ephemeral_checkpoint_dir(name: str) -> str | None:
+    """A tmpfs-backed checkpoint dir when the platform has one.
+
+    The offset/commit metadata logs are written with create+rename+sync
+    per micro-batch; for this runner the checkpoint is explicitly
+    DISPOSABLE (memory sink, drive-to-completion, then delete), so
+    those fsyncs buy nothing and RAM-backed files cut the per-query
+    fixed cost. Production sinks pass a durable checkpointLocation on
+    shared storage instead — this helper is only for the ephemeral
+    drive-and-discard pattern."""
+    import os
+    import tempfile
+
+    base = "/dev/shm"
+    if not os.path.isdir(base) or not os.access(base, os.W_OK):
+        return None  # fall back to Spark's default temp checkpoint
+    return tempfile.mkdtemp(prefix=f"ivdp-ckpt-{name}-", dir=base)
