@@ -5,10 +5,12 @@ carrying the raw payload next to a typed metadata struct, processed by
 Arrow-batched ``mapInPandas`` operators so payload bytes never pass
 through Python row-by-row.
 
-Two codecs are REAL and dependency-free (stdlib only): PNG (zlib
-inflate + full scanline unfiltering, 8-bit gray/RGB/RGBA) and WAV
-(RIFF chunk walk + PCM16 sample decode). Formats that genuinely need
-external libraries (JPEG, MP3, video) raise ``DecoderNotAvailable``;
+Three codecs are REAL and dependency-free (stdlib + numpy only): PNG
+(zlib inflate + full scanline unfiltering, 8-bit gray/RGB/RGBA),
+baseline JPEG (SOF0: Huffman entropy decode, dequantize, exact float
+IDCT, chroma upsample, YCbCr->RGB), and WAV (RIFF chunk walk + PCM16
+sample decode). Formats that genuinely need external libraries
+(progressive JPEG, MP3, video) raise ``DecoderNotAvailable``;
 unrecognized payloads (e.g. plain text modeled as binary) fall back to
 a deterministic byte-histogram so the Spark-side plumbing — schema,
 batching, partition parallelism, UDF signature — is exercised
@@ -37,8 +39,8 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 class DecoderNotAvailable(NotImplementedError):
     """Raised when a payload needs a codec this container does not
-    ship (JPEG/MP3/video) or a PNG/WAV variant outside the
-    dependency-free decoders' scope."""
+    ship (progressive JPEG/MP3/video) or a PNG/JPEG/WAV variant
+    outside the dependency-free decoders' scope."""
 
 
 def decode_image(payload: bytes) -> dict:
@@ -142,6 +144,347 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+#: JPEG zigzag scan order: zigzag index -> raster index within an 8x8
+#: block (ITU-T T.81 figure 5). Built once.
+_ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis matrix C: forward DCT is
+    C @ B @ C.T, inverse is C.T @ Coef @ C (exact float transform —
+    the spec's real-valued reference IDCT, not a fast integer
+    approximation, so decode is bit-stable across platforms)."""
+    k = np.arange(8, dtype=np.float64)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with byte
+    stuffing (FF 00 -> FF) and restart-marker awareness."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            p = self.pos
+            if p >= len(d):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8  # pad with zeros past the end
+                continue
+            b = d[p]
+            if b == 0xFF:
+                nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed FF
+                    self.pos = p + 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker: stop fill
+                    self.acc = (self.acc << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+                else:  # EOI or next segment: pad
+                    self.acc = (self.acc << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos = p + 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def align_restart(self) -> None:
+        """Discard buffered bits and consume an RSTn marker at the
+        current byte position (called every restart interval)."""
+        self.acc = 0
+        self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
+                return
+            p += 1
+        self.pos = p
+
+
+def _build_huffman(bits_counts: list[int], symbols: bytes) -> dict:
+    """DHT table -> {(length, code): symbol} per T.81 Annex C code
+    assignment (canonical codes, shorter first)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise DecoderNotAvailable("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category value -> signed value (T.81 F.2.2.1)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Dependency-free baseline JPEG (SOF0) decoder: marker walk,
+    canonical Huffman entropy decode with byte stuffing + restart
+    markers, dequantize, exact float 8x8 IDCT (batched via numpy
+    einsum), nearest-neighbor chroma upsample, JFIF YCbCr->RGB.
+
+    Scope: baseline sequential DCT, 8-bit precision, 1 or 3
+    components, any sampling factors (4:4:4, 4:2:2, 4:2:0, ...).
+    Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+    modes raise :class:`DecoderNotAvailable`. Chroma upsampling is
+    sample replication — the spec leaves the filter to the decoder;
+    replication keeps output deterministic and testable.
+
+    Returns {width, height, channels, pixels: bytes} like
+    :func:`decode_image` (row-major, channel-interleaved).
+    """
+    if not payload.startswith(b"\xff\xd8"):
+        raise DecoderNotAvailable("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise DecoderNotAvailable("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(
+                        np.int32
+                    )
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body[i : i + 128], dtype=">u2").astype(
+                        np.int32
+                    )
+                    i += 128
+                qt[tq] = tbl  # zigzag order
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise DecoderNotAvailable(f"JPEG precision {precision} out of scope")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise DecoderNotAvailable(
+                f"JPEG SOF{marker - 0xC0} out of scope (baseline SOF0 only)"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1 : i + 17])
+                total = sum(counts)
+                syms = body[i + 17 : i + 17 + total]
+                i += 17 + total
+                tbl = _build_huffman(counts, syms)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise DecoderNotAvailable("JPEG SOS before SOF0")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = body[1 + 2 * c : 3 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append(
+                    {"comp": comp, "dc": tds >> 4, "ac": tds & 0x0F}
+                )
+            data_start = pos + 2 + seglen
+            return _decode_scan(
+                payload, data_start, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise DecoderNotAvailable("truncated JPEG (no SOS)")
+
+
+def _decode_scan(
+    payload: bytes,
+    data_start: int,
+    frame: dict,
+    scan: list[dict],
+    qt: dict[int, np.ndarray],
+    huff_dc: dict[int, dict],
+    huff_ac: dict[int, dict],
+    restart_interval: int,
+) -> dict:
+    width, height, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # Per-component zigzag coefficient store: one row per 8x8 block in
+    # MCU-interleaved order; IDCT runs batched over all blocks at once.
+    blocks: dict[int, list[np.ndarray]] = {i: [] for i in range(len(scan))}
+    reader = _BitReader(payload, data_start)
+    pred = [0] * len(scan)
+    mcu_count = 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_restart()
+                pred = [0] * len(scan)
+            for si, sc in enumerate(scan):
+                comp = sc["comp"]
+                dc_tbl = huff_dc.get(sc["dc"])
+                ac_tbl = huff_ac.get(sc["ac"])
+                if dc_tbl is None or ac_tbl is None:
+                    raise DecoderNotAvailable("JPEG scan references missing DHT")
+                for _b in range(comp["h"] * comp["v"]):
+                    zz = np.zeros(64, dtype=np.int32)
+                    t = _huff_decode(reader, dc_tbl)
+                    diff = _extend(reader.bits(t), t)
+                    pred[si] += diff
+                    zz[0] = pred[si]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise DecoderNotAvailable("JPEG AC index overflow")
+                        zz[k] = _extend(reader.bits(s), s)
+                        k += 1
+                    blocks[si].append(zz)
+            mcu_count += 1
+    # Batched dequantize + de-zigzag + IDCT per component.
+    planes: list[np.ndarray] = []
+    for si, sc in enumerate(scan):
+        comp = sc["comp"]
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise DecoderNotAvailable("JPEG component references missing DQT")
+        arr = np.stack(blocks[si]) * q[None, :]  # (nblocks, 64) zigzag
+        rast = np.zeros_like(arr)
+        rast[:, _ZIGZAG] = arr
+        coef = rast.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ij,njk,kl->nil", _DCT_C.T, coef, _DCT_C)
+        pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+        # Reassemble MCU-interleaved blocks into the component plane.
+        ch, cv = comp["h"], comp["v"]
+        bw, bh = mcux * ch, mcuy * cv  # blocks across/down (padded)
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        bi = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = pix[bi]
+                        bi += 1
+        # Upsample to the full-resolution grid by sample replication.
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, hmax // ch, axis=1), vmax // cv, axis=0
+            )
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return {
+            "width": width,
+            "height": height,
+            "channels": 1,
+            "pixels": planes[0].tobytes(),
+        }
+    if len(planes) != 3:
+        raise DecoderNotAvailable(f"JPEG with {len(planes)} components out of scope")
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, b)], axis=-1
+    )
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": rgb.tobytes(),
+    }
+
+
 def decode_audio(payload: bytes) -> dict:
     """Dependency-free WAV decoder: RIFF chunk walk + 16-bit PCM
     sample decode. Returns {sample_rate, channels, samples: list[int]}
@@ -215,6 +558,19 @@ def _decode_one(data: bytes) -> tuple[list[float], str]:
             means = [0.0] * ch
         feats = _pad([float(img["width"]), float(img["height"]), float(ch)] + means)
         return feats, "png-v1"
+    if data.startswith(JPEG_MAGIC):
+        img = decode_jpeg(data)
+        ch = img["channels"]
+        px = np.frombuffer(img["pixels"], dtype=np.uint8)
+        if len(px):
+            means = [
+                round(float(m) / 255.0, 6)
+                for m in px.reshape(-1, ch).mean(axis=0, dtype=np.float64)
+            ]
+        else:
+            means = [0.0] * ch
+        feats = _pad([float(img["width"]), float(img["height"]), float(ch)] + means)
+        return feats, "jpeg-baseline-v1"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         au = decode_audio(data)
         s = np.asarray(au["samples"] or [0], dtype=np.float64)
@@ -238,6 +594,8 @@ def decode_features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
     - PNG  -> real pixel decode; features = [width, height, channels,
       per-channel mean/255 ...] (decoder ``png-v1``)
+    - JPEG -> real baseline-DCT decode; same feature layout as PNG
+      (decoder ``jpeg-baseline-v1``)
     - WAV  -> real PCM16 decode; features = [sample_rate, channels,
       n_samples, rms/32768, mean/32768] (decoder ``wav-pcm-v1``)
     - else -> deterministic 16-bin byte histogram (``fake-bytehist-v1``)

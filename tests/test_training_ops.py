@@ -259,12 +259,14 @@ def test_corrupt_media_payloads_fall_back_per_row(spark):
 
     corrupt_png = PNG_MAGIC + b"\x00\x00\x00\x0dIHDR" + b"\x99" * 20
     corrupt_wav = b"RIFF\x10\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00"
+    corrupt_jpg = b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xd9"
     good_png = _make_png(2, 2, bytes(range(12)))
     rows = spark.createDataFrame(
         [
             (1, bytearray(corrupt_png)),
             (2, bytearray(corrupt_wav)),
             (3, bytearray(good_png)),
+            (4, bytearray(corrupt_jpg)),
         ],
         "doc_id long, payload binary",
     )
@@ -272,6 +274,7 @@ def test_corrupt_media_payloads_fall_back_per_row(spark):
     assert out[1]["decoder"] == "bytehist-fallback-v1"
     assert out[2]["decoder"] == "bytehist-fallback-v1"
     assert out[3]["decoder"] == "png-v1"
+    assert out[4]["decoder"] == "bytehist-fallback-v1"
     assert abs(sum(out[1]["features"]) - 1.0) < 1e-5
 
 
@@ -285,6 +288,385 @@ def test_wav_decoder_roundtrip():
     assert au["samples"] == samples
 
 
+# --- JPEG encoder-side reference (baseline SOF0, test-only) ---------
+#
+# Mirrors the public T.81 encoder pipeline so the repo's decoder can be
+# verified against spec-shaped bitstreams without external libraries.
+# The encoder also computes the EXACT pixels a correct decoder must
+# produce (dequantize + float IDCT + replication upsample + JFIF color
+# transform on its own quantized coefficients), so tests compare
+# byte-exact, not just "roughly similar".
+
+_JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12  # 12 symbols, all 4-bit codes
+_JPEG_DC_SYMS = bytes(range(12))
+_JPEG_AC_COUNTS = [0] * 7 + [176] + [0] * 8  # (run, size) pairs, 8-bit codes
+_JPEG_AC_SYMS = bytes((r << 4) | s for r in range(16) for s in range(11))
+
+#: Annex K table K.1 (luminance), raster order — non-uniform on purpose
+#: so a zigzag mix-up between DQT and coefficients cannot cancel out.
+_QTBL_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _jpeg_enc_table(counts, symbols):
+    """Canonical symbol -> (length, code), same assignment as the
+    decoder's ``_build_huffman`` (T.81 Annex C)."""
+    enc, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[symbols[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def pad(self):
+        while self.n:
+            self.put(1, 1)  # 1-bit padding per spec
+
+
+def _jpeg_cat(v):
+    return abs(v).bit_length()
+
+
+def _jpeg_amp(v, t):
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _jpeg_encode_block(w, zz, pred, dc_enc, ac_enc):
+    diff = int(zz[0]) - pred
+    t = _jpeg_cat(diff)
+    ln, c = dc_enc[t]
+    w.put(c, ln)
+    if t:
+        w.put(_jpeg_amp(diff, t), t)
+    nz = [k for k in range(1, 64) if zz[k]]
+    last = nz[-1] if nz else 0
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, c = ac_enc[0xF0]  # ZRL
+            w.put(c, ln)
+            run -= 16
+        t = _jpeg_cat(v)
+        ln, c = ac_enc[(run << 4) | t]
+        w.put(c, ln)
+        w.put(_jpeg_amp(v, t), t)
+        run = 0
+    if last < 63:
+        ln, c = ac_enc[0x00]  # EOB
+        w.put(c, ln)
+    return int(zz[0])
+
+
+def _pad_edge(plane, H, W):
+    import numpy as np
+
+    h, w = plane.shape
+    out = np.empty((H, W), dtype=np.float64)
+    out[:h, :w] = plane
+    if w < W:
+        out[:h, w:] = plane[:, -1:]
+    if h < H:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
+
+
+def _make_jpeg(width, height, pixels, channels=3, subsample=False,
+               q_luma=None, q_chroma=None, restart=0, q16_chroma=False):
+    """Baseline JPEG encoder returning ``(payload, expected_pixels)``
+    where ``expected_pixels`` is the byte-exact output a correct
+    decoder (float IDCT, replication upsample, JFIF color transform)
+    must produce from this bitstream."""
+    import struct as _struct
+
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        _DCT_C,
+        _ZIGZAG,
+    )
+
+    q_luma = np.asarray(q_luma if q_luma is not None else [1] * 64, dtype=np.int64)
+    q_chroma = np.asarray(
+        q_chroma if q_chroma is not None else q_luma, dtype=np.int64
+    )
+    arr = (
+        np.frombuffer(bytes(pixels), dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        qsel = [0, 1, 1]
+    else:
+        planes = [arr[..., 0]]
+        samp = [(1, 1)]
+        qsel = [0]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    qtbls = [q_luma, q_chroma]
+
+    # Subsample (2x2 mean) + pad each plane to its MCU block grid,
+    # then forward DCT + quantize every 8x8 block.
+    comp_blocks = []  # per component: {(by, bx): zigzag int array}
+    for ci, plane in enumerate(planes):
+        ch, cv = samp[ci]
+        if (ch, cv) != (hmax, vmax):
+            ph = _pad_edge(plane, -(-height // 2) * 2, -(-width // 2) * 2)
+            plane = (
+                ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
+            )
+        bw, bh = mcux * ch, mcuy * cv
+        padded = _pad_edge(plane, bh * 8, bw * 8)
+        q_raster = np.empty(64, dtype=np.int64)
+        q_raster[_ZIGZAG] = qtbls[qsel[ci]]
+        blocks = {}
+        for by in range(bh):
+            for bx in range(bw):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_C @ blk @ _DCT_C.T
+                qc = np.round(coef.reshape(64) / q_raster).astype(np.int64)
+                blocks[(by, bx)] = qc[_ZIGZAG]  # zigzag scan order
+        comp_blocks.append(blocks)
+
+    # Entropy-code MCU-interleaved, with optional restart markers.
+    dc_enc = _jpeg_enc_table(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_enc = _jpeg_enc_table(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    w = _JBitWriter()
+    pred = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                w.pad()
+                w.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = [0] * len(planes)
+            for ci in range(len(planes)):
+                ch, cv = samp[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = comp_blocks[ci][(my * cv + by, mx * ch + bx)]
+                        pred[ci] = _jpeg_encode_block(w, zz, pred[ci], dc_enc, ac_enc)
+            mcu_count += 1
+    w.pad()
+
+    # Expected decode: dequantize + float IDCT + clip, assemble plane,
+    # replication-upsample, crop, JFIF inverse color transform.
+    out_planes = []
+    for ci in range(len(planes)):
+        ch, cv = samp[ci]
+        bw, bh = mcux * ch, mcuy * cv
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        q_raster = np.empty(64, dtype=np.int64)
+        q_raster[_ZIGZAG] = qtbls[qsel[ci]]
+        for (by, bx), zz in comp_blocks[ci].items():
+            rast = np.zeros(64, dtype=np.int64)
+            rast[_ZIGZAG] = zz
+            coef = (rast * q_raster).reshape(8, 8).astype(np.float64)
+            pix = _DCT_C.T @ coef @ _DCT_C
+            pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        if (ch, cv) != (hmax, vmax):
+            plane = np.repeat(
+                np.repeat(plane, hmax // ch, axis=1), vmax // cv, axis=0
+            )
+        out_planes.append(plane[:height, :width])
+    if channels == 3:
+        y = out_planes[0].astype(np.float64)
+        cb = out_planes[1].astype(np.float64) - 128.0
+        cr = out_planes[2].astype(np.float64) - 128.0
+        expected = np.stack(
+            [
+                np.clip(np.round(y + 1.402 * cr), 0, 255),
+                np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255),
+                np.clip(np.round(y + 1.772 * cb), 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8).tobytes()
+    else:
+        expected = out_planes[0].tobytes()
+
+    # Assemble the JFIF container.
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    payload = bytearray(b"\xff\xd8")
+    payload += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    payload += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q_luma))
+    if channels == 3:
+        if q16_chroma:
+            payload += seg(
+                0xDB,
+                bytes([0x11])
+                + b"".join(_struct.pack(">H", int(v)) for v in q_chroma),
+            )
+        else:
+            payload += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in q_chroma))
+    sof = bytearray([8]) + _struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        ch, cv = samp[ci] if channels == 3 else samp[0]
+        sof += bytes([ci + 1, (ch << 4) | cv, qsel[ci] if channels == 3 else 0])
+    payload += seg(0xC0, bytes(sof))
+    for tc_th, counts, syms in (
+        (0x00, _JPEG_DC_COUNTS, _JPEG_DC_SYMS),
+        (0x10, _JPEG_AC_COUNTS, _JPEG_AC_SYMS),
+    ):
+        payload += seg(0xC4, bytes([tc_th]) + bytes(counts) + syms)
+    if restart:
+        payload += seg(0xDD, _struct.pack(">H", restart))
+    sos = bytearray([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
+    payload += seg(0xDA, bytes(sos))
+    payload += w.out
+    payload += b"\xff\xd9"
+    return bytes(payload), expected
+
+
+def test_jpeg_zigzag_is_spec_order():
+    """Pin the zigzag table against hardcoded spec values so an
+    encoder/decoder table bug cannot cancel out (both sides import the
+    same constant)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import _ZIGZAG
+
+    assert list(_ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(_ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(_ZIGZAG) == list(range(64))
+    # every zigzag step moves along one anti-diagonal at a time
+    diags = [(i // 8 + i % 8) for i in _ZIGZAG]
+    assert all(abs(diags[k + 1] - diags[k]) <= 1 for k in range(63))
+
+
+def test_jpeg_gray_uniform_and_gradient_roundtrip():
+    """q=1 gray images: uniform color decodes exactly (pins the DCT
+    scale convention); a smooth gradient stays within quantization
+    rounding error."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    flat = bytes([77] * (16 * 16))
+    payload, expected = _make_jpeg(16, 16, flat, channels=1)
+    img = decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (16, 16, 1)
+    assert img["pixels"] == expected
+    assert max(abs(p - 77) for p in img["pixels"]) <= 1
+
+    grad = bytes((x + y) % 256 for y in range(24) for x in range(17))
+    payload, expected = _make_jpeg(17, 24, grad, channels=1)
+    img = decode_jpeg(payload)
+    assert img["pixels"] == expected
+    got = np.frombuffer(img["pixels"], dtype=np.uint8).astype(np.int32)
+    want = np.frombuffer(grad, dtype=np.uint8).astype(np.int32)
+    assert np.abs(got - want).max() <= 8  # smooth image, q=1
+
+
+def test_jpeg_rgb_444_nonuniform_tables_exact():
+    """Random RGB, non-multiple-of-8 dims, Annex-K luminance table:
+    decoder output must match the encoder's computed expectation
+    byte-exactly (verifies huffman decode, DQT zigzag, coefficient
+    zigzag, IDCT, color transform as one pipeline)."""
+    import random
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    rng = random.Random(7)
+    w, h = 21, 13
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    payload, expected = _make_jpeg(
+        w, h, pixels, channels=3, q_luma=_QTBL_LUMA, q_chroma=_QTBL_LUMA
+    )
+    img = decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == expected
+
+
+def test_jpeg_420_restart_markers_and_16bit_dqt_exact():
+    """4:2:0 subsampling + restart interval + 16-bit chroma DQT — the
+    full marker surface — byte-exact against the encoder expectation."""
+    import random
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    rng = random.Random(11)
+    w, h = 34, 23  # odd sizes force chroma edge padding + MCU crop
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    payload, expected = _make_jpeg(
+        w,
+        h,
+        pixels,
+        channels=3,
+        subsample=True,
+        q_luma=_QTBL_LUMA,
+        q_chroma=[300] * 64,  # values > 255 require the 16-bit form
+        restart=2,
+        q16_chroma=True,
+    )
+    img = decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == expected
+
+
+def test_jpeg_out_of_scope_variants_raise():
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        DecoderNotAvailable,
+        decode_jpeg,
+    )
+
+    payload, _ = _make_jpeg(8, 8, bytes([128] * 64), channels=1)
+    progressive = bytearray(payload)
+    i = progressive.find(b"\xff\xc0")
+    progressive[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(DecoderNotAvailable):
+        decode_jpeg(bytes(progressive))
+    with pytest.raises(DecoderNotAvailable):
+        decode_jpeg(b"\xff\xd8\xff\xe0")  # truncated: no SOS
+
+
 def test_real_decoders_through_mapinpandas(spark):
     """Non-fake decoder values through the real Arrow mapInPandas path
     (round-1 review: the stub graded 'partial' until a dependency-free
@@ -295,8 +677,14 @@ def test_real_decoders_through_mapinpandas(spark):
 
     png = _make_png(4, 2, bytes(range(24)))
     wav = _make_wav([0, 16384, -16384, 0])
+    jpg, _ = _make_jpeg(8, 8, bytes([90] * 192), channels=3)
     rows = spark.createDataFrame(
-        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(b"hello world"))],
+        [
+            (1, bytearray(png)),
+            (2, bytearray(wav)),
+            (3, bytearray(b"hello world")),
+            (4, bytearray(jpg)),
+        ],
         "doc_id long, payload binary",
     )
     out = {r["doc_id"]: r for r in extract_features(rows).collect()}
@@ -306,6 +694,10 @@ def test_real_decoders_through_mapinpandas(spark):
     assert out[2]["features"][:3] == [8000.0, 1.0, 4.0]
     assert out[3]["decoder"] == "fake-bytehist-v1"
     assert out[3]["n_bytes"] == 11
+    assert out[4]["decoder"] == "jpeg-baseline-v1"
+    assert out[4]["features"][:3] == [8.0, 8.0, 3.0]
+    # uniform color: per-channel means within quantization error of 90/255
+    assert all(abs(m - 90.0 / 255.0) < 0.02 for m in out[4]["features"][3:6])
 
 
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
