@@ -242,6 +242,175 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Repetition flags (Gopher-style quality rules): a doc whose single
+#: most frequent word exceeds this fraction of all words, or whose
+#: distinct-word fraction falls below the floor, is "repetitive".
+#: Thresholds sit at ~p90 / ~p05 of the testdata distribution so the
+#: flag discriminates instead of being constant.
+TOP_WORD_FRAC_MAX = 0.14
+DISTINCT_FRAC_MIN = 0.30
+
+
+@query(
+    "text_repetition_ratios",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ),
+    uc AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+        GROUP BY doc_id, tok
+    ),
+    us AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct_words, MAX(c) AS top_n
+        FROM uc GROUP BY doc_id
+    ),
+    bc AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS g
+              FROM w WHERE len(ws) >= 2)
+        GROUP BY doc_id, g
+    ),
+    bs AS (
+        SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+        FROM bc GROUP BY doc_id
+    )
+    SELECT us.doc_id, n_words, n_distinct_words,
+           round(top_n * 1.0 / n_words, 6) AS top_word_frac,
+           round(n_distinct_words * 1.0 / n_words, 6) AS distinct_frac,
+           coalesce(round(top_bigram_n * 1.0 / n_bigrams, 6), 0.0)
+               AS top_bigram_frac,
+           (top_n * 1.0 / n_words > {TOP_WORD_FRAC_MAX}
+            OR n_distinct_words * 1.0 / n_words < {DISTINCT_FRAC_MIN})
+               AS repetitive
+    FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+    """,
+)
+def text_repetition_ratios_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules: per-document word count,
+    distinct-word fraction, most-frequent-word fraction, and
+    most-frequent-bigram fraction, with a ``repetitive`` flag.
+
+    Plan shape: one explode per n-gram order feeding a two-level
+    aggregate — (doc, gram) counts with map-side combine, then a
+    per-doc rollup — joined back on ``doc_id``. Every shuffle key is
+    the document id (or its gram refinement), so the plan partitions
+    by document and scales with token count; no per-doc array is ever
+    materialized on the driver. The bigram branch is left-joined
+    because one-word docs have no bigrams (fraction defined as 0)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+    )
+    uc = (
+        w.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    us = uc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("top_n"),
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN"
+        " transform(sequence(1, size(ws) - 1),"
+        " i -> concat_ws(' ', slice(ws, i, 2)))"
+        " ELSE array() END"
+    )
+    bs = (
+        w.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n"))
+    )
+    top_word_frac = F.col("top_n") / F.col("n_words")
+    distinct_frac = F.col("n_distinct_words") / F.col("n_words")
+    return (
+        us.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            F.round(top_word_frac, 6).alias("top_word_frac"),
+            F.round(distinct_frac, 6).alias("distinct_frac"),
+            F.coalesce(
+                F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+            (
+                (top_word_frac > F.lit(TOP_WORD_FRAC_MAX))
+                | (distinct_frac < F.lit(DISTINCT_FRAC_MIN))
+            ).alias("repetitive"),
+        )
+    )
+
+
+#: Boilerplate detection: word 5-grams shared by at least this many
+#: distinct documents (the CCNet/RefinedWeb-style repeated-passage
+#: signal — navigation chrome, licenses, templates).
+BOILERPLATE_NGRAM_N = 5
+BOILERPLATE_MIN_DOCS = 3
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - {BOILERPLATE_NGRAM_N - 2}),
+                      i -> array_to_string(ws[i:i + {BOILERPLATE_NGRAM_N - 1}], ' ')))
+                   AS gram
+        FROM w WHERE len(ws) >= {BOILERPLATE_NGRAM_N}
+    )
+    SELECT gram,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM g GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    """,
+)
+def text_boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: word 5-grams appearing in >= 3
+    distinct documents, with document and occurrence counts — the
+    repeated-passage inventory a cleaning pipeline subtracts before
+    training.
+
+    Plan shape: narrow explode, then a single gram-keyed aggregate
+    (map-side combine carries (gram, doc) partials). At corpus scale
+    the gram STRING is the natural output (it is the deliverable), but
+    the aggregate key can be swapped for a 64-bit gram hash with a
+    rare-collision join-back if key width ever dominates the
+    shuffle — the same trick ``operators/contamination.py`` uses."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = BOILERPLATE_NGRAM_N
+    grams = F.expr(
+        f"CASE WHEN size(ws) >= {n} THEN"
+        f" transform(sequence(1, size(ws) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(ws, i, {n})))"
+        f" ELSE array() END"
+    )
+    return (
+        docs.select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+        )
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
 @query(
     "text_normalized_exact_dedup",
     oracle="""
