@@ -295,58 +295,54 @@ def text_repetition_ratios_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-word fraction, most-frequent-word fraction, and
     most-frequent-bigram fraction, with a ``repetitive`` flag.
 
-    Plan shape: one explode per n-gram order feeding a two-level
-    aggregate — (doc, gram) counts with map-side combine, then a
-    per-doc rollup — joined back on ``doc_id``. Every shuffle key is
-    the document id (or its gram refinement), so the plan partitions
-    by document and scales with token count; no per-doc array is ever
-    materialized on the driver. The bigram branch is left-joined
-    because one-word docs have no bigrams (fraction defined as 0)."""
+    Plan shape: ONE scan — unigrams and bigrams explode together as
+    (kind, gram) structs from the same words array — feeding a
+    two-level aggregate: (doc, kind, gram) counts with map-side
+    combine, then a per-doc conditional rollup. Exactly two shuffles,
+    both keyed by the document id (or its gram refinement), no join,
+    and no per-doc array ever reaches the driver. One-word docs have
+    no bigram rows; their fraction is defined as 0 via coalesce."""
     docs = read_table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
     )
-    uc = (
-        w.select("doc_id", F.explode("ws").alias("tok"))
-        .groupBy("doc_id", "tok")
+    tagged = F.expr(
+        "concat("
+        " transform(ws, t -> struct(0 AS kind, t AS gram)),"
+        " CASE WHEN size(ws) >= 2 THEN"
+        "  transform(sequence(1, size(ws) - 1),"
+        "   i -> struct(1 AS kind, concat_ws(' ', slice(ws, i, 2)) AS gram))"
+        "  ELSE array() END)"
+    )
+    gc = (
+        w.select("doc_id", F.explode(tagged).alias("p"))
+        .select("doc_id", F.col("p.kind").alias("kind"), F.col("p.gram").alias("gram"))
+        .groupBy("doc_id", "kind", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    us = uc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct_words"),
-        F.max("c").alias("top_n"),
-    )
-    bigrams = F.expr(
-        "CASE WHEN size(ws) >= 2 THEN"
-        " transform(sequence(1, size(ws) - 1),"
-        " i -> concat_ws(' ', slice(ws, i, 2)))"
-        " ELSE array() END"
-    )
-    bs = (
-        w.select("doc_id", F.explode(bigrams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n"))
+    is_uni = F.col("kind") == 0
+    per = gc.groupBy("doc_id").agg(
+        F.sum(F.when(is_uni, F.col("c"))).alias("n_words"),
+        F.count(F.when(is_uni, F.lit(1))).alias("n_distinct_words"),
+        F.max(F.when(is_uni, F.col("c"))).alias("top_n"),
+        F.sum(F.when(~is_uni, F.col("c"))).alias("n_bigrams"),
+        F.max(F.when(~is_uni, F.col("c"))).alias("top_bigram_n"),
     )
     top_word_frac = F.col("top_n") / F.col("n_words")
     distinct_frac = F.col("n_distinct_words") / F.col("n_words")
-    return (
-        us.join(bs, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            "n_distinct_words",
-            F.round(top_word_frac, 6).alias("top_word_frac"),
-            F.round(distinct_frac, 6).alias("distinct_frac"),
-            F.coalesce(
-                F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6), F.lit(0.0)
-            ).alias("top_bigram_frac"),
-            (
-                (top_word_frac > F.lit(TOP_WORD_FRAC_MAX))
-                | (distinct_frac < F.lit(DISTINCT_FRAC_MIN))
-            ).alias("repetitive"),
-        )
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(distinct_frac, 6).alias("distinct_frac"),
+        F.coalesce(
+            F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+        (
+            (top_word_frac > F.lit(TOP_WORD_FRAC_MAX))
+            | (distinct_frac < F.lit(DISTINCT_FRAC_MIN))
+        ).alias("repetitive"),
     )
 
 

@@ -418,3 +418,22 @@ def test_percent_rank_single_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["window_percent_rank_cume"](spark, sf_dir))
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles == 1, "ranking window needs exactly one keyed shuffle"
+
+
+def test_repetition_ratios_single_scan_two_shuffles(spark, sf_dir):
+    """Unigrams and bigrams explode together from one words array:
+    exactly one parquet scan, two doc-keyed shuffles, no join."""
+    plan = _plan(QUERIES["text_repetition_ratios"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, "must not re-scan documents per n-gram order"
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2, f"tagged-explode rollup needs 2 shuffles, saw {shuffles}"
+    assert "Join" not in plan
+
+
+def test_boilerplate_ngrams_partial_distinct(spark, sf_dir):
+    """countDistinct(doc_id) per gram must pre-aggregate on
+    (gram, doc_id) map-side — two shuffles total, both gram-keyed."""
+    plan = _plan(QUERIES["text_boilerplate_ngrams"](spark, sf_dir))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, f"gram aggregate needs <=2 shuffles, saw {shuffles}"
+    assert plan.count("HashAggregate") >= 3, "distinct must keep its partial stage"
