@@ -506,3 +506,91 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "scd2_priority_history",
+    oracle="""
+    WITH log AS (
+        SELECT o_custkey AS cust_i, o_orderdate, o_orderkey, o_orderpriority
+        FROM orders
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM
+                         o_orderpriority THEN 1 ELSE 0 END AS chg
+        FROM log
+        WINDOW w AS (PARTITION BY cust_i ORDER BY o_orderdate, o_orderkey)
+    ),
+    versioned AS (
+        SELECT *,
+               SUM(chg) OVER (PARTITION BY cust_i
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM flagged
+    ),
+    collapsed AS (
+        SELECT cust_i, CAST(version AS INT) AS version,
+               MIN(o_orderpriority) AS priority,
+               MIN(o_orderdate) AS effective_from,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM versioned GROUP BY cust_i, version
+    )
+    SELECT cust_i, version, priority, effective_from,
+           lead(effective_from) OVER (PARTITION BY cust_i ORDER BY version)
+               AS effective_to,
+           (lead(effective_from) OVER (PARTITION BY cust_i ORDER BY version)
+               IS NULL) AS is_current,
+           n_orders
+    FROM collapsed
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: each
+    customer's order stream collapses into priority *versions* (runs
+    of consecutive equal values), with effective_from / effective_to
+    validity windows and an is_current flag — the MERGE-free SCD2
+    pattern for append-only warehouses.
+
+    Plan shape: ONE cust_i shuffle serves everything. The
+    change-detection lag, the running version sum, the per-version
+    collapse (grouping on (cust_i, version) is clustered by the
+    cust_i hash partitioning, so no second exchange), and the
+    effective_to lead all reuse the same partitioning; Catalyst plans
+    exactly one Exchange (pinned in tests/test_plans.py). Ordering is
+    deterministic via the (o_orderdate, o_orderkey) tie-break."""
+    orders = read_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("cust_i").orderBy("o_orderdate", "o_orderkey")
+    log = orders.select(
+        F.col("o_custkey").alias("cust_i"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    flagged = log.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("o_orderpriority").over(wo).eqNullSafe(F.col("o_orderpriority")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    collapsed = versioned.groupBy("cust_i", "version").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("effective_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wv = Window.partitionBy("cust_i").orderBy("version")
+    eff_to = F.lead("effective_from").over(wv)
+    return collapsed.select(
+        "cust_i",
+        "version",
+        "priority",
+        "effective_from",
+        eff_to.alias("effective_to"),
+        eff_to.isNull().alias("is_current"),
+        "n_orders",
+    )

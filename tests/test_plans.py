@@ -437,3 +437,11 @@ def test_boilerplate_ngrams_partial_distinct(spark, sf_dir):
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 2, f"gram aggregate needs <=2 shuffles, saw {shuffles}"
     assert plan.count("HashAggregate") >= 3, "distinct must keep its partial stage"
+
+
+def test_scd2_history_single_shuffle(spark, sf_dir):
+    """lag + running version sum + (cust_i, version) collapse +
+    effective_to lead all reuse one cust_i hash partitioning."""
+    plan = _plan(QUERIES["scd2_priority_history"](spark, sf_dir))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, f"SCD2 build needs exactly one keyed shuffle, saw {shuffles}"
