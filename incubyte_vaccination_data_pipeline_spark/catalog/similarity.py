@@ -241,3 +241,76 @@ def ann_cosine_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
     return range_search(emb, queries, threshold=RANGE_THRESHOLD)
+
+
+#: Centroid quantization scale: 2^20. float32 x 2^20 is EXACT in
+#: double (24-bit mantissa + 20 bits < 53), so floor() never rounds —
+#: the per-dimension sum becomes an integer aggregate that is
+#: order-independent and bit-identical across engines. A DECIMAL cast
+#: of the raw floats is NOT enough: float->decimal midpoint rounding
+#: (half-up vs half-even) produced a 6-dp boundary flip at sf0.01.
+_CENTROID_SCALE = 1 << 20
+
+
+@query(
+    "embedding_label_centroid_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               unnest(embedding) AS val,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {_CENTROID_SCALE}) AS BIGINT))
+                    AS DOUBLE)
+               / (COUNT(*) * {_CENTROID_SCALE}.0) AS cv
+        FROM e GROUP BY label, pos
+    ),
+    carr AS (
+        SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label
+    )
+    SELECT em.vec_id, em.label,
+           round({_cos_sql('em.embedding', 'carr.centroid')}, 6) AS cos_centroid
+    FROM embeddings em JOIN carr ON em.label = carr.label
+    """,
+)
+def embedding_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + each vector's cosine to its own label's
+    centroid — the mislabel/outlier signal an embedding-curation pass
+    ranks by (low cosine = candidate bad label or off-distribution
+    sample).
+
+    Determinism across engines: each value is quantized by
+    ``floor(val * 2^20)`` — exact in double arithmetic, so no rounding
+    mode is ever exercised — and the per-dimension centroid sum is a
+    plain BIGINT aggregate (order-independent, bit-identical on both
+    engines); one double division recovers the scale. The per-vector
+    cosine is the usual in-order array fold. Plan shape: posexplode ->
+    (label, pos) aggregate with map-side combine -> per-label array
+    rebuild (sorted collect, n_labels x dim rows) -> broadcast join
+    back to the unexploded table. The full-width embeddings scan is
+    never shuffled; only (label, pos, sum) partials move."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = e.groupBy("label", "pos").agg(
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(float(_CENTROID_SCALE)))
+                .cast("bigint")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(_CENTROID_SCALE)))
+        ).alias("cv")
+    )
+    carr = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+        .alias("centroid")
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import cosine_expr
+
+    return emb.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine_expr("embedding", "centroid"), 6).alias("cos_centroid"),
+    )

@@ -445,3 +445,12 @@ def test_scd2_history_single_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["scd2_priority_history"](spark, sf_dir))
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles == 1, f"SCD2 build needs exactly one keyed shuffle, saw {shuffles}"
+
+
+def test_centroid_cosine_broadcasts_centroids(spark, sf_dir):
+    """The full-width embeddings scan joins the tiny centroid frame by
+    broadcast — the wide vectors themselves are never hash-shuffled."""
+    plan = _plan(QUERIES["embedding_label_centroid_cosine"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "centroids (n_labels rows) must broadcast"
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, f"only (label,pos) partials may shuffle, saw {shuffles}"
