@@ -528,3 +528,70 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 2)
     )
+
+
+@query(
+    "stream_upsert_snapshot",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, TRUE AS value_ok
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch exactly-once sink through the driver gate: stream
+    per-user totals into a parquet target with last-writer-wins upsert
+    semantics (``run_foreach_batch_upsert`` — the JDBC-upsert /
+    Delta-MERGE pattern), then read the landed snapshot back and
+    certify it against the in-frame batch twin. ``n_events`` is
+    restated exactly by the oracle; the float total carries the usual
+    1e-6 relative tolerance as ``value_ok`` (certificate caveat as in
+    ``stream_running_totals``: the TRUE column's independent check is
+    tests/test_streaming.py's ground-truth comparison). The target
+    lands under the repo's own warehouse dir, keyed by sf, and is
+    overwritten per run — the upsert path itself is idempotent per
+    batch id."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_foreach_batch_upsert,
+    )
+
+    repo_root = Path(__file__).resolve().parents[2]
+    target = str(
+        repo_root
+        / "spark-warehouse"
+        / ("stream_upsert_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(target + ".tmp", ignore_errors=True)
+    stream = read_events_stream(spark, sf_dir)
+    totals = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("double")), 6).alias("total_value"),
+    )
+    run_foreach_batch_upsert(totals, target, key_cols=["user_id"])
+    landed = spark.read.parquet(target)
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.col("value").cast("double")).alias("tv_batch"),
+        )
+    )
+    joined = landed.join(batch, "user_id", "full_outer")
+    tol = F.abs(F.col("total_value") - F.col("tv_batch")) <= F.lit(1e-6) * F.greatest(
+        F.abs(F.col("tv_batch")), F.lit(1.0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("n_events"),
+        (
+            F.col("n_events").isNotNull()
+            & (F.col("n_events") == F.col("n_batch"))
+            & F.coalesce(tol, F.lit(False))
+        ).alias("value_ok"),
+    )

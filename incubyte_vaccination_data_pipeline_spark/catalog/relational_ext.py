@@ -594,3 +594,75 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff_to.isNull().alias("is_current"),
         "n_orders",
     )
+
+
+#: Column profile targets: (column, render) where render pins the
+#: cross-engine string form (doubles go through DECIMAL(18,2) so both
+#: engines print identical text).
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "decimal"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        expr = f"CAST({col} AS DECIMAL(18,2))" if kind == "decimal" else col
+        parts.append(
+            f"""
+            SELECT '{col}' AS column_name,
+                   COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({col}) AS n_nulls,
+                   COUNT(DISTINCT {col}) AS n_distinct,
+                   CAST(MIN({expr}) AS VARCHAR) AS min_value,
+                   CAST(MAX({expr}) AS VARCHAR) AS max_value
+            FROM orders
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_orders_columns", oracle=_profile_oracle())
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality profile of the orders table: one row
+    per column with row/null/distinct counts and min/max (rendered as
+    text; doubles pass through DECIMAL(18,2) so both engines print the
+    same string). All columns profile in a SINGLE scan — the wide
+    aggregate computes every column's stats at once and a final
+    one-row explode reshapes to the tall form, vs. the oracle's
+    n_columns scans. The multi-column exact countDistinct plans via
+    Spark's expand (row duplication x n_distinct_aggs) — the standard
+    profiling cost; swap in approx_count_distinct when profiling at
+    the 100 TB end."""
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        rendered = (
+            F.col(col).cast("decimal(18,2)") if kind == "decimal" else F.col(col)
+        )
+        aggs += [
+            F.sum(F.col(col).isNull().cast("bigint")).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            F.min(rendered).cast("string").alias(f"{col}__min"),
+            F.max(rendered).cast("string").alias(f"{col}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{col}__nulls").alias("n_nulls"),
+                F.col(f"{col}__distinct").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_value"),
+                F.col(f"{col}__max").alias("max_value"),
+            )
+            for col, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
