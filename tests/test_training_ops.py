@@ -871,3 +871,34 @@ def test_multimodal_features_ok_for_empty_payload(spark):
         }
     assert rows[0]["n_bytes"] == 0 and rows[0]["features_ok"] is True
     assert rows[1]["features_ok"] is True
+
+
+def test_jpeg_randomized_geometry_sweep():
+    """Randomized encoder->decoder sweep across dims, channel counts,
+    subsampling, restart intervals, and quant tables — byte-exact
+    against the encoder-side expectation every time."""
+    import random
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    rng = random.Random(2024)
+    for trial in range(12):
+        w = rng.randrange(1, 41)
+        h = rng.randrange(1, 41)
+        channels = rng.choice([1, 3])
+        subsample = channels == 3 and rng.random() < 0.5
+        restart = rng.choice([0, 0, 1, 3])
+        q = rng.choice([[1] * 64, [4] * 64, _QTBL_LUMA])
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        payload, expected = _make_jpeg(
+            w, h, pixels, channels=channels, subsample=subsample,
+            q_luma=q, q_chroma=q, restart=restart,
+        )
+        img = decode_jpeg(payload)
+        assert (img["width"], img["height"], img["channels"]) == (
+            w, h, channels if channels == 3 else 1,
+        ), f"trial {trial}: geometry mismatch w={w} h={h} ch={channels}"
+        assert img["pixels"] == expected, (
+            f"trial {trial}: pixel mismatch w={w} h={h} ch={channels} "
+            f"sub={subsample} restart={restart}"
+        )
