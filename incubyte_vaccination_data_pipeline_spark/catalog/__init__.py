@@ -34,6 +34,8 @@ from incubyte_vaccination_data_pipeline_spark.catalog import dedup  # noqa: F401
 from incubyte_vaccination_data_pipeline_spark.catalog import text  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import similarity  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import multimodal  # noqa: F401,E402
+from incubyte_vaccination_data_pipeline_spark.catalog import formats  # noqa: F401,E402
+from incubyte_vaccination_data_pipeline_spark.catalog import graph  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import training_ext  # noqa: E402
 
 # round 4: the training-data extension family (splits, contamination,
