@@ -454,3 +454,20 @@ def test_centroid_cosine_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "centroids (n_labels rows) must broadcast"
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 2, f"only (label,pos) partials may shuffle, saw {shuffles}"
+
+
+def test_pagerank_iterations_reuse_checkpointed_edges(spark, sf_dir):
+    """Each power iteration is contribution-join + received-sum; the
+    edge/degree lineage must come from the (lazy) checkpoint, not be
+    re-derived per iteration — no explode of scans per iteration."""
+    plan = _plan(QUERIES["graph_pagerank_customer_supplier"](spark, sf_dir))
+    # the base edge derivation scans lineitem+orders once; 3 iterations
+    # + final join must not multiply those scans
+    assert plan.count("Scan parquet") <= 2, "edges re-derived per iteration"
+    assert "CartesianProduct" not in plan
+
+
+def test_format_roundtrip_join_is_hash_join(spark, sf_dir):
+    plan = _plan(QUERIES["format_roundtrip_orc_jsonl"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
