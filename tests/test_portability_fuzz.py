@@ -31,6 +31,8 @@ FUZZED_QUERIES = [
     "dedup_ngram_jaccard",
     "text_normalized_exact_dedup",
     "dedup_exact",
+    "text_repetition_ratios",
+    "text_boilerplate_ngrams",
 ]
 
 EDGE_TEXTS = [
