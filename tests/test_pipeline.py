@@ -195,3 +195,31 @@ def test_remove_spark_table_dir_guards_unrelated_dirs(tmp_path):
     f.touch()
     with pytest.raises(ValueError, match="non-directory"):
         _remove_spark_table_dir(str(f))
+
+
+def test_ragged_csv_rows_null_fill_and_deadletter(spark, tmp_path):
+    """Malformed CSV rows (fewer/more cells than the header) must not
+    fail the scan: the all-string reader null-fills short rows and
+    drops surplus cells, and rows left without a mandatory field are
+    quarantined by the validator — the parse-level counterpart of the
+    semantic dead-letter."""
+    ragged = (
+        "ID,Name,DOB,VaccinationType,VaccinationDate,Free or Paid\n"
+        "1,Vikas,12/01/1998,XYZ,01/01/2022,F\n"
+        "2,Rahul\n"                        # short row: nulls from DOB on
+        "3,Sam,08/13/1982,ABC,03/05/2022,P,EXTRA,MORE\n"  # surplus cells
+    )
+    (tmp_path / "IND (9) 1(in).csv").write_text(ragged)
+    loaded = load_source_data(spark, str(tmp_path))
+    clean, dead = validate_types(loaded)
+    by_id = {r["Customer_Id"]: r for r in clean.collect()}
+    assert set(by_id) == {"1", "2", "3"}
+    # short row survived the scan; its missing optional fields are null
+    assert by_id["2"]["Customer_Name"] == "Rahul"
+    assert by_id["2"]["DOB"] is None
+    # surplus cells are dropped, the declared columns parse normally
+    assert by_id["3"]["DOB"] is not None
+    # the short row has no consultation date -> mandatory-validity
+    # filter excludes it from the warehouse-bound valid set
+    valid = get_valid_records(clean)
+    assert {r["CUST_I"] for r in valid.collect()} == {"1", "3"}
