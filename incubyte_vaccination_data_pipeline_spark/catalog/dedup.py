@@ -377,3 +377,61 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return duplicate_clusters(shared_minhash_pairs(spark, sf_dir))
+
+
+@query(
+    "dedup_cleaned_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs5 AS (
+        SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs5
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs5
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    exact_rep AS (SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY md5(text))
+    SELECT a.doc_id, a.lang, a.source, a.n_chars
+    FROM aug a
+    JOIN exact_rep er ON a.doc_id = er.doc_id
+    LEFT JOIN clusters c ON a.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = a.doc_id
+    """,
+)
+def dedup_cleaned_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: the cleaned corpus after both
+    stages — exact duplicates collapse to their min-id representative
+    (content-hash groupBy) and near-duplicate cluster members collapse
+    to the cluster's min-id representative (MinHash+LSH pairs ->
+    connected components). What survives is what a training run would
+    actually read.
+
+    Composition reuses the shared candidate-pair cache, so this query
+    costs two semi/anti joins on top of work the dedup family already
+    did. The oracle restates the full two-stage pipeline independently
+    (recursive-CTE closure over the same banding arithmetic), making
+    this an end-to-end value check of the composed pipeline, not a
+    certificate."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs = augmented_documents(spark, sf_dir)
+    reps = exact_dedup(docs).select(F.col("rep_doc_id").alias("doc_id"))
+    clusters = duplicate_clusters(shared_minhash_pairs(spark, sf_dir))
+    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        docs.join(reps, "doc_id", "left_semi")
+        .join(dupes, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
