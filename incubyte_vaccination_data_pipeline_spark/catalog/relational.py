@@ -898,11 +898,21 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a boolean error-bound assertion on the estimate (rsd=0.02 is the
     target relative standard deviation; 5%% is a safe hard bound the
     oracle states as literal TRUE). tests/test_oracle.py additionally
-    pins <2%% observed error vs exact."""
+    pins <2%% observed error vs exact.
+
+    Plan shape: both aggregates are duplicate-insensitive (HLL ignores
+    repeats by construction), so the input dedups on
+    (priority, custkey) FIRST — one map-side-combinable shuffle — and
+    the exact count + sketch run over the deduped frame. The naive
+    mixed exact+approx aggregate plans via expand (3x duplication,
+    1.6s at sf0.1 vs 0.4s for this shape), and at 100 TB the dedup
+    form is also what bounds the sketch-update work to one per
+    distinct key."""
     orders = read_table(spark, sf_dir, "orders")
+    deduped = orders.groupBy("o_orderpriority", "o_custkey").agg(F.lit(1))
     approx = F.approx_count_distinct("o_custkey", rsd=0.02)
-    exact = F.countDistinct("o_custkey")
-    return orders.groupBy("o_orderpriority").agg(
+    exact = F.count(F.lit(1))
+    return deduped.groupBy("o_orderpriority").agg(
         exact.alias("exact_customers"),
         (
             F.abs(approx.cast("double") / exact.cast("double") - 1.0) <= 0.05
