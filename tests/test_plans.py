@@ -471,3 +471,13 @@ def test_format_roundtrip_join_is_hash_join(spark, sf_dir):
     plan = _plan(QUERIES["format_roundtrip_orc_jsonl"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_profile_and_approx_distinct_avoid_expand(spark, sf_dir):
+    """Both queries were rewritten off Spark's expand-based
+    multi-distinct plan (row duplication through one aggregate); a
+    reappearing Expand node means the dedup-first / melt shape
+    regressed."""
+    for name in ("profile_orders_columns", "agg_approx_count_distinct"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Expand" not in plan, f"{name} regressed to an expand plan"
