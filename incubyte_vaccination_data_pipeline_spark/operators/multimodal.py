@@ -576,6 +576,22 @@ def _decode_one(data: bytes) -> tuple[list[float], str]:
         s = np.asarray(au["samples"] or [0], dtype=np.float64)
         n = len(s)
         rms = float(np.sqrt(np.mean(s * s)))
+        # zero-crossing rate (fraction of adjacent sample pairs that
+        # change sign) and dominant frequency via rFFT magnitude peak
+        # (DC bin excluded) — the cheap speech/music/noise separators
+        # an audio-curation pass filters on
+        if n > 1:
+            signs = np.sign(s)
+            signs[signs == 0] = 1
+            zcr = float(np.mean(signs[1:] != signs[:-1]))
+            mag = np.abs(np.fft.rfft(s))
+            dom_freq = (
+                float(np.argmax(mag[1:]) + 1) * au["sample_rate"] / n
+                if len(mag) > 1
+                else 0.0
+            )
+        else:
+            zcr, dom_freq = 0.0, 0.0
         feats = _pad(
             [
                 float(au["sample_rate"]),
@@ -583,6 +599,8 @@ def _decode_one(data: bytes) -> tuple[list[float], str]:
                 float(n),
                 round(rms / 32768.0, 6),
                 round(float(s.mean()) / 32768.0, 6),
+                round(zcr, 6),
+                round(dom_freq, 6),
             ]
         )
         return feats, "wav-pcm-v1"
@@ -597,7 +615,8 @@ def decode_features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     - JPEG -> real baseline-DCT decode; same feature layout as PNG
       (decoder ``jpeg-baseline-v1``)
     - WAV  -> real PCM16 decode; features = [sample_rate, channels,
-      n_samples, rms/32768, mean/32768] (decoder ``wav-pcm-v1``)
+      n_samples, rms/32768, mean/32768, zero_crossing_rate,
+      dominant_freq_hz] (decoder ``wav-pcm-v1``)
     - else -> deterministic 16-bin byte histogram (``fake-bytehist-v1``)
 
     All feature vectors are zero-padded to FEATURE_BINS so the column

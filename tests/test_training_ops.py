@@ -902,3 +902,20 @@ def test_jpeg_randomized_geometry_sweep():
             f"trial {trial}: pixel mismatch w={w} h={h} ch={channels} "
             f"sub={subsample} restart={restart}"
         )
+
+
+def test_wav_spectral_features():
+    """A pure sine at f Hz must report dominant_freq ~= f and a
+    zero-crossing rate ~= 2f/rate through the WAV feature path."""
+    import math
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import _decode_one
+
+    rate, f, n = 8000, 440, 4000
+    samples = [int(20000 * math.sin(2 * math.pi * f * i / rate)) for i in range(n)]
+    feats, decoder = _decode_one(_make_wav(samples, sample_rate=rate))
+    assert decoder == "wav-pcm-v1"
+    assert feats[:3] == [8000.0, 1.0, float(n)]
+    zcr, dom = feats[5], feats[6]
+    assert abs(dom - f) <= rate / n + 1e-6, f"dominant freq {dom} != {f}"
+    assert abs(zcr - 2 * f / rate) < 0.01, f"zcr {zcr} != {2*f/rate}"
