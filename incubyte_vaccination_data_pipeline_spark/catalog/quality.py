@@ -1,0 +1,195 @@
+"""Warehouse reconciliation + integrity checks.
+
+``snapshot_diff_orders`` is the table-diff/CDC-reconciliation
+operator: given two snapshots of the same keyed table, classify every
+key as added / removed / changed (with the changed column set) —
+what a pipeline runs after a backfill or a replicated load to prove
+the copy. The "new" snapshot is derived deterministically from the
+testdata (no extra inputs): some keys flip status, some are deleted,
+some appear with new ids, so every branch is exercised and both
+engines can restate the same derivation.
+
+``integrity_check_star_schema`` is the Deequ-style referential
+integrity suite: one row per foreign-key edge of the star schema with
+its orphan count (anti-join semantics) plus key-uniqueness checks —
+all as map-side-combinable aggregates over equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+#: deterministic snapshot mutation rates (modulus chosen so each
+#: class is non-empty at every sf and both engines derive identically)
+_CHANGE_MOD = 97
+_DELETE_MOD = 101
+_ADD_MOD = 103
+_ADD_OFFSET = 3_000_000
+
+
+_NEW_SNAPSHOT_SQL = f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % {_CHANGE_MOD} = 0 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           o_totalprice
+    FROM orders
+    WHERE o_orderkey % {_DELETE_MOD} <> 0
+    UNION ALL
+    SELECT o_orderkey + {_ADD_OFFSET}, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % {_ADD_MOD} = 0
+"""
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new AS ({_NEW_SNAPSHOT_SQL})
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_kind,
+           old.o_orderstatus AS old_status,
+           new.o_orderstatus AS new_status
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL
+       OR new.o_orderkey IS NULL
+       OR old.o_orderstatus <> new.o_orderstatus
+       OR old.o_totalprice <> new.o_totalprice
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table diff between two snapshots: added / removed /
+    changed rows only (unchanged keys drop out). One full-outer
+    equi-join on the key — the single-shuffle reconciliation shape
+    that scales to any pair of co-partitioned snapshots; with both
+    sides bucketed on the key (``write_bucketed_warehouse``) the
+    exchange disappears entirely."""
+    old = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = read_table(spark, sf_dir, "orders")
+    kept = base.filter(F.col("o_orderkey") % _DELETE_MOD != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % _CHANGE_MOD == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    added = base.filter(F.col("o_orderkey") % _ADD_MOD == 0).select(
+        (F.col("o_orderkey") + _ADD_OFFSET).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    new = kept.unionByName(added)
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    ok, nk = F.col("o.o_orderkey"), F.col("n.o_orderkey")
+    kind = (
+        F.when(ok.isNull(), F.lit("added"))
+        .when(nk.isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.filter(
+        ok.isNull()
+        | nk.isNull()
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    ).select(
+        F.coalesce(ok, nk).alias("o_orderkey"),
+        kind.alias("change_kind"),
+        F.col("o.o_orderstatus").alias("old_status"),
+        F.col("n.o_orderstatus").alias("new_status"),
+    )
+
+
+#: (name, child table, child key, parent table, parent key)
+_FK_EDGES = [
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_PK_CHECKS = [
+    ("customer.custkey unique", "customer", "c_custkey"),
+    ("orders.orderkey unique", "orders", "o_orderkey"),
+    ("part.partkey unique", "part", "p_partkey"),
+    ("supplier.suppkey unique", "supplier", "s_suppkey"),
+]
+
+
+def _integrity_oracle() -> str:
+    parts = []
+    for name, child, ck, parent, pk in _FK_EDGES:
+        parts.append(
+            f"""
+            SELECT '{name}' AS check_name,
+                   (SELECT COUNT(*) FROM {child}) AS n_rows,
+                   (SELECT COUNT(*) FROM {child}
+                    WHERE {ck} IS NULL
+                       OR {ck} NOT IN (SELECT {pk} FROM {parent})) AS n_violations
+            """
+        )
+    for name, table, key in _PK_CHECKS:
+        parts.append(
+            f"""
+            SELECT '{name}' AS check_name,
+                   (SELECT COUNT(*) FROM {table}) AS n_rows,
+                   (SELECT COUNT(*) FROM
+                      (SELECT {key} FROM {table} GROUP BY {key} HAVING COUNT(*) > 1)
+                   ) AS n_violations
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("integrity_check_star_schema", oracle=_integrity_oracle())
+def integrity_check_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity suite over the star schema: every
+    foreign-key edge reports its orphan count (left-anti join against
+    the parent's key set — the dimension sides broadcast), and every
+    primary key reports its duplicate count (two-level aggregate).
+    One summary row per check; zero everywhere on intact data, so any
+    non-zero is a load-corruption signal the pipeline gates on."""
+    rows: list[DataFrame] = []
+    for name, child, ck, parent, pk in _FK_EDGES:
+        c = read_table(spark, sf_dir, child)
+        p = read_table(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
+        orphans = c.join(
+            F.broadcast(p), c[ck] == F.col("__pk"), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_violations"))
+        total = c.agg(F.count(F.lit(1)).alias("n_rows"))
+        rows.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("check_name"), "n_rows", "n_violations"
+            )
+        )
+    for name, table, key in _PK_CHECKS:
+        t = read_table(spark, sf_dir, table)
+        dupes = (
+            t.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        total = t.agg(F.count(F.lit(1)).alias("n_rows"))
+        rows.append(
+            total.crossJoin(dupes).select(
+                F.lit(name).alias("check_name"), "n_rows", "n_violations"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
