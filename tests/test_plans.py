@@ -481,3 +481,17 @@ def test_profile_and_approx_distinct_avoid_expand(spark, sf_dir):
     for name in ("profile_orders_columns", "agg_approx_count_distinct"):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "Expand" not in plan, f"{name} regressed to an expand plan"
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    plan = _plan(QUERIES["snapshot_diff_orders"](spark, sf_dir))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, (
+        "snapshot diff is ONE keyed full-outer join"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_integrity_orphan_checks_broadcast_parents(spark, sf_dir):
+    plan = _plan(QUERIES["integrity_check_star_schema"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "parent key sets must broadcast"
+    assert "CartesianProduct" not in plan  # the 1x1 crossJoins plan as BNLJ
