@@ -692,3 +692,86 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tall.join(F.broadcast(dist), "column_name").select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     )
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH log AS (
+        SELECT o_custkey AS cust_i, o_orderdate, o_orderkey, o_orderpriority
+        FROM orders
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM
+                         o_orderpriority THEN 1 ELSE 0 END AS chg
+        FROM log
+        WINDOW w AS (PARTITION BY cust_i ORDER BY o_orderdate, o_orderkey)
+    ),
+    versioned AS (
+        SELECT *,
+               SUM(chg) OVER (PARTITION BY cust_i
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM flagged
+    ),
+    collapsed AS (
+        SELECT cust_i, CAST(version AS INT) AS version,
+               MIN(o_orderpriority) AS priority,
+               MIN(o_orderdate) AS effective_from
+        FROM versioned GROUP BY cust_i, version
+    ),
+    history AS (
+        SELECT cust_i, version, priority, effective_from,
+               lead(effective_from) OVER (PARTITION BY cust_i ORDER BY version)
+                   AS effective_to
+        FROM collapsed
+    )
+    SELECT o.o_orderkey, o.o_custkey AS cust_i, o.o_orderdate,
+           h.version, h.priority,
+           (h.effective_to IS NULL) AS is_current_version
+    FROM orders o
+    JOIN history h
+      ON o.o_custkey = h.cust_i
+     AND o.o_orderdate >= h.effective_from
+     AND (h.effective_to IS NULL OR o.o_orderdate < h.effective_to)
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the type-2 dimension: every order
+    resolves the priority version valid AT ITS DATE — the consumption
+    half of the SCD2 pattern (``scd2_priority_history`` is the build
+    half). Version intervals tile [first_order_date, inf) half-open
+    per customer, so every order matches exactly one version.
+
+    Plan shape: the history build reuses its single cust_i shuffle;
+    the lookup is an equi-join on the customer key with the validity
+    window as a post-join filter — per-customer version counts are
+    small and bounded, so the fan-out before the filter is bounded
+    (the standard SCD2 probe; a range-join optimizer hint would kick
+    in for pathological version counts)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.registry import QUERIES as _Q
+
+    history = _Q["scd2_priority_history"](spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("cust_i"), "o_orderdate"
+    )
+    h = history.select(
+        "cust_i", "version", "priority", "effective_from", "effective_to"
+    )
+    eff_to = F.col("effective_to")
+    return (
+        orders.join(h, "cust_i")
+        .filter(
+            (F.col("o_orderdate") >= F.col("effective_from"))
+            & (eff_to.isNull() | (F.col("o_orderdate") < eff_to))
+        )
+        .select(
+            "o_orderkey",
+            "cust_i",
+            "o_orderdate",
+            "version",
+            "priority",
+            eff_to.isNull().alias("is_current_version"),
+        )
+    )
