@@ -216,3 +216,64 @@ def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_frac"),
     )
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wgt FROM per
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
+               CAST(SUM(wgt) AS BIGINT) AS t_wgt
+        FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / t_tokens, 6) AS natural_frac,
+           round(wgt * 1.0 / t_wgt, 6) AS target_frac,
+           round((wgt * t_tokens) * 1.0 / (t_wgt * n_tokens), 6) AS repeat_factor
+    FROM w CROSS JOIN tot
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture plan: per-source token shares under sqrt-
+    temperature reweighting (target weight proportional to
+    sqrt(n_tokens) — the standard move that upsamples rare sources
+    without letting any source dominate), with the repeat factor each
+    source needs to hit its target share.
+
+    Determinism: the weight is floor(sqrt(bigint)) — IEEE sqrt is
+    correctly rounded so both engines produce the same integer — and
+    every fraction is a single int/int division rounded once. Plan
+    shape: one source-keyed aggregate plus a 1-row broadcast of the
+    totals."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("n_tokens"),
+    )
+    w = per.withColumn("wgt", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint"))
+    tot = w.agg(
+        F.sum("n_tokens").cast("bigint").alias("t_tokens"),
+        F.sum("wgt").cast("bigint").alias("t_wgt"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("t_tokens"), 6).alias("natural_frac"),
+        F.round(F.col("wgt") / F.col("t_wgt"), 6).alias("target_frac"),
+        F.round(
+            (F.col("wgt") * F.col("t_tokens"))
+            / (F.col("t_wgt") * F.col("n_tokens")),
+            6,
+        ).alias("repeat_factor"),
+    )

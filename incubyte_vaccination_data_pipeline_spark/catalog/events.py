@@ -595,3 +595,49 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.coalesce(tol, F.lit(False))
         ).alias("value_ok"),
     )
+
+
+@query(
+    "stream_hopping_counts",
+    oracle="""
+    WITH slots AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+               CAST(value AS DECIMAL(18,2))
+        FROM events
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM slots
+    GROUP BY window_start
+    """,
+)
+def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows on the STREAM — 10-minute
+    windows every 5 minutes with a late-data watermark, driven to
+    completion; must equal the batch ``events_hopping_window``
+    restatement (each event lands in exactly window/slide = 2 state
+    slots). Completes the streaming family's window symmetry next to
+    tumbling and session windows."""
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+    return run_to_memory(agg, "ivdp_stream_hopping")
