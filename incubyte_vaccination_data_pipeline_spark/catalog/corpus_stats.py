@@ -252,8 +252,11 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the weight is floor(sqrt(bigint)) — IEEE sqrt is
     correctly rounded so both engines produce the same integer — and
     every fraction is a single int/int division rounded once. Plan
-    shape: one source-keyed aggregate plus a 1-row broadcast of the
-    totals."""
+    shape: ONE scan and one source-keyed aggregate; the corpus totals
+    come from an unpartitioned window over the per-source frame
+    (bounded by the source count by definition, so the single
+    partition is a few-hundred-row frame, not data) — a separate
+    total aggregate would re-scan the corpus."""
     docs = read_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     per = docs.groupBy("source").agg(
@@ -261,19 +264,16 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tokens).cast("bigint").alias("n_tokens"),
     )
     w = per.withColumn("wgt", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint"))
-    tot = w.agg(
-        F.sum("n_tokens").cast("bigint").alias("t_tokens"),
-        F.sum("wgt").cast("bigint").alias("t_wgt"),
-    )
-    return w.crossJoin(F.broadcast(tot)).select(
+    win = Window.partitionBy()
+    t_tokens = F.sum("n_tokens").over(win).cast("bigint")
+    t_wgt = F.sum("wgt").over(win).cast("bigint")
+    return w.select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("t_tokens"), 6).alias("natural_frac"),
-        F.round(F.col("wgt") / F.col("t_wgt"), 6).alias("target_frac"),
-        F.round(
-            (F.col("wgt") * F.col("t_tokens"))
-            / (F.col("t_wgt") * F.col("n_tokens")),
-            6,
-        ).alias("repeat_factor"),
+        F.round(F.col("n_tokens") / t_tokens, 6).alias("natural_frac"),
+        F.round(F.col("wgt") / t_wgt, 6).alias("target_frac"),
+        F.round((F.col("wgt") * t_tokens) / (t_wgt * F.col("n_tokens")), 6).alias(
+            "repeat_factor"
+        ),
     )

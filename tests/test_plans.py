@@ -495,3 +495,25 @@ def test_integrity_orphan_checks_broadcast_parents(spark, sf_dir):
     plan = _plan(QUERIES["integrity_check_star_schema"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, "parent key sets must broadcast"
     assert "CartesianProduct" not in plan  # the 1x1 crossJoins plan as BNLJ
+
+
+def test_bigram_lm_single_pair_shuffle_then_window(spark, sf_dir):
+    plan = _plan(QUERIES["text_bigram_lm_topk"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2  # pair count + context ranks
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_global_step_is_bounded_topk(spark, sf_dir):
+    """The only global ordering is the bounded top-K (TakeOrdered or a
+    K-row window), never a full-vocabulary single-partition sort."""
+    plan = _plan(QUERIES["text_vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-K must plan as TakeOrdered"
+
+
+def test_mixture_plan_single_scan(spark, sf_dir):
+    """Totals come from a window over the per-source frame — a
+    separate total aggregate would re-scan the corpus."""
+    plan = _plan(QUERIES["corpus_mixture_plan"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, "corpus must not be scanned twice"
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, f"mixture plan needs <=2 shuffles, saw {shuffles}"
