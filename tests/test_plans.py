@@ -517,3 +517,10 @@ def test_mixture_plan_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, "corpus must not be scanned twice"
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 2, f"mixture plan needs <=2 shuffles, saw {shuffles}"
+
+
+def test_integrity_single_scan_per_child_table(spark, sf_dir):
+    """All FK edges of a child table must resolve in one scan —
+    lineitem has three edges but appears once."""
+    plan = _plan(QUERIES["integrity_check_star_schema"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned per edge"
