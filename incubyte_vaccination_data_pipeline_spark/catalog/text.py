@@ -435,3 +435,85 @@ def text_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+#: hashing-trick feature dimension (HashingTF shape)
+HASHING_TF_DIM = 32
+
+from incubyte_vaccination_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    md5_half_decode_sql as _md5_decode,
+)
+
+_HTF_BUCKET_DUCK = f"({_md5_decode('md5(tok)', 1, 'strpos')} % {HASHING_TF_DIM})"
+
+
+@query(
+    "text_hashing_tf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT doc_id,
+               {_HTF_BUCKET_DUCK} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, {_HTF_BUCKET_DUCK}
+    ),
+    grid AS (
+        SELECT d.doc_id, b.bucket
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range({HASHING_TF_DIM})) AS bucket) b
+    ),
+    filled AS (
+        SELECT g.doc_id, g.bucket, COALESCE(c.tf, 0) AS tf
+        FROM grid g LEFT JOIN counts c
+          ON g.doc_id = c.doc_id AND g.bucket = c.bucket
+    )
+    SELECT doc_id,
+           array_to_string(list(tf ORDER BY bucket), ',') AS tf_vector
+    FROM filled GROUP BY doc_id
+    """,
+)
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency vectors (the HashingTF feature
+    shape): every token hashes to one of HASHING_TF_DIM buckets via
+    the repo's md5 positional decode (bit-identical in both engines),
+    and each document emits its dense bucket-count vector — the
+    fixed-width feature assembly step an ML pipeline feeds downstream.
+
+    Plan shape: explode -> (doc, bucket) count with map-side combine
+    -> per-doc map assembly -> dense vector via a sequence transform
+    (no per-doc grid join on the Spark side; the oracle uses the
+    equivalent grid restatement). Collision behavior is part of the
+    contract: a bucket's tf sums all colliding tokens. The vector is
+    rendered as a canonical comma-joined string for the driver's
+    value compare (array cells don't hash)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"pmod({_md5_decode('md5(tok)', 1)}, {HASHING_TF_DIM})"
+    )
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dense = F.expr(
+        f"transform(sequence(0, {HASHING_TF_DIM - 1}),"
+        f" b -> coalesce(try_element_at(m, cast(b as bigint)), cast(0 as bigint)))"
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "tf"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.array_join(dense.cast("array<string>"), ",").alias("tf_vector"),
+        )
+    )
