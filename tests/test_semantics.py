@@ -149,3 +149,129 @@ def test_snapshot_diff_hand_computed(spark, sf_dir, monkeypatch, tmp_path):
     assert out[(97, "changed")]["new_status"] == "X"
     assert out[(101, "removed")]["new_status"] is None
     assert out[(3_000_103, "added")]["old_status"] is None
+
+
+def _scd2_reference(rows):
+    """Pure-Python SCD2 reference: rows = (cust, date, key, attr)."""
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    for cust, d, k, a in rows:
+        by_cust[cust].append((d, k, a))
+    out = {}
+    for cust, orders in by_cust.items():
+        orders.sort()
+        versions = []  # (priority, from, n)
+        for d, _k, a in orders:
+            if not versions or versions[-1][0] != a:
+                versions.append([a, d, 1])
+            else:
+                versions[-1][2] += 1
+        for i, (a, frm, n) in enumerate(versions):
+            to = versions[i + 1][1] if i + 1 < len(versions) else None
+            out[(cust, i + 1)] = (a, frm, to, to is None, n)
+    return out
+
+
+def test_scd2_random_change_logs_match_reference(spark, monkeypatch, tmp_path):
+    """Random change logs vs the pure-Python reference: versions,
+    intervals, counts, and currency flags all agree."""
+    import random
+
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.relational_ext import (
+        scd2_priority_history,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    key = 0
+    for cust in range(1, 13):
+        for _ in range(rng.randint(1, 12)):
+            key += 1
+            rows.append(
+                (
+                    cust,
+                    dt.date(2020, rng.randint(1, 12), rng.randint(1, 28)),
+                    key,
+                    rng.choice(["LOW", "MED", "HIGH"]),
+                )
+            )
+    # duplicate dates across a customer exercise the orderkey tie-break
+    orders = spark.createDataFrame(
+        rows,
+        "o_custkey bigint, o_orderdate date, o_orderkey bigint,"
+        " o_orderpriority string",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "orders"),
+        orders,
+    )
+    # reference must see the same (date, key) sort order
+    ref = _scd2_reference([(c, (d, k), k, a) for c, d, k, a in rows])
+    got = {
+        (r["cust_i"], r["version"]): (
+            r["priority"],
+            r["effective_from"],
+            r["effective_to"],
+            r["is_current"],
+            r["n_orders"],
+        )
+        for r in scd2_priority_history(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        attr, (frm_d, _), to, cur, n = ref[k]
+        g_attr, g_from, g_to, g_cur, g_n = got[k]
+        assert g_attr == attr and g_n == n and g_cur == cur, (k, ref[k], got[k])
+        assert g_from == frm_d
+        assert (g_to is None) == (to is None)
+        if to is not None:
+            assert g_to == to[0]
+
+
+def test_repetition_ratios_match_counter_reference(spark, monkeypatch, tmp_path):
+    """Random small docs vs collections.Counter ground truth."""
+    import random
+    from collections import Counter
+
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.text import (
+        text_repetition_ratios_q,
+    )
+
+    rng = random.Random(5)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for i in range(25):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        rows.append((i, " ".join(words), "en", "src", len(" ".join(words))))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "documents"),
+        docs,
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text_repetition_ratios_q(spark, str(tmp_path)).collect()
+    }
+    for doc_id, text, *_ in rows:
+        words = text.split()
+        c = Counter(words)
+        bi = Counter(
+            f"{a} {b}" for a, b in zip(words, words[1:])
+        )
+        r = got[doc_id]
+        assert r["n_words"] == len(words)
+        assert r["n_distinct_words"] == len(c)
+        assert abs(r["top_word_frac"] - max(c.values()) / len(words)) < 1e-6
+        if bi:
+            assert abs(
+                r["top_bigram_frac"] - max(bi.values()) / sum(bi.values())
+            ) < 1e-6
+        else:
+            assert r["top_bigram_frac"] == 0.0
