@@ -357,6 +357,13 @@ def decode_jpeg(payload: bytes) -> dict:
             if frame is None:
                 raise DecoderNotAvailable("JPEG SOS before SOF0")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # non-interleaved baseline (one scan per component) is
+                # spec-legal but rare; decoding only the first scan
+                # would silently return a single-component image
+                raise DecoderNotAvailable(
+                    "non-interleaved JPEG scan out of scope"
+                )
             scan = []
             for c in range(ns):
                 cs, tds = body[1 + 2 * c : 3 + 2 * c]
