@@ -275,3 +275,59 @@ def test_repetition_ratios_match_counter_reference(spark, monkeypatch, tmp_path)
             ) < 1e-6
         else:
             assert r["top_bigram_frac"] == 0.0
+
+
+def test_triangle_count_k4_has_four_triangles(spark, monkeypatch, tmp_path):
+    """K4 as a co-purchase graph: parts 1-4 all pairwise co-bought
+    (each pair shares >= 2 orders to clear the support threshold) ->
+    C(4,3) = 4 triangles, 6 edges."""
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
+        graph_triangle_count,
+    )
+
+    rows = []
+    order = 0
+    for a in range(1, 5):
+        for b in range(a + 1, 5):
+            for _ in range(2):  # support >= 2 per pair
+                order += 1
+                rows += [(order, a), (order, b)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "lineitem"),
+        li,
+    )
+    r = graph_triangle_count(spark, str(tmp_path)).collect()[0]
+    assert (r["n_triangles"], r["n_edges"]) == (4, 6)
+
+
+def test_jpeg_non_interleaved_scan_rejected():
+    """A baseline file with one scan per component must raise, not
+    silently decode the first component as grayscale."""
+    import pytest as _pytest
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        DecoderNotAvailable,
+        decode_jpeg,
+    )
+
+    payload, _ = _make_jpeg_rgb_for_scan_test()
+    with _pytest.raises(DecoderNotAvailable, match="non-interleaved"):
+        decode_jpeg(payload)
+
+
+def _make_jpeg_rgb_for_scan_test():
+    """A 3-component SOF0 whose SOS declares only component 1."""
+    from tests.test_training_ops import _make_jpeg
+
+    payload, expected = _make_jpeg(8, 8, bytes([100] * 192), channels=3)
+    buf = bytearray(payload)
+    i = buf.find(b"\xff\xda")
+    seglen = int.from_bytes(buf[i + 2 : i + 4], "big")
+    # rewrite the SOS header: Ns=1, keep component 1's table spec,
+    # then the spectral-selection bytes
+    new_sos = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00])
+    buf[i : i + 2 + seglen] = new_sos
+    return bytes(buf), expected
