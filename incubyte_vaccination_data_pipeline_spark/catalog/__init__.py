@@ -30,6 +30,7 @@ from incubyte_vaccination_data_pipeline_spark.catalog import relational  # noqa:
 from incubyte_vaccination_data_pipeline_spark.catalog import relational_ext  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import tpch_gap  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import events  # noqa: F401,E402
+from incubyte_vaccination_data_pipeline_spark.catalog import events_ext  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import dedup  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import text  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import similarity  # noqa: F401,E402

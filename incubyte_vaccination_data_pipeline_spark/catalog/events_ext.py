@@ -1,0 +1,182 @@
+"""Time-series enrichment over ``events``: gap-filling on a daily
+spine and last-touch attribution.
+
+``events_gapfill`` is the resample/forward-fill operator every
+time-series warehouse needs: build the dense per-user daily spine
+(min..max active day), left-join the sparse daily aggregate, and
+forward-fill missing days from the last observed value. Spark-first
+shape: ``sequence()`` + ``explode`` generates the spine without a
+driver loop, the daily aggregate and the spine join share the same
+``(user_id, day)`` hash partitioning, and the fill is a single
+``last(ignorenulls)`` running window — no self-join, no UDF.
+
+``events_attribution_lasttouch`` attributes each purchase to the most
+recent preceding click by the same user — the classic marketing /
+conversion-credit query. One scan, one ``user_id`` shuffle: clicks and
+purchases are tagged in-row and a strictly-preceding running window
+(``rowsBetween(unboundedPreceding, -1)`` with ``ignorenulls``) carries
+the last click id/ts forward, so no as-of self-join is needed.
+
+Reference parity: the reference has no event-stream surface; these
+extend the engine's events family (SURVEY.md §2.9 adjacency) the same
+way the sessionization/funnel/retention queries do.
+
+100 TB posture: both queries are single-scan with one keyed shuffle
+(plus the spine explode, which is narrow per-user work). The spine
+size is |users| x |active days| — output-bound, not input-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+_DEC = "decimal(18,2)"
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(UNNEST(generate_series(CAST(MIN(day) AS TIMESTAMP),
+                                           CAST(MAX(day) AS TIMESTAMP),
+                                           INTERVAL '1 day')) AS DATE) AS day
+        FROM daily
+        GROUP BY user_id
+    )
+    SELECT s.user_id,
+           s.day,
+           d.day_value,
+           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           d.day_value IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily spine + forward fill (resample semantics).
+
+    The spine is generated distributed (``sequence`` over each user's
+    [min_day, max_day] then ``explode``) — never a driver-side date
+    loop. ``daily`` is persisted nowhere: Spark computes it once and
+    the spine derives from the same aggregate via a second groupBy on
+    its (already shuffled) output, so the join is co-partitioned.
+    """
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast(_DEC)).cast("double").alias("day_value"))
+
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+
+    filled = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(filled).alias("filled_value"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query(
+    "events_attribution_lasttouch",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_tag,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts_tag
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    attributed AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(click_tag IGNORE NULLS) OVER w AS click_id,
+               LAST_VALUE(click_ts_tag IGNORE NULLS) OVER w AS click_ts
+        FROM tagged
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_id AS purchase_id,
+           user_id,
+           ts AS purchase_ts,
+           click_id,
+           CAST(date_diff('second', click_ts, ts) AS BIGINT) AS gap_seconds
+    FROM attributed
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest
+    strictly-preceding click of the same user.
+
+    One ``user_id`` shuffle; the strictly-preceding frame
+    (``rowsBetween(unboundedPreceding, -1)``) makes a same-row click
+    impossible to self-attribute and keeps the whole query windowed —
+    the as-of-join formulation would scan twice and shuffle twice.
+    Tie-break ``(ts, event_id)`` is pinned so both engines order
+    identically.
+    """
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_tag"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts_tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last("click_tag", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_ts_tag", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_id",
+        (
+            F.col("ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("gap_seconds"),
+    )
