@@ -33,6 +33,7 @@ from incubyte_vaccination_data_pipeline_spark.catalog import events  # noqa: F40
 from incubyte_vaccination_data_pipeline_spark.catalog import events_ext  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import dedup  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import text  # noqa: F401,E402
+from incubyte_vaccination_data_pipeline_spark.catalog import text_ext  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import similarity  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import multimodal  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import formats  # noqa: F401,E402
