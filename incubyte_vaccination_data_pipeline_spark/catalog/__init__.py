@@ -32,9 +32,11 @@ from incubyte_vaccination_data_pipeline_spark.catalog import tpch_gap  # noqa: F
 from incubyte_vaccination_data_pipeline_spark.catalog import events  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import events_ext  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import dedup  # noqa: F401,E402
+from incubyte_vaccination_data_pipeline_spark.catalog import entity  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import text  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import text_ext  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import similarity  # noqa: F401,E402
+from incubyte_vaccination_data_pipeline_spark.catalog import clustering  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import multimodal  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import formats  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import graph  # noqa: F401,E402

@@ -277,3 +277,56 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_factor"
         ),
     )
+
+
+_TARGET_FILE_BYTES = 4096  # demonstration target; production would be 128-256 MiB
+
+
+@query(
+    "corpus_compaction_plan",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_doc_bytes,
+           CAST(CEIL(CAST(SUM(octet_length(encode(text))) AS DOUBLE)
+                     / {_TARGET_FILE_BYTES}) AS BIGINT) AS n_files,
+           CAST(CEIL(CAST(COUNT(*) AS DOUBLE) /
+                CEIL(CAST(SUM(octet_length(encode(text))) AS DOUBLE)
+                     / {_TARGET_FILE_BYTES})) AS BIGINT) AS docs_per_file
+    FROM documents
+    GROUP BY source
+    """,
+)
+def corpus_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: per source, total payload bytes
+    and the file count needed to hit a target file size — the sizing
+    pass that precedes a ``repartitionByRange``/``maxRecordsPerFile``
+    rewrite of a fragmented corpus (the #1 operational problem of
+    100 TB parquet lakes). ONE scan, one tiny per-source aggregate;
+    the target constant here is test-scale (4 KiB) — production uses
+    128-256 MiB with identical arithmetic.
+
+    Beyond-reference family (corpus operations); the write-side
+    counterpart of ``sources/parquet_io.py``'s chunked warehouse sink.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    nbytes = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nbytes).cast("bigint").alias("total_bytes"),
+        F.max(nbytes).cast("bigint").alias("max_doc_bytes"),
+    )
+    n_files = F.ceil(
+        F.col("total_bytes").cast("double") / _TARGET_FILE_BYTES
+    ).cast("bigint")
+    return per.select(
+        "source",
+        "n_docs",
+        "total_bytes",
+        "max_doc_bytes",
+        n_files.alias("n_files"),
+        F.ceil(F.col("n_docs").cast("double") / n_files).cast("bigint").alias(
+            "docs_per_file"
+        ),
+    )
