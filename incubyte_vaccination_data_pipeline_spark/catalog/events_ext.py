@@ -72,14 +72,20 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spine is generated distributed (``sequence`` over each user's
     [min_day, max_day] then ``explode``) — never a driver-side date
-    loop. ``daily`` is persisted nowhere: Spark computes it once and
-    the spine derives from the same aggregate via a second groupBy on
-    its (already shuffled) output, so the join is co-partitioned.
+    loop. The compact ``daily`` aggregate is lazily checkpointed so
+    the spine branch and the fill join share one scan + one aggregate
+    instead of recomputing the subtree per branch.
     """
     events = read_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.sum(F.col("value").cast(_DEC)).cast("double").alias("day_value"))
+    # daily feeds both the spine derivation and the fill join; without
+    # a checkpoint Spark re-scans events and re-aggregates per branch
+    # (no exchange reuse across self-join sides). The frame is compact
+    # (|users| x |active days| rows), same policy as the dedup
+    # signature checkpoints.
+    daily = daily.localCheckpoint(eager=False)
 
     spine = (
         daily.groupBy("user_id")

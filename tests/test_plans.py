@@ -524,3 +524,72 @@ def test_integrity_single_scan_per_child_table(spark, sf_dir):
     lineitem has three edges but appears once."""
     plan = _plan(QUERIES["integrity_check_star_schema"](spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1, "lineitem scanned per edge"
+
+
+def test_gapfill_single_scan_shared_daily(spark, sf_dir):
+    """The daily aggregate feeds both spine and fill join through one
+    checkpoint — a second events scan means the subtree duplicated."""
+    plan = _plan(QUERIES["events_gapfill"](spark, sf_dir))
+    assert plan.count("Scan parquet") + plan.count("events.parquet") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_scan_single_shuffle(spark, sf_dir):
+    """Last-touch attribution is one scan + one user_id shuffle; the
+    event_type filter must reach the parquet scan."""
+    plan = _plan(QUERIES["events_attribution_lasttouch"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles == 1, f"expected 1 shuffle, saw {shuffles}"
+    assert "event_type" in plan[plan.index("PushedFilters") :][:200], (
+        "event_type IN filter must push to the scan"
+    )
+
+
+def test_pii_redaction_no_shuffle_codegen(spark, sf_dir):
+    """Redaction is a pure per-row projection: no exchange at all and
+    fully inside whole-stage codegen."""
+    plan = _plan(QUERIES["text_pii_redaction"](spark, sf_dir))
+    assert "Exchange" not in plan
+    # '*(n)' node prefixes mark whole-stage-codegen spans
+    assert "*(1)" in plan, "redaction expressions must stay inside codegen"
+
+
+def test_chunk_overlap_no_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["text_chunk_overlap"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("Generate explode") == 1
+
+
+def test_filter_funnel_single_scan_no_explode(spark, sf_dir):
+    """Every rule is an array expression — the funnel must not explode
+    tokens or scan twice."""
+    plan = _plan(QUERIES["text_filter_funnel"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Generate explode" not in plan
+
+
+def test_fuzzy_match_blocked_equi_join(spark, sf_dir):
+    """Candidate generation is the masked-band equi-join — never a
+    cartesian / nested-loop pair enumeration."""
+    plan = _plan(QUERIES["fuzzy_match_customers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_centroids_broadcast_no_cartesian(spark, sf_dir):
+    """Centroid distance evaluation joins on the component index with
+    the 8x64-row centroid side broadcast; a cartesian over vectors
+    would be the n^2 failure mode."""
+    plan = _plan(QUERIES["kmeans_embeddings_lloyd"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, "centroid joins must broadcast"
+
+
+def test_compaction_plan_single_scan_pruned(spark, sf_dir):
+    plan = _plan(QUERIES["corpus_compaction_plan"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    scan = plan[plan.index("Scan parquet") :]
+    read = re.match(r"Scan parquet \[([^\]]*)\]", scan).group(1)
+    assert "doc_id" not in read, "planner reads only source+text, not all columns"
