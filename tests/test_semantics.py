@@ -331,3 +331,205 @@ def _make_jpeg_rgb_for_scan_test():
     new_sos = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00])
     buf[i : i + 2 + seglen] = new_sos
     return bytes(buf), expected
+
+
+def test_gapfill_hand_computed(spark, monkeypatch, tmp_path):
+    """User with events on day 1 and day 4 gets a 4-day spine with
+    days 2-3 forward-filled from day 1 and flagged as gaps."""
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.events_ext import events_gapfill
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 1, "view", 5.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "view", 2.5, "{}"),
+        (3, dt.datetime(2024, 1, 4, 1), 1, "view", 7.0, "{}"),
+        (4, dt.datetime(2024, 2, 1, 0), 2, "view", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "events"),
+        events,
+    )
+    out = {
+        (r["user_id"], r["day"]): r
+        for r in events_gapfill(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 5  # 4 spine days for user 1 + 1 for user 2
+    d = dt.date
+    assert out[(1, d(2024, 1, 1))]["day_value"] == 7.5
+    assert not out[(1, d(2024, 1, 1))]["is_gap"]
+    for day in (d(2024, 1, 2), d(2024, 1, 3)):
+        r = out[(1, day)]
+        assert r["day_value"] is None and r["is_gap"]
+        assert r["filled_value"] == 7.5  # carried from day 1
+    assert out[(1, d(2024, 1, 4))]["filled_value"] == 7.0
+    assert out[(2, d(2024, 2, 1))]["filled_value"] == 1.0
+
+
+def test_attribution_hand_computed(spark, monkeypatch, tmp_path):
+    """Purchases credit the latest strictly-preceding click; a
+    purchase before any click gets NULL."""
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.events_ext import (
+        events_attribution_lasttouch,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "purchase", 0.0, "{}"),   # before any click -> NULL
+        (2, t(1), 1, "click", 0.0, "{}"),
+        (3, t(2), 1, "view", 0.0, "{}"),       # ignored event type
+        (4, t(3), 1, "purchase", 0.0, "{}"),   # -> click 2
+        (5, t(4), 1, "click", 0.0, "{}"),
+        (6, t(5), 1, "purchase", 0.0, "{}"),   # -> click 5 (latest)
+        (7, t(9), 2, "purchase", 0.0, "{}"),   # other user: no click
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "events"),
+        events,
+    )
+    out = {
+        r["purchase_id"]: r
+        for r in events_attribution_lasttouch(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 4, 6, 7}
+    assert out[1]["click_id"] is None and out[1]["gap_seconds"] is None
+    assert out[4]["click_id"] == 2 and out[4]["gap_seconds"] == 120
+    assert out[6]["click_id"] == 5 and out[6]["gap_seconds"] == 60
+    assert out[7]["click_id"] is None
+
+
+def test_chunk_overlap_covers_and_strides(spark, monkeypatch, tmp_path):
+    """80 tokens -> 4 chunks at stride 24 (sizes 32/32/32/8); chunks
+    reconstruct the document exactly."""
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.text_ext import (
+        text_chunk_overlap,
+        _CHUNK,
+        _STRIDE,
+    )
+
+    words = [f"w{i}" for i in range(80)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "src0", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "documents"),
+        docs,
+    )
+    rows = sorted(
+        text_chunk_overlap(spark, str(tmp_path)).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["n_tokens"] for r in rows] == [32, 32, 32, 8]
+    import hashlib
+
+    for r in rows:
+        start = r["chunk_id"] * _STRIDE
+        expect = " ".join(words[start : start + _CHUNK])
+        assert r["chunk_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_pii_redaction_masks_all_types(spark, monkeypatch, tmp_path):
+    """The derived dirty text carries exactly one email/phone/IP and
+    the redacted hash equals the hand-built expectation."""
+    import hashlib
+
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.text_ext import text_pii_redaction
+
+    docs = spark.createDataFrame(
+        [(42, "hello world", "en", "src0", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "documents"),
+        docs,
+    )
+    r = text_pii_redaction(spark, str(tmp_path)).collect()[0]
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 1, 1)
+    expect = "hello world contact <EMAIL> or <PHONE> from <IP>"
+    assert r["redacted_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_fuzzy_match_prefers_exact_then_lowest_key(spark, monkeypatch, tmp_path):
+    """custkey 0's dirty name (X at position 13) is lev-1 from both
+    customer 0 and customer 100000 ('000100000' differs only there);
+    the (lev, custkey) tie-break must pick 0 and report 2 candidates
+    surviving the masked-band blocking."""
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.entity import (
+        fuzzy_match_customers,
+        _DIRTY_OFFSET,
+    )
+
+    def cust(k):
+        return (k, f"Customer#{k:09d}", 0, 0.0, "BUILDING")
+
+    customer = spark.createDataFrame(
+        [cust(0), cust(100000), cust(99999)],
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "customer"),
+        customer,
+    )
+    out = {
+        r["dirty_id"]: r for r in fuzzy_match_customers(spark, str(tmp_path)).collect()
+    }
+    # dirty twins exist for custkeys 0 and 99999 (both % 3 == 0);
+    # 100000 is clean-only and lev-1 from dirty(0), creating the tie
+    r0 = out[_DIRTY_OFFSET + 0]
+    assert r0["matched_custkey"] == 0 and r0["lev"] == 1
+    assert r0["n_candidates"] == 2  # customer 0 and customer 100000
+    r1 = out[_DIRTY_OFFSET + 99999]
+    # 99999 % 6 == 3 -> mutation at position 16, unambiguous
+    assert r1["matched_custkey"] == 99999 and r1["lev"] == 1
+    assert r1["n_candidates"] == 1
+
+
+def test_kmeans_assign_update_exact():
+    """_assign picks the true nearest centroid with exact integer
+    distances (cluster-id tie-break) and _update produces the exact
+    floor-mean centroid."""
+    from pyspark.sql import SparkSession
+
+    from incubyte_vaccination_data_pipeline_spark.catalog.clustering import _assign, _update
+
+    spark = SparkSession.getActiveSession()
+    qcomp = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 0), (2, 1, 12), (2, 2, 12), (3, 1, 5), (3, 2, 5)],
+        "vec_id bigint, pos int, q bigint",
+    )
+    cent = spark.createDataFrame(
+        [(0, 1, 0), (0, 2, 0), (1, 1, 10), (1, 2, 10)],
+        "cluster bigint, pos int, c bigint",
+    )
+    a = {r["vec_id"]: r for r in _assign(qcomp, cent).collect()}
+    assert (a[1]["cluster"], a[1]["d"]) == (0, 0)
+    assert (a[2]["cluster"], a[2]["d"]) == (1, 8)
+    # vec 3 is equidistant (50 vs 50): tie-break -> cluster 0
+    assert (a[3]["cluster"], a[3]["d"]) == (0, 50)
+    assign = _assign(qcomp, cent)
+    cent2 = {
+        (r["cluster"], r["pos"]): r["c"] for r in _update(qcomp, assign).collect()
+    }
+    # cluster 0 members: vec 1 (0) and vec 3 (5) -> floor(5/2) = 2
+    assert cent2[(0, 1)] == 2 and cent2[(0, 2)] == 2
+    assert cent2[(1, 1)] == 12 and cent2[(1, 2)] == 12
