@@ -33,6 +33,9 @@ FUZZED_QUERIES = [
     "dedup_exact",
     "text_repetition_ratios",
     "text_boilerplate_ngrams",
+    "text_pii_redaction",
+    "text_chunk_overlap",
+    "text_filter_funnel",
 ]
 
 EDGE_TEXTS = [
