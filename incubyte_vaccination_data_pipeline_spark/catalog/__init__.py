@@ -41,6 +41,7 @@ from incubyte_vaccination_data_pipeline_spark.catalog import multimodal  # noqa:
 from incubyte_vaccination_data_pipeline_spark.catalog import formats  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import graph  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import quality  # noqa: F401,E402
+from incubyte_vaccination_data_pipeline_spark.catalog import features  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import corpus_stats  # noqa: F401,E402
 from incubyte_vaccination_data_pipeline_spark.catalog import training_ext  # noqa: E402
 

@@ -186,3 +186,134 @@ def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("long") - F.col("click_ts").cast("long")
         ).alias("gap_seconds"),
     )
+
+
+@query(
+    "incremental_watermark_ingest",
+    oracle="""
+    WITH wm AS (
+        SELECT date_trunc('day', MAX(ts)) - INTERVAL '7 days' AS w,
+               MAX(ts) AS new_watermark
+        FROM events
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_new_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(e.ts) AS min_new_ts,
+           MAX(wm.new_watermark) AS new_watermark
+    FROM events e, wm
+    WHERE e.ts > wm.w
+    GROUP BY e.event_type
+    """,
+)
+def incremental_watermark_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-batch ingest: aggregate only the rows newer than
+    the stored watermark and emit the advanced watermark for the next
+    run. The watermark here is *derived* (max ts - 7 days) so both
+    engines restate it; a production run reads it from a metadata
+    table as a LITERAL, which pushes the ``ts >`` predicate into the
+    parquet scan and prunes whole files via min/max stats — the
+    derived form costs one extra max-only scan (column-pruned to
+    ``ts``), which is the documented difference. The watermark frame
+    is one row, broadcast; the main aggregate is one keyed shuffle.
+    """
+    events = read_table(spark, sf_dir, "events")
+    wm = events.agg(
+        (F.date_trunc("day", F.max("ts")) - F.expr("interval 7 days")).alias("w"),
+        F.max("ts").alias("new_watermark"),
+    )
+    return (
+        events.join(F.broadcast(wm))
+        .filter(F.col("ts") > F.col("w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            F.min("ts").alias("min_new_ts"),
+            F.max("new_watermark").alias("new_watermark"),
+        )
+    )
+
+
+_Z_MIN_DAYS = 5
+_Z_THRESHOLD = 2.0
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS day_cents
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT user_id, day, day_cents,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(day_cents) OVER w AS BIGINT) AS s1,
+               CAST(SUM(day_cents * day_cents) OVER w AS BIGINT) AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, day, day_cents,
+           CASE WHEN n >= {_Z_MIN_DAYS}
+                     AND n * s2 > s1 * s1
+                THEN round((day_cents - CAST(s1 AS DOUBLE) / n)
+                           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                                   * s1 / n) / (n - 1)), 4)
+           END AS z,
+           CASE WHEN n >= {_Z_MIN_DAYS}
+                     AND n * s2 > s1 * s1
+                THEN abs((day_cents - CAST(s1 AS DOUBLE) / n)
+                         / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                                 * s1 / n) / (n - 1))) > {_Z_THRESHOLD}
+                ELSE FALSE
+           END AS is_anomaly
+    FROM stats
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily z-score anomaly flags. Determinism: the daily
+    value is exact integer cents, and the per-user moments (n, Σx,
+    Σx²) are exact BIGINT aggregates — order-independent — so the
+    final double z-score is the same IEEE expression over identical
+    integers in both engines (the same trick as the PageRank /
+    centroid queries: quantize first, float only at the very end).
+    One scan, one (user, day) shuffle, one user window. Degenerate
+    guards: fewer than {_Z_MIN_DAYS} days or zero variance → NULL z.
+    """
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast(_DEC)) * 100).cast("bigint").alias("day_cents")
+    )
+    w = Window.partitionBy("user_id")
+    stats = daily.select(
+        "user_id",
+        "day",
+        "day_cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("day_cents").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("day_cents") * F.col("day_cents")).over(w).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("day_cents") - mean) / F.sqrt(var)
+    ok = (F.col("n") >= _Z_MIN_DAYS) & (
+        F.col("n") * F.col("s2") > F.col("s1") * F.col("s1")
+    )
+    return stats.select(
+        "user_id",
+        "day",
+        "day_cents",
+        F.when(ok, F.round(z, 4)).alias("z"),
+        F.when(ok, F.abs(z) > _Z_THRESHOLD).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -593,3 +593,32 @@ def test_compaction_plan_single_scan_pruned(spark, sf_dir):
     scan = plan[plan.index("Scan parquet") :]
     read = re.match(r"Scan parquet \[([^\]]*)\]", scan).group(1)
     assert "doc_id" not in read, "planner reads only source+text, not all columns"
+
+
+def test_incremental_ingest_watermark_scan_pruned(spark, sf_dir):
+    """The watermark pass may add one extra scan but it must be
+    column-pruned to ts; the 1-row watermark side broadcasts."""
+    plan = _plan(QUERIES["incremental_watermark_ingest"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2
+    scans = [m for m in re.finditer(r"Scan parquet \[([^\]]*)\]", plan)]
+    assert any(s.group(1) == "ts#" + s.group(1).split("#")[1] or
+               s.group(1).startswith("ts#") for s in scans), (
+        "one scan must read only the ts column for the watermark"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_zscore_one_scan_two_shuffles(spark, sf_dir):
+    plan = _plan(QUERIES["events_anomaly_zscore"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_pit_features_single_range_window(spark, sf_dir):
+    """Point-in-time features are ONE range-frame window — a self-join
+    formulation (the leakage-prone classic) would scan twice."""
+    plan = _plan(QUERIES["pit_trailing_features"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RangeFrame" in plan, "trailing window must be a RANGE frame"
+    assert "Join" not in plan

@@ -533,3 +533,117 @@ def test_kmeans_assign_update_exact():
     # cluster 0 members: vec 1 (0) and vec 3 (5) -> floor(5/2) = 2
     assert cent2[(0, 1)] == 2 and cent2[(0, 2)] == 2
     assert cent2[(1, 1)] == 12 and cent2[(1, 2)] == 12
+
+
+def test_pit_features_exclude_same_day_and_stale(spark, monkeypatch, tmp_path):
+    """Trailing-90d features see a 30-day-old order, exclude a
+    100-day-old one, and exclude same-day siblings (leakage rule)."""
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.features import pit_trailing_features
+
+    d = dt.date
+    rows = [
+        (1, 1, d(2020, 1, 1), 100.0),    # base
+        (2, 1, d(2020, 1, 31), 50.0),    # 30d later: sees order 1
+        (3, 1, d(2020, 5, 10), 25.0),    # 100d after order 2: sees nothing
+        (4, 2, d(2020, 3, 1), 10.0),     # same-day siblings
+        (5, 2, d(2020, 3, 1), 20.0),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice double",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "orders"),
+        orders,
+    )
+    out = {
+        r["o_orderkey"]: r
+        for r in pit_trailing_features(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["feat_orders_90d"] == 0 and out[1]["feat_spend_90d"] == 0.0
+    assert out[2]["feat_orders_90d"] == 1 and out[2]["feat_spend_90d"] == 100.0
+    assert out[3]["feat_orders_90d"] == 0  # both prior orders out of range
+    # same-day siblings must not see each other (strictly-preceding day)
+    assert out[4]["feat_orders_90d"] == 0 and out[5]["feat_orders_90d"] == 0
+
+
+def test_anomaly_zscore_flags_spike_only(spark, monkeypatch, tmp_path):
+    """Six flat days + one spike: only the spike day is anomalous; a
+    constant-valued user gets NULL z (zero variance)."""
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.events_ext import (
+        events_anomaly_zscore,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 7):  # user 1: six days of 1.00
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day, 12), 1, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 7, 12), 1, "view", 100.0, "{}"))
+    for day in range(1, 6):  # user 2: five constant days -> zero variance
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day, 12), 2, "view", 5.0, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "events"),
+        events,
+    )
+    out = {
+        (r["user_id"], r["day"]): r
+        for r in events_anomaly_zscore(spark, str(tmp_path)).collect()
+    }
+    spike = out[(1, dt.date(2024, 1, 7))]
+    assert spike["is_anomaly"] and spike["z"] > 2
+    flat_days = [out[(1, dt.date(2024, 1, d))] for d in range(1, 7)]
+    assert not any(r["is_anomaly"] for r in flat_days)
+    # python reference for the spike z-score (exact integer moments)
+    import math
+
+    xs = [100] * 6 + [10000]  # cents
+    n, s1, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+    z_ref = round((10000 - s1 / n) / math.sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
+    assert spike["z"] == z_ref
+    for d in range(1, 6):
+        r = out[(2, dt.date(2024, 1, d))]
+        assert r["z"] is None and not r["is_anomaly"]
+
+
+def test_incremental_ingest_counts_only_post_watermark(spark, monkeypatch, tmp_path):
+    """Watermark = trunc(max ts) - 7d: only newer rows aggregate."""
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.events_ext import (
+        incremental_watermark_ingest,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, "view", 1.0, "{}"),    # ancient
+        (2, dt.datetime(2024, 1, 23, 0, 1), 1, "view", 2.0, "{}"),  # just inside
+        (3, dt.datetime(2024, 1, 29, 5), 1, "view", 4.0, "{}"),
+        (4, dt.datetime(2024, 1, 30, 9), 1, "click", 8.0, "{}"),   # max ts
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "events"),
+        events,
+    )
+    out = {
+        r["event_type"]: r
+        for r in incremental_watermark_ingest(spark, str(tmp_path)).collect()
+    }
+    # watermark = 2024-01-30 00:00 - 7d = 2024-01-23 00:00 (exclusive)
+    assert out["view"]["n_new_events"] == 2  # events 2 and 3; event 1 too old
+    assert out["view"]["sum_value"] == 6.0
+    assert out["click"]["n_new_events"] == 1
+    assert out["click"]["new_watermark"] == dt.datetime(2024, 1, 30, 9)
