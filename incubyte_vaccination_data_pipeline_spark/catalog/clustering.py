@@ -33,7 +33,7 @@ DataFrame end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
@@ -171,3 +171,156 @@ def kmeans_embeddings_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("checksum").alias("centroid_checksum"),
         )
     )
+
+
+# --- PCA power iteration -------------------------------------------------
+#
+# Dominant principal component of the (mean-centered, quantized)
+# embedding matrix via two power-method iterations v -> X^T (X v),
+# entirely in BIGINT arithmetic so both engines agree bit-for-bit.
+#
+# Exact floor division that matches across engines: Spark's `div` and
+# DuckDB's `//` disagree on negative operands (trunc vs floor), so we
+# use fdiv(a, b) = (a - pmod(a, b)) / b with pmod = ((a % b) + b) % b —
+# `%` has identical C semantics in both engines and the subtraction
+# makes the division exact.
+#
+# Magnitude budget (sf0.1: n = 5000, d = 64): centered q ≤ 2^22,
+# v normalized to ±2^10 ⇒ w = Σ_d cq·v ≤ 2^38, rescaled by 2^18 to
+# ≤ 2^20 ⇒ v' = Σ_n cq·w' ≤ n·2^42 ≈ 2^54 < 2^63. At larger n the
+# rescale shift grows with log2(n) (documented; the arithmetic stays
+# BIGINT-exact, only the constant changes).
+
+_V_SCALE = 1024          # eigenvector components normalized to ±2^10
+_W_SHIFT = 262144        # 2^18 rescale between the two half-steps
+
+
+def _fdiv(a: str, b: str) -> str:
+    return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b})"
+
+
+_PCA_ORACLE = f"""
+    WITH qcomp AS (
+        SELECT vec_id, i.i AS pos,
+               CAST(floor(embedding[i.i] * {_SCALE}) AS BIGINT) AS q
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) i
+    ),
+    centered AS (
+        SELECT vec_id, pos,
+               q - CAST(floor(CAST(SUM(q) OVER (PARTITION BY pos) AS DOUBLE)
+                              / COUNT(*) OVER (PARTITION BY pos)) AS BIGINT)
+                   AS cq
+        FROM qcomp
+    ),
+    v0 AS (SELECT DISTINCT pos, CAST({_V_SCALE} AS BIGINT) AS v FROM centered),
+    w1 AS (
+        SELECT c.vec_id,
+               CAST({_fdiv("SUM(c.cq * v.v)", str(_W_SHIFT))} AS BIGINT) AS w
+        FROM centered c JOIN v0 v ON c.pos = v.pos
+        GROUP BY c.vec_id
+    ),
+    v1 AS (
+        SELECT c.pos, CAST(SUM(c.cq * w.w) AS BIGINT) AS v
+        FROM centered c JOIN w1 w ON c.vec_id = w.vec_id
+        GROUP BY c.pos
+    ),
+    v1n AS (
+        SELECT pos,
+               CAST({_fdiv(f"v * {_V_SCALE}", "(SELECT MAX(ABS(v)) FROM v1)")}
+                    AS BIGINT) AS v
+        FROM v1
+    ),
+    w2 AS (
+        SELECT c.vec_id,
+               CAST({_fdiv("SUM(c.cq * v.v)", str(_W_SHIFT))} AS BIGINT) AS w
+        FROM centered c JOIN v1n v ON c.pos = v.pos
+        GROUP BY c.vec_id
+    ),
+    v2 AS (
+        SELECT c.pos, CAST(SUM(c.cq * w.w) AS BIGINT) AS v
+        FROM centered c JOIN w2 w ON c.vec_id = w.vec_id
+        GROUP BY c.pos
+    )
+    SELECT pos,
+           CAST({_fdiv(f"v * {_V_SCALE}", "(SELECT MAX(ABS(v)) FROM v2)")}
+                AS BIGINT) AS component
+    FROM v2
+"""
+
+
+@query("embedding_pca_power_iteration", oracle=_PCA_ORACLE)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-method iterations ``v → Xᵀ(Xv)`` toward the dominant
+    principal component of the mean-centered quantized embeddings —
+    the whitening / dimensionality-analysis primitive, exact in
+    BIGINT so DuckDB restates it bit-for-bit. (Convergence rate is
+    λ2/λ1 per iteration — production runs more iterations, each the
+    same two-join half-step pair; the iteration count here is pinned
+    so the oracle can unroll it. `tests/test_semantics.py` checks the
+    result against a float numpy reference of the same iterations and
+    that the Rayleigh quotient increases.)
+
+    Plan shape per half-step: one equi-join against a tiny broadcast
+    frame (the 64-row ``v`` or the per-vector ``w``) + one keyed
+    aggregate — never a d×d covariance materialization (that is the
+    n·d² trap; the matrix-free form is n·d per iteration). The
+    centered component frame is checkpointed once and feeds all four
+    half-steps. Returns the 64 normalized eigenvector components.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    qcomp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * _SCALE).cast("bigint").alias("q"),
+    )
+    wpos = Window.partitionBy("pos")
+    centered = qcomp.select(
+        "vec_id",
+        "pos",
+        (
+            F.col("q")
+            - F.floor(
+                F.sum("q").over(wpos).cast("double") / F.count(F.lit(1)).over(wpos)
+            ).cast("bigint")
+        ).alias("cq"),
+    ).localCheckpoint(eager=False)
+
+    def half_down(v: DataFrame) -> DataFrame:
+        """w = fdiv(Σ_pos cq·v, 2^18) per vector (v is ≤64 rows)."""
+        return (
+            centered.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("cq") * F.col("v")).alias("s"))
+            .select(
+                "vec_id",
+                F.expr(_fdiv("s", str(_W_SHIFT))).cast("bigint").alias("w"),
+            )
+        )
+
+    def half_up(w: DataFrame) -> DataFrame:
+        """v' = Σ_vec cq·w per component."""
+        return (
+            centered.join(w, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("cq") * F.col("w")).cast("bigint").alias("v"))
+        )
+
+    def normalize(v: DataFrame) -> DataFrame:
+        vmax = v.agg(F.max(F.abs(F.col("v"))).alias("vmax"))
+        return (
+            v.join(F.broadcast(vmax))
+            .select(
+                "pos",
+                F.expr(_fdiv(f"v * {_V_SCALE}", "vmax")).cast("bigint").alias("v"),
+            )
+        )
+
+    v0 = centered.select("pos").distinct().select(
+        "pos", F.lit(_V_SCALE).cast("bigint").alias("v")
+    )
+    v1n = normalize(half_up(half_down(v0)))
+    v2 = half_up(half_down(v1n))
+    return normalize(v2).select("pos", F.col("v").alias("component"))

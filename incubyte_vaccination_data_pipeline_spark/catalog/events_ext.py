@@ -317,3 +317,56 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT COALESCE(prev_type, '_START') AS prev_type,
+               event_type AS next_type,
+               COUNT(*) AS n
+        FROM ordered
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM trans
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the sequence-model prior / session-simulation input):
+    P(next_type | prev_type) with a ``_START`` state for each user's
+    first event. One scan, one ``user_id`` shuffle for the lag, one
+    tiny |types|² aggregate; probabilities derive from exact integer
+    counts so the rounded double agrees across engines."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = ordered.groupBy(
+        F.coalesce("prev_type", F.lit("_START")).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev_type")),
+            6,
+        ).alias("p"),
+    )

@@ -622,3 +622,17 @@ def test_pit_features_single_range_window(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "RangeFrame" in plan, "trailing window must be a RANGE frame"
     assert "Join" not in plan
+
+
+def test_markov_single_scan_bounded_output(spark, sf_dir):
+    plan = _plan(QUERIES["events_markov_transitions"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_matrix_free_no_cartesian(spark, sf_dir):
+    """Power iteration must stay matrix-free: joins against the tiny
+    v/w frames, never a d x d covariance build or a cartesian."""
+    plan = _plan(QUERIES["embedding_pca_power_iteration"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, "v-side joins must broadcast"

@@ -647,3 +647,78 @@ def test_incremental_ingest_counts_only_post_watermark(spark, monkeypatch, tmp_p
     assert out["view"]["sum_value"] == 6.0
     assert out["click"]["n_new_events"] == 1
     assert out["click"]["new_watermark"] == dt.datetime(2024, 1, 30, 9)
+
+
+def test_markov_hand_computed(spark, monkeypatch, tmp_path):
+    """Sequence a,b,a,b for one user: _START->a 1.0, a->b 1.0,
+    b->a p=0.5 (one of two b-transitions leads to a)."""
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.events_ext import (
+        events_markov_transitions,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "a", 0.0, "{}"),
+        (2, t(1), 1, "b", 0.0, "{}"),
+        (3, t(2), 1, "a", 0.0, "{}"),
+        (4, t(3), 1, "b", 0.0, "{}"),
+        (5, t(4), 1, "b", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "events"),
+        events,
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in events_markov_transitions(spark, str(tmp_path)).collect()
+    }
+    assert out[("_START", "a")]["p"] == 1.0
+    assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p"] == 1.0
+    assert out[("b", "a")]["p"] == 0.5 and out[("b", "b")]["p"] == 0.5
+
+
+def test_pca_direction_matches_numpy(spark, sf_dir):
+    """The integer power iteration must (a) track a float numpy
+    implementation of the SAME two iterations to |cosine| > 0.999
+    (quantization/rescale noise only), and (b) strictly increase the
+    Rayleigh quotient over the uniform start — monotone progress
+    toward the dominant eigenvector. (The synthetic embeddings are
+    near-isotropic, λ2/λ1 ≈ 0.93, so full convergence in two
+    iterations is mathematically impossible for ANY implementation;
+    the oracle already pins cross-engine bit-equality.)"""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    rows = QUERIES["embedding_pca_power_iteration"](spark, sf_dir).collect()
+    v = np.array([r["component"] for r in sorted(rows, key=lambda r: r["pos"])],
+                 dtype=np.float64)
+    emb = np.array(
+        [r["embedding"] for r in
+         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("embedding").collect()],
+        dtype=np.float64,
+    )
+    x = np.floor(emb * (1 << 20))
+    x = x - np.floor(x.sum(axis=0) / len(x))
+    # float reference of the same two v -> X^T(Xv) iterations
+    ref = np.ones(64)
+    for _ in range(2):
+        ref = x.T @ (x @ ref)
+        ref /= np.abs(ref).max()
+    cos = abs(v @ ref) / (np.linalg.norm(v) * np.linalg.norm(ref))
+    assert cos > 0.999, f"cosine to float two-iteration reference {cos:.5f}"
+
+    def rayleigh(u):
+        xu = x @ u
+        return (xu @ xu) / (u @ u)
+
+    assert rayleigh(v) > rayleigh(np.ones(64)), (
+        "power iteration must increase the Rayleigh quotient"
+    )
