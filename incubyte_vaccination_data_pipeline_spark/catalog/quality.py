@@ -44,6 +44,26 @@ _NEW_SNAPSHOT_SQL = f"""
 """
 
 
+def _new_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministically mutated second snapshot (Spark side of
+    ``_NEW_SNAPSHOT_SQL``) — shared by the keyed diff and the PSI
+    drift monitor (``round5_ext``)."""
+    base = read_table(spark, sf_dir, "orders")
+    kept = base.filter(F.col("o_orderkey") % _DELETE_MOD != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % _CHANGE_MOD == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    added = base.filter(F.col("o_orderkey") % _ADD_MOD == 0).select(
+        (F.col("o_orderkey") + _ADD_OFFSET).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return kept.unionByName(added)
+
+
 @query(
     "snapshot_diff_orders",
     oracle=f"""
@@ -74,20 +94,7 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = read_table(spark, sf_dir, "orders")
-    kept = base.filter(F.col("o_orderkey") % _DELETE_MOD != 0).select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % _CHANGE_MOD == 0, F.lit("X"))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("o_orderstatus"),
-        "o_totalprice",
-    )
-    added = base.filter(F.col("o_orderkey") % _ADD_MOD == 0).select(
-        (F.col("o_orderkey") + _ADD_OFFSET).alias("o_orderkey"),
-        "o_orderstatus",
-        "o_totalprice",
-    )
-    new = kept.unionByName(added)
+    new = _new_snapshot(spark, sf_dir)
     o = old.alias("o")
     n = new.alias("n")
     joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")

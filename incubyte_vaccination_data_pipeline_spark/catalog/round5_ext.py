@@ -1,0 +1,311 @@
+"""Round-5 staged operators: distribution drift, tolerance-bounded
+as-of matching, and Count-Min heavy hitters.
+
+Implemented + driver-style tested now, but ``register()`` is
+deliberately NOT called this round: the round-4 verification window
+is already full (40 never-verified queries + the 4 certificate
+queries occupy positions 1-44 of 50), and registering more would push
+the certificates out — the exact failure mode the round-3 verdict's
+item 1 warned about. Round 5 registers them with one line, the same
+staging pattern ``training_ext`` used in round 3.
+
+Operators:
+
+``quality_psi_drift_orders`` — Population Stability Index per column
+between the orders snapshot and the deterministically mutated second
+snapshot (same derivation as ``snapshot_diff_orders``): the
+distribution-drift monitor that catches silent upstream changes a
+keyed diff cannot (same keys, shifted distribution). Bins are fixed
+integer buckets, counts are exact BIGINTs, and PSI's log-ratio is
+computed once from those integers (Laplace-smoothed), so the rounded
+double agrees across engines. One scan per snapshot side, two tiny
+aggregates — scan-bound at any scale.
+
+``events_asof_tolerance`` — the attribution window with a matching
+tolerance: a purchase only credits a click within 10 minutes, else
+NULL. Same single-scan / single-shuffle shape as
+``events_attribution_lasttouch``; the tolerance is a post-window
+null-out, not a join predicate, so the plan is unchanged.
+
+``agg_heavy_hitters_cms`` — Count-Min sketch heavy hitters over
+``l_partkey``: two hash rows (the two md5 digest halves, the MinHash
+trick from ``operators/dedup.py``) × 64 buckets, estimate = min of
+the two bucket counts, report the top 20 by estimate with the true
+count alongside and the CM guarantee (estimate ≥ true count) as a
+checked column. The sketch aggregate is map-side combinable (128
+cells regardless of corpus size); candidate estimation joins the
+distinct keys against the broadcast 128-row sketch — the
+fixed-memory heavy-hitter shape that replaces a full groupBy at
+100 TB when only the top keys matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog import quality
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import QUERIES, ORACLES
+from incubyte_vaccination_data_pipeline_spark.operators.dedup import md5_half_decode_sql
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+_PRICE_BIN = 60000
+_N_PRICE_BINS = 10
+
+_PSI_ORACLE = f"""
+    WITH old_bins AS (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS bin,
+               COUNT(*) AS n
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(LEAST({_N_PRICE_BINS - 1},
+                          CAST(FLOOR(o_totalprice / {_PRICE_BIN}) AS BIGINT))
+                    AS VARCHAR),
+               COUNT(*)
+        FROM orders GROUP BY 2
+    ),
+    new_snap AS ({quality._NEW_SNAPSHOT_SQL}),
+    new_bins AS (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS bin,
+               COUNT(*) AS n
+        FROM new_snap GROUP BY 2
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(LEAST({_N_PRICE_BINS - 1},
+                          CAST(FLOOR(o_totalprice / {_PRICE_BIN}) AS BIGINT))
+                    AS VARCHAR),
+               COUNT(*)
+        FROM new_snap GROUP BY 2
+    ),
+    joined AS (
+        SELECT COALESCE(o.col, w.col) AS col,
+               COALESCE(o.bin, w.bin) AS bin,
+               COALESCE(o.n, 0) AS n_old,
+               COALESCE(w.n, 0) AS n_new
+        FROM old_bins o FULL OUTER JOIN new_bins w
+          ON o.col = w.col AND o.bin = w.bin
+    ),
+    totals AS (
+        SELECT col, bin, n_old, n_new,
+               SUM(n_old) OVER (PARTITION BY col) AS t_old,
+               SUM(n_new) OVER (PARTITION BY col) AS t_new,
+               COUNT(*) OVER (PARTITION BY col) AS k
+        FROM joined
+    )
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(SUM(
+               ((n_new + 1.0) / (t_new + k) - (n_old + 1.0) / (t_old + k))
+               * ln(((n_new + 1.0) / (t_new + k))
+                    / ((n_old + 1.0) / (t_old + k)))
+           ), 6) AS psi
+    FROM totals
+    GROUP BY col
+"""
+
+
+def quality_psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column PSI between the two snapshots; exact integer bin
+    counts, Laplace-smoothed log-ratio computed once at the end."""
+    orders = read_table(spark, sf_dir, "orders")
+    new_snap = quality._new_snapshot(spark, sf_dir)
+
+    def bins(df: DataFrame) -> DataFrame:
+        price_bin = F.least(
+            F.lit(_N_PRICE_BINS - 1),
+            F.floor(F.col("o_totalprice") / _PRICE_BIN).cast("bigint"),
+        ).cast("string")
+        status = df.groupBy(
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus").alias("bin"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        price = df.groupBy(
+            F.lit("o_totalprice").alias("col"), price_bin.alias("bin")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return status.unionByName(price)
+
+    old_b = bins(orders).withColumnRenamed("n", "n_old")
+    new_b = bins(new_snap).withColumnRenamed("n", "n_new")
+    joined = old_b.join(new_b, ["col", "bin"], "full").select(
+        "col",
+        "bin",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.partitionBy("col")
+    t = joined.select(
+        "col",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(w).alias("t_old"),
+        F.sum("n_new").over(w).alias("t_new"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    p_new = (F.col("n_new") + 1.0) / (F.col("t_new") + F.col("k"))
+    p_old = (F.col("n_old") + 1.0) / (F.col("t_old") + F.col("k"))
+    return t.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum((p_new - p_old) * F.log(p_new / p_old)), 6).alias("psi"),
+    )
+
+
+_TOLERANCE_S = 600
+
+_ASOF_TOL_ORACLE = f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_tag,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts_tag
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    attributed AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(click_tag IGNORE NULLS) OVER w AS click_id_raw,
+               LAST_VALUE(click_ts_tag IGNORE NULLS) OVER w AS click_ts
+        FROM tagged
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_id AS purchase_id,
+           user_id,
+           CASE WHEN date_diff('second', click_ts, ts) <= {_TOLERANCE_S}
+                THEN click_id_raw END AS click_id,
+           CASE WHEN date_diff('second', click_ts, ts) <= {_TOLERANCE_S}
+                THEN CAST(date_diff('second', click_ts, ts) AS BIGINT)
+           END AS gap_seconds,
+           COALESCE(date_diff('second', click_ts, ts) <= {_TOLERANCE_S},
+                    FALSE) AS within_tolerance
+    FROM attributed
+    WHERE event_type = 'purchase'
+"""
+
+
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution bounded by a {_TOLERANCE_S}-second
+    tolerance — stale clicks null out after the window, so the plan
+    is identical to the unbounded version."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_tag"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts_tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    att = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last("click_tag", ignorenulls=True).over(w).alias("click_id_raw"),
+        F.last("click_ts_tag", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    gap = F.col("ts").cast("long") - F.col("click_ts").cast("long")
+    ok = gap <= _TOLERANCE_S
+    return att.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(ok, F.col("click_id_raw")).alias("click_id"),
+        F.when(ok, gap).alias("gap_seconds"),
+        F.coalesce(ok, F.lit(False)).alias("within_tolerance"),
+    )
+
+
+_CMS_BUCKETS = 64
+_TOP = 20
+
+
+def _bucket_sql(key: str, half: int, instr_fn: str) -> str:
+    start = 1 if half == 0 else 9
+    return (
+        f"({md5_half_decode_sql(f'md5(cast({key} as string))', start, instr_fn)}"
+        f" % {_CMS_BUCKETS})"
+    )
+
+
+_CMS_ORACLE = f"""
+    WITH cells AS (
+        SELECT 0 AS row_id, {_bucket_sql("l_partkey", 0, "strpos")} AS bucket,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 1, {_bucket_sql("l_partkey", 1, "strpos")}, COUNT(*)
+        FROM lineitem GROUP BY 2
+    ),
+    truth AS (
+        SELECT l_partkey, COUNT(*) AS true_n,
+               {_bucket_sql("l_partkey", 0, "strpos")} AS b0,
+               {_bucket_sql("l_partkey", 1, "strpos")} AS b1
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, true_n,
+           CAST(LEAST(c0.n, c1.n) AS BIGINT) AS cm_estimate,
+           LEAST(c0.n, c1.n) >= true_n AS bound_holds
+    FROM truth
+    JOIN cells c0 ON c0.row_id = 0 AND c0.bucket = truth.b0
+    JOIN cells c1 ON c1.row_id = 1 AND c1.bucket = truth.b1
+    ORDER BY cm_estimate DESC, l_partkey
+    LIMIT {_TOP}
+"""
+
+
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: 2×{_CMS_BUCKETS}-cell sketch from the
+    two md5 digest halves; top-{_TOP} keys by estimate with the CM
+    over-estimate guarantee as a checked column."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    b0 = F.expr(_bucket_sql("l_partkey", 0, "instr"))
+    b1 = F.expr(_bucket_sql("l_partkey", 1, "instr"))
+    cells = (
+        li.select(F.lit(0).alias("row_id"), b0.alias("bucket"))
+        .unionByName(li.select(F.lit(1).alias("row_id"), b1.alias("bucket")))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truth = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_n")).select(
+        "l_partkey", "true_n", b0.alias("b0"), b1.alias("b1")
+    )
+    c0 = cells.filter(F.col("row_id") == 0).select(
+        F.col("bucket").alias("b0"), F.col("n").alias("n0")
+    )
+    c1 = cells.filter(F.col("row_id") == 1).select(
+        F.col("bucket").alias("b1"), F.col("n").alias("n1")
+    )
+    est = (
+        truth.join(F.broadcast(c0), "b0")
+        .join(F.broadcast(c1), "b1")
+        .select(
+            "l_partkey",
+            "true_n",
+            F.least("n0", "n1").cast("bigint").alias("cm_estimate"),
+            (F.least("n0", "n1") >= F.col("true_n")).alias("bound_holds"),
+        )
+    )
+    return est.orderBy(F.desc("cm_estimate"), "l_partkey").limit(_TOP)
+
+
+STAGED = {
+    "quality_psi_drift_orders": (quality_psi_drift_orders, _PSI_ORACLE),
+    "events_asof_tolerance": (events_asof_tolerance, _ASOF_TOL_ORACLE),
+    "agg_heavy_hitters_cms": (agg_heavy_hitters_cms, _CMS_ORACLE),
+}
+
+
+def register() -> None:
+    """Round-5 one-liner: move the staged queries into the live
+    registry (call from ``catalog/__init__.py``)."""
+    for name, (fn, oracle) in STAGED.items():
+        QUERIES[name] = fn
+        ORACLES[name] = oracle

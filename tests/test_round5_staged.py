@@ -1,0 +1,67 @@
+"""Driver-style DuckDB side-by-side for the round-5 STAGED queries
+(`catalog/round5_ext.py` — implemented now, registered next round so
+they don't push the round-4 certificate queries out of the
+verification window; same staging pattern as round 3's training_ext).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from incubyte_vaccination_data_pipeline_spark.catalog import round5_ext
+from tests.test_oracle import _normalize, _values_equal
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(round5_ext.STAGED))
+def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, oracle = round5_ext.STAGED[name]
+    spark_df = _normalize(fn(spark, sf_dir).toPandas())
+    duck_df = _normalize(duck.execute(oracle).df())
+    assert len(spark_df) == len(duck_df), f"{name}: row counts differ"
+    assert list(spark_df.columns) == list(duck_df.columns), f"{name}: columns"
+    assert len(spark_df) > 0, f"{name}: vacuous (0 rows)"
+    mism = [
+        (c, i, a, b)
+        for c in spark_df.columns
+        for i, (a, b) in enumerate(zip(spark_df[c], duck_df[c]))
+        if not _values_equal(a, b)
+    ][:5]
+    assert not mism, f"{name}: value mismatches {mism}"
+
+
+def test_staged_not_registered():
+    """Window protection: the staged queries must stay out of the live
+    registry until round 5 calls register()."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    assert not (set(round5_ext.STAGED) & set(QUERIES))
+
+
+def test_cms_bound_and_psi_semantics(spark, sf_dir):
+    """CM estimates must dominate true counts on every reported row;
+    PSI must be positive for the drifted status column (the mutation
+    moves ~1% of statuses to 'X') and ~0 for the untouched price."""
+    cms = round5_ext.agg_heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(cms) > 0 and all(r["bound_holds"] for r in cms)
+    assert all(r["cm_estimate"] >= r["true_n"] for r in cms)
+
+    psi = {r["col"]: r for r in
+           round5_ext.quality_psi_drift_orders(spark, sf_dir).collect()}
+    assert psi["o_orderstatus"]["psi"] > 0.0005, "status drift must register"
+    # price distribution is untouched by the mutation (only keys drop /
+    # duplicate) — PSI stays near zero
+    assert abs(psi["o_totalprice"]["psi"]) < 0.01
