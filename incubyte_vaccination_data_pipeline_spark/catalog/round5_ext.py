@@ -296,10 +296,192 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy(F.desc("cm_estimate"), "l_partkey").limit(_TOP)
 
 
+
+
+# --- asymmetric containment dedup ---------------------------------------
+#
+# Doc-in-doc duplication (quotes, boilerplate, snippet reposts) that
+# symmetric Jaccard misses: containment C(A→B) = |grams(A) ∩ grams(B)|
+# / |grams(A)| is ~1 when A is inside a much larger B while J(A,B) is
+# tiny. Candidate generation is the rare-gram inverted-index trick:
+# each probe doc contributes its ``_PROBE_GRAMS`` lowest-document-
+# frequency shingles, which are equi-joined against the corpus gram
+# index — candidates per probe are bounded by those grams' DF, never
+# all-pairs. (Recall is heuristic like LSH: a true match can hide if
+# all chosen grams fall in the missing 1-c fraction; with c = 0.8 and
+# rarest-first selection this is vanishing in practice and the
+# guarantee-complete alternative — probing ⌈(1-c)·|A|⌉+1 grams — is a
+# parameter change, not a design change.)
+#
+# The probe corpus is derived: every 7th document's 40% token prefix
+# becomes a "snippet" (a quote of its source), so both engines
+# restate the derivation and every snippet has a known true source
+# with containment exactly 1.0.
+
+_SNIP_MOD = 7
+_SNIP_OFFSET = 5_000_000
+_SHINGLE_K = 3
+_PROBE_GRAMS = 5
+_MIN_CONTAIN = 0.8
+
+_CONTAIN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    dgrams AS (
+        SELECT DISTINCT t.doc_id AS doc,
+               array_to_string(list_slice(t.ws, i.i, i.i + {_SHINGLE_K - 1}), ' ')
+                   AS gram
+        FROM toks t,
+             LATERAL (SELECT UNNEST(generate_series(
+                        1, len(t.ws) - {_SHINGLE_K - 1})) AS i) i
+        WHERE len(t.ws) >= {_SHINGLE_K}
+    ),
+    snips AS (
+        SELECT doc_id + {_SNIP_OFFSET} AS sid,
+               list_slice(ws, 1,
+                   GREATEST(10, CAST(FLOOR(len(ws) * 2.0 / 5) AS BIGINT))) AS sws
+        FROM toks
+        WHERE doc_id % {_SNIP_MOD} = 0 AND len(ws) >= 10
+    ),
+    sgrams AS (
+        SELECT DISTINCT s.sid,
+               array_to_string(list_slice(s.sws, i.i, i.i + {_SHINGLE_K - 1}), ' ')
+                   AS gram
+        FROM snips s,
+             LATERAL (SELECT UNNEST(generate_series(
+                        1, len(s.sws) - {_SHINGLE_K - 1})) AS i) i
+        WHERE len(s.sws) >= {_SHINGLE_K}
+    ),
+    df AS (SELECT gram, COUNT(*) AS df FROM dgrams GROUP BY gram),
+    probes AS (
+        SELECT sid, gram FROM (
+            SELECT s.sid, s.gram,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.sid
+                       ORDER BY COALESCE(d.df, 0), s.gram) AS rn
+            FROM sgrams s LEFT JOIN df d ON s.gram = d.gram
+        ) WHERE rn <= {_PROBE_GRAMS}
+    ),
+    cand AS (
+        SELECT DISTINCT p.sid, g.doc
+        FROM probes p JOIN dgrams g ON p.gram = g.gram
+    ),
+    asize AS (SELECT sid, COUNT(*) AS na FROM sgrams GROUP BY sid),
+    verified AS (
+        SELECT c.sid, c.doc, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sgrams s ON s.sid = c.sid
+        JOIN dgrams g ON g.doc = c.doc AND g.gram = s.gram
+        GROUP BY c.sid, c.doc
+    )
+    SELECT sid, doc AS matched_doc, containment, n_candidates
+    FROM (
+        SELECT v.sid, v.doc,
+               round(CAST(v.n_common AS DOUBLE) / a.na, 6) AS containment,
+               CAST(COUNT(*) OVER (PARTITION BY v.sid) AS BIGINT)
+                   AS n_candidates,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.sid
+                   ORDER BY CAST(v.n_common AS DOUBLE) / a.na DESC, v.doc)
+                   AS rn
+        FROM verified v JOIN asize a ON v.sid = a.sid
+        WHERE CAST(v.n_common AS DOUBLE) / a.na >= {_MIN_CONTAIN}
+    ) WHERE rn = 1
+"""
+
+
+def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment matching: derived snippet probes →
+    rarest-{_PROBE_GRAMS}-gram inverted-index candidates → exact
+    containment verify → best match per probe. Every join is an
+    equi-join on a gram or id; the gram frames are checkpointed once
+    because index build and verification both consume them."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+    )
+
+    def grams(df: DataFrame, id_col: str, arr: str) -> DataFrame:
+        g = df.filter(F.size(arr) >= _SHINGLE_K).select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"sequence(1, size({arr}) - {_SHINGLE_K - 1})")
+            ).alias("i"),
+            F.col(arr),
+        )
+        return g.select(
+            id_col,
+            F.expr(
+                f"array_join(slice({arr}, i, {_SHINGLE_K}), ' ')"
+            ).alias("gram"),
+        ).distinct()
+
+    dgrams = grams(
+        toks.select(F.col("doc_id").alias("doc"), "ws"), "doc", "ws"
+    ).localCheckpoint(eager=False)
+
+    snips = toks.filter(
+        (F.col("doc_id") % _SNIP_MOD == 0) & (F.size("ws") >= 10)
+    ).select(
+        (F.col("doc_id") + _SNIP_OFFSET).alias("sid"),
+        F.expr(
+            "slice(ws, 1, greatest(10, cast(floor(size(ws) * 2.0 / 5) as int)))"
+        ).alias("sws"),
+    )
+    sgrams = grams(snips, "sid", "sws").localCheckpoint(eager=False)
+
+    df_counts = dgrams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sgrams.join(df_counts, "gram", "left").select(
+        "sid",
+        "gram",
+        F.row_number()
+        .over(
+            Window.partitionBy("sid").orderBy(
+                F.coalesce("df", F.lit(0)), "gram"
+            )
+        )
+        .alias("rn"),
+    )
+    probes = ranked.filter(F.col("rn") <= _PROBE_GRAMS).select("sid", "gram")
+    cand = probes.join(dgrams, "gram").select("sid", "doc").distinct()
+
+    asize = sgrams.groupBy("sid").agg(F.count(F.lit(1)).alias("na"))
+    verified = (
+        cand.join(sgrams, "sid")
+        .join(dgrams, ["doc", "gram"])
+        .groupBy("sid", "doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = verified.join(asize, "sid").select(
+        "sid",
+        "doc",
+        (F.col("n_common").cast("double") / F.col("na")).alias("c_raw"),
+    ).filter(F.col("c_raw") >= _MIN_CONTAIN)
+    w = Window.partitionBy("sid")
+    ranked2 = scored.select(
+        "sid",
+        "doc",
+        "c_raw",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_candidates"),
+        F.row_number()
+        .over(w.orderBy(F.desc("c_raw"), "doc"))
+        .alias("rn"),
+    )
+    return ranked2.filter(F.col("rn") == 1).select(
+        "sid",
+        F.col("doc").alias("matched_doc"),
+        F.round("c_raw", 6).alias("containment"),
+        "n_candidates",
+    )
+
+
 STAGED = {
     "quality_psi_drift_orders": (quality_psi_drift_orders, _PSI_ORACLE),
     "events_asof_tolerance": (events_asof_tolerance, _ASOF_TOL_ORACLE),
     "agg_heavy_hitters_cms": (agg_heavy_hitters_cms, _CMS_ORACLE),
+    "text_containment_dedup": (text_containment_dedup, _CONTAIN_ORACLE),
 }
 
 

@@ -65,3 +65,17 @@ def test_cms_bound_and_psi_semantics(spark, sf_dir):
     # price distribution is untouched by the mutation (only keys drop /
     # duplicate) — PSI stays near zero
     assert abs(psi["o_totalprice"]["psi"]) < 0.01
+
+
+def test_containment_finds_true_sources(spark, sf_dir):
+    """Every derived snippet is a prefix of its source, so its best
+    match must be the source doc with containment exactly 1.0."""
+    rows = round5_ext.text_containment_dedup(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["matched_doc"] == r["sid"] - round5_ext._SNIP_OFFSET or (
+            r["containment"] == 1.0
+        ), r  # a different doc may win only by also containing it fully
+    # and the overwhelming majority resolve to their own source
+    own = sum(r["matched_doc"] == r["sid"] - round5_ext._SNIP_OFFSET for r in rows)
+    assert own / len(rows) > 0.9
