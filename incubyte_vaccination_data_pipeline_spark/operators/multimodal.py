@@ -7,10 +7,12 @@ through Python row-by-row.
 
 Three codecs are REAL and dependency-free (stdlib + numpy only): PNG
 (zlib inflate + full scanline unfiltering, 8-bit gray/RGB/RGBA),
-baseline JPEG (SOF0: Huffman entropy decode, dequantize, exact float
-IDCT, chroma upsample, YCbCr->RGB), and WAV (RIFF chunk walk + PCM16
-sample decode). Formats that genuinely need external libraries
-(progressive JPEG, MP3, video) raise ``DecoderNotAvailable``;
+JPEG (baseline SOF0 AND progressive SOF2: Huffman entropy decode with
+spectral selection / successive approximation / EOB runs, dequantize,
+exact float IDCT, chroma upsample, YCbCr->RGB), and WAV (RIFF chunk
+walk + PCM16 sample decode). Formats that genuinely need external
+libraries (MP3, video) and JPEG's arithmetic/12-bit/hierarchical
+modes raise ``DecoderNotAvailable``;
 unrecognized payloads (e.g. plain text modeled as binary) fall back to
 a deterministic byte-histogram so the Spark-side plumbing — schema,
 batching, partition parallelism, UDF signature — is exercised
@@ -39,8 +41,8 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 class DecoderNotAvailable(NotImplementedError):
     """Raised when a payload needs a codec this container does not
-    ship (progressive JPEG/MP3/video) or a PNG/JPEG/WAV variant
-    outside the dependency-free decoders' scope."""
+    ship (MP3/video) or a PNG/JPEG/WAV variant outside the
+    dependency-free decoders' scope (e.g. arithmetic-coded JPEG)."""
 
 
 def decode_image(payload: bytes) -> dict:
@@ -280,9 +282,11 @@ def decode_jpeg(payload: bytes) -> dict:
     markers, dequantize, exact float 8x8 IDCT (batched via numpy
     einsum), nearest-neighbor chroma upsample, JFIF YCbCr->RGB.
 
-    Scope: baseline sequential DCT, 8-bit precision, 1 or 3
-    components, any sampling factors (4:4:4, 4:2:2, 4:2:0, ...).
-    Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+    Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOB runs, per-scan restart intervals), 8-bit
+    precision, 1 or 3 components, any sampling factors (4:4:4, 4:2:2,
+    4:2:0, ...). Arithmetic coding, 12-bit, hierarchical, and lossless
     modes raise :class:`DecoderNotAvailable`. Chroma upsampling is
     sample replication — the spec leaves the filter to the decoder;
     replication keeps output deterministic and testable.
@@ -296,6 +300,7 @@ def decode_jpeg(payload: bytes) -> dict:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    prog_coefs = None
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -323,7 +328,7 @@ def decode_jpeg(payload: bytes) -> dict:
                     )
                     i += 128
                 qt[tq] = tbl  # zigzag order
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise DecoderNotAvailable(f"JPEG precision {precision} out of scope")
@@ -335,11 +340,19 @@ def decode_jpeg(payload: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "w": width,
+                "h": height,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if marker == 0xC2:
+                prog_coefs = _alloc_prog_stores(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise DecoderNotAvailable(
-                f"JPEG SOF{marker - 0xC0} out of scope (baseline SOF0 only)"
+                f"JPEG SOF{marker - 0xC0} out of scope"
+                " (baseline SOF0 + progressive SOF2 only)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -355,15 +368,8 @@ def decode_jpeg(payload: bytes) -> dict:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
-                raise DecoderNotAvailable("JPEG SOS before SOF0")
+                raise DecoderNotAvailable("JPEG SOS before SOF")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                # non-interleaved baseline (one scan per component) is
-                # spec-legal but rare; decoding only the first scan
-                # would silently return a single-component image
-                raise DecoderNotAvailable(
-                    "non-interleaved JPEG scan out of scope"
-                )
             scan = []
             for c in range(ns):
                 cs, tds = body[1 + 2 * c : 3 + 2 * c]
@@ -372,11 +378,30 @@ def decode_jpeg(payload: bytes) -> dict:
                     {"comp": comp, "dc": tds >> 4, "ac": tds & 0x0F}
                 )
             data_start = pos + 2 + seglen
+            if frame["progressive"]:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                end = _prog_scan(
+                    payload, data_start, frame, scan, prog_coefs,
+                    huff_dc, huff_ac, restart_interval, ss, se, ah, al,
+                )
+                pos = end
+                continue
+            if ns != len(frame["comps"]):
+                # non-interleaved baseline (one scan per component) is
+                # spec-legal but rare; decoding only the first scan
+                # would silently return a single-component image
+                raise DecoderNotAvailable(
+                    "non-interleaved JPEG scan out of scope"
+                )
             return _decode_scan(
                 payload, data_start, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,
             )
         pos += 2 + seglen
+    if frame is not None and frame["progressive"]:
+        return _finish_progressive(frame, prog_coefs, qt)
     raise DecoderNotAvailable("truncated JPEG (no SOS)")
 
 
@@ -464,6 +489,278 @@ def _decode_scan(
         if ch != hmax or cv != vmax:
             plane = np.repeat(
                 np.repeat(plane, hmax // ch, axis=1), vmax // cv, axis=0
+            )
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return {
+            "width": width,
+            "height": height,
+            "channels": 1,
+            "pixels": planes[0].tobytes(),
+        }
+    if len(planes) != 3:
+        raise DecoderNotAvailable(f"JPEG with {len(planes)} components out of scope")
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, b)], axis=-1
+    )
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": rgb.tobytes(),
+    }
+
+
+# --- progressive JPEG (SOF2) ------------------------------------------
+#
+# Progressive frames deliver the same quantized coefficients as
+# baseline, split across scans by frequency band (spectral selection
+# Ss..Se) and by bit plane (successive approximation Ah/Al). The
+# decoder accumulates into per-component coefficient stores and
+# reconstructs once at EOI with the identical dequantize + IDCT +
+# upsample + color-transform tail as baseline (T.81 Annex G; the
+# refinement walk follows G.1.2.3 as implemented by the public
+# libjpeg/stb decoders).
+
+
+def _comp_geometry(frame: dict, comp: dict) -> tuple[int, int, int, int]:
+    """(blocks_w_padded, blocks_h_padded, blocks_w, blocks_h): the
+    MCU-padded store grid and the non-interleaved scan grid."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    comp_w = -(-frame["w"] * comp["h"] // hmax)
+    comp_h = -(-frame["h"] * comp["v"] // vmax)
+    return mcux * comp["h"], mcuy * comp["v"], -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _alloc_prog_stores(frame: dict) -> list[np.ndarray]:
+    stores = []
+    for comp in frame["comps"]:
+        bw, bh, _, _ = _comp_geometry(frame, comp)
+        stores.append(np.zeros((bh, bw, 64), dtype=np.int32))
+    return stores
+
+
+def _scan_data_end(payload: bytes, start: int) -> int:
+    """Position of the first non-stuffing, non-restart marker after
+    the entropy-coded data that begins at ``start``."""
+    p, n = start, len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] not in (0x00,) and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            return p
+        p += 2 if payload[p] == 0xFF else 1
+    return n
+
+
+def _prog_scan(
+    payload: bytes,
+    data_start: int,
+    frame: dict,
+    scan: list[dict],
+    stores: list[np.ndarray],
+    huff_dc: dict[int, dict],
+    huff_ac: dict[int, dict],
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one progressive scan into ``stores``; returns the file
+    position of the marker that ends the scan."""
+    reader = _BitReader(payload, data_start)
+    comp_idx = [frame["comps"].index(sc["comp"]) for sc in scan]
+    if ss == 0:  # DC scan (first or refinement); spec requires Se == 0
+        if se != 0:
+            raise DecoderNotAvailable("JPEG DC scan with Se != 0")
+        _prog_dc_scan(
+            reader, frame, scan, comp_idx, stores, huff_dc,
+            restart_interval, ah, al,
+        )
+    else:  # AC scan: spec requires exactly one component
+        if len(scan) != 1:
+            raise DecoderNotAvailable("JPEG interleaved AC scan is not legal")
+        _prog_ac_scan(
+            reader, frame, scan[0], comp_idx[0], stores, huff_ac,
+            restart_interval, ss, se, ah, al,
+        )
+    return _scan_data_end(payload, data_start)
+
+
+def _prog_dc_scan(reader, frame, scan, comp_idx, stores, huff_dc,
+                  restart_interval, ah, al):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    interleaved = len(scan) > 1
+    pred = [0] * len(scan)
+    unit = 0
+
+    def dc_block(si, by, bx):
+        sc = scan[si]
+        store = stores[comp_idx[si]]
+        if ah == 0:  # first DC scan: diff-coded (value >> al)
+            tbl = huff_dc.get(sc["dc"])
+            if tbl is None:
+                raise DecoderNotAvailable("JPEG scan references missing DHT")
+            t = _huff_decode(reader, tbl)
+            pred[si] += _extend(reader.bits(t), t)
+            store[by, bx, 0] = pred[si] << al
+        else:  # refinement: one bit per block, OR into bit position al
+            if reader.bit():
+                store[by, bx, 0] |= 1 << al
+
+    if interleaved:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_restart()
+                    pred[:] = [0] * len(scan)
+                for si, sc in enumerate(scan):
+                    comp = sc["comp"]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            dc_block(si, my * comp["v"] + by, mx * comp["h"] + bx)
+                unit += 1
+    else:
+        comp = scan[0]["comp"]
+        _, _, bwn, bhn = _comp_geometry(frame, comp)
+        for by in range(bhn):
+            for bx in range(bwn):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_restart()
+                    pred[:] = [0] * len(scan)
+                dc_block(0, by, bx)
+                unit += 1
+
+
+def _prog_ac_scan(reader, frame, sc, ci, stores, huff_ac,
+                  restart_interval, ss, se, ah, al):
+    comp = sc["comp"]
+    store = stores[ci]
+    _, _, bwn, bhn = _comp_geometry(frame, comp)
+    tbl = huff_ac.get(sc["ac"])
+    if tbl is None:
+        raise DecoderNotAvailable("JPEG scan references missing DHT")
+    eobrun = 0
+    unit = 0
+    for by in range(bhn):
+        for bx in range(bwn):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align_restart()
+                eobrun = 0
+            coef = store[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, tbl, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, tbl, coef, ss, se, al, eobrun)
+            unit += 1
+
+
+def _ac_first_block(reader, tbl, coef, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r) + bits(r) all-done blocks
+                return (1 << r) - 1 + (reader.bits(r) if r else 0)
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise DecoderNotAvailable("JPEG AC index overflow")
+            coef[k] = _extend(reader.bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine_block(reader, tbl, coef, ss, se, al, eobrun) -> int:
+    """Successive-approximation AC refinement (T.81 G.1.2.3): blocks
+    inside an EOB run still consume one correction bit per already-
+    nonzero coefficient in the band; new coefficients appear as
+    ±1 << al after skipping ``r`` zero-history positions."""
+    bit = 1 << al
+
+    def refine(k):
+        if reader.bit() and (coef[k] & bit) == 0:
+            coef[k] += bit if coef[k] > 0 else -bit
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if coef[k] != 0:
+                refine(k)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: refine the rest of this block, start run
+                run = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                for kk in range(k, se + 1):
+                    if coef[kk] != 0:
+                        refine(kk)
+                return run
+            val = 0  # ZRL: skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise DecoderNotAvailable("JPEG AC refinement with s != 1")
+            val = bit if reader.bit() else -bit
+        while k <= se:
+            if coef[k] != 0:
+                refine(k)
+            else:
+                if r == 0:
+                    if val:
+                        coef[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return 0
+
+
+def _finish_progressive(
+    frame: dict, stores: list[np.ndarray], qt: dict[int, np.ndarray]
+) -> dict:
+    width, height, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes: list[np.ndarray] = []
+    for ci, comp in enumerate(comps):
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise DecoderNotAvailable("JPEG component references missing DQT")
+        bh, bw = stores[ci].shape[:2]
+        arr = stores[ci].reshape(-1, 64).astype(np.int64) * q[None, :]
+        rast = np.zeros_like(arr)
+        rast[:, _ZIGZAG] = arr
+        coefm = rast.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ij,njk,kl->nil", _DCT_C.T, coefm, _DCT_C)
+        pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        if comp["h"] != hmax or comp["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, hmax // comp["h"], axis=1),
+                vmax // comp["v"], axis=0,
             )
         planes.append(plane[:height, :width])
     if len(planes) == 1:

@@ -658,11 +658,18 @@ def test_jpeg_out_of_scope_variants_raise():
     )
 
     payload, _ = _make_jpeg(8, 8, bytes([128] * 64), channels=1)
-    progressive = bytearray(payload)
-    i = progressive.find(b"\xff\xc0")
-    progressive[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    arithmetic = bytearray(payload)
+    i = arithmetic.find(b"\xff\xc0")
+    arithmetic[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic coding)
     with pytest.raises(DecoderNotAvailable):
-        decode_jpeg(bytes(progressive))
+        decode_jpeg(bytes(arithmetic))
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its
+    # single scan claims the full 0..63 band for a DC-first pass) and
+    # must be rejected, not half-decoded
+    relabeled = bytearray(payload)
+    relabeled[i + 1] = 0xC2
+    with pytest.raises(DecoderNotAvailable):
+        decode_jpeg(bytes(relabeled))
     with pytest.raises(DecoderNotAvailable):
         decode_jpeg(b"\xff\xd8\xff\xe0")  # truncated: no SOS
 
@@ -919,3 +926,445 @@ def test_wav_spectral_features():
     zcr, dom = feats[5], feats[6]
     assert abs(dom - f) <= rate / n + 1e-6, f"dominant freq {dom} != {f}"
     assert abs(zcr - 2 * f / rate) < 0.01, f"zcr {zcr} != {2*f/rate}"
+
+
+# --- progressive JPEG encoder-side reference (SOF2, test-only) ------
+#
+# Emits spectral-selection + successive-approximation scan scripts
+# (T.81 Annex G / the libjpeg encoder's algorithm: EOB runs with
+# buffered correction bits, ZRL-before-EOB rule, per-scan restart
+# intervals) so the decoder's progressive path can be verified against
+# spec-shaped multi-scan bitstreams, byte-exact.
+
+
+def _jpeg_prepare(width, height, pixels, channels, subsample, q_luma, q_chroma):
+    """Shared front half: color transform, subsample, block DCT +
+    quantize; plus the byte-exact expected decode. Returns
+    (comp_blocks, samp, qsel, qtbls, mcux, mcuy, expected)."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        _DCT_C,
+        _ZIGZAG,
+    )
+
+    q_luma = np.asarray(q_luma if q_luma is not None else [1] * 64, dtype=np.int64)
+    q_chroma = np.asarray(
+        q_chroma if q_chroma is not None else q_luma, dtype=np.int64
+    )
+    arr = (
+        np.frombuffer(bytes(pixels), dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        qsel = [0, 1, 1]
+    else:
+        planes = [arr[..., 0]]
+        samp = [(1, 1)]
+        qsel = [0]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    qtbls = [q_luma, q_chroma]
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        ch, cv = samp[ci]
+        if (ch, cv) != (hmax, vmax):
+            ph = _pad_edge(plane, -(-height // 2) * 2, -(-width // 2) * 2)
+            plane = (
+                ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
+            )
+        bw, bh = mcux * ch, mcuy * cv
+        padded = _pad_edge(plane, bh * 8, bw * 8)
+        q_raster = np.empty(64, dtype=np.int64)
+        q_raster[_ZIGZAG] = qtbls[qsel[ci]]
+        blocks = {}
+        for by in range(bh):
+            for bx in range(bw):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_C @ blk @ _DCT_C.T
+                qc = np.round(coef.reshape(64) / q_raster).astype(np.int64)
+                blocks[(by, bx)] = qc[_ZIGZAG]
+        comp_blocks.append(blocks)
+    # expected decode (identical to _make_jpeg's back half)
+    out_planes = []
+    for ci in range(len(planes)):
+        ch, cv = samp[ci]
+        bw, bh = mcux * ch, mcuy * cv
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        q_raster = np.empty(64, dtype=np.int64)
+        q_raster[_ZIGZAG] = qtbls[qsel[ci]]
+        for (by, bx), zz in comp_blocks[ci].items():
+            rast = np.zeros(64, dtype=np.int64)
+            rast[_ZIGZAG] = zz
+            coef = (rast * q_raster).reshape(8, 8).astype(np.float64)
+            pix = _DCT_C.T @ coef @ _DCT_C
+            pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        if (ch, cv) != (hmax, vmax):
+            plane = np.repeat(
+                np.repeat(plane, hmax // ch, axis=1), vmax // cv, axis=0
+            )
+        out_planes.append(plane[:height, :width])
+    if channels == 3:
+        y = out_planes[0].astype(np.float64)
+        cb = out_planes[1].astype(np.float64) - 128.0
+        cr = out_planes[2].astype(np.float64) - 128.0
+        expected = np.stack(
+            [
+                np.clip(np.round(y + 1.402 * cr), 0, 255),
+                np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255),
+                np.clip(np.round(y + 1.772 * cb), 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8).tobytes()
+    else:
+        expected = out_planes[0].tobytes()
+    return comp_blocks, samp, qsel, qtbls, mcux, mcuy, expected
+
+
+class _ProgWriter(_JBitWriter):
+    """Bit writer with restart-marker emission."""
+
+    def restart(self, idx):
+        self.pad()
+        self.out += bytes([0xFF, 0xD0 + (idx % 8)])
+
+
+class _EobState:
+    """EOB-run accumulator with the buffered correction bits that an
+    EOBn must carry (libjpeg's BE buffer)."""
+
+    def __init__(self):
+        self.run = 0
+        self.bits = []
+
+    def flush(self, w, ac_enc):
+        if self.run == 0 and not self.bits:
+            return
+        assert self.run > 0
+        n = self.run.bit_length() - 1
+        ln, c = ac_enc[n << 4]
+        w.put(c, ln)
+        if n:
+            w.put(self.run - (1 << n), n)
+        for b in self.bits:
+            w.put(b, 1)
+        self.run = 0
+        self.bits = []
+
+
+def _enc_dc_scan(w, comp_blocks, scan_cis, samp, mcux, mcuy, ah, al,
+                 dc_enc, restart):
+    """DC scan: interleaved over the scan components (first pass codes
+    diffs of dc >> al; refinement sends bit al per block)."""
+    pred = [0] * len(scan_cis)
+    unit = 0
+    rst = 0
+    interleaved = len(scan_cis) > 1
+    if interleaved:
+        walk = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                walk.append([])
+                for si, ci in enumerate(scan_cis):
+                    ch, cv = samp[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            walk[-1].append((si, ci, my * cv + by, mx * ch + bx))
+    else:
+        ci = scan_cis[0]
+        ch, cv = samp[ci]
+        walk = [
+            [(0, ci, by, bx)]
+            for by in range(mcuy * cv)
+            for bx in range(mcux * ch)
+        ]
+    for blocks in walk:
+        if restart and unit and unit % restart == 0:
+            w.restart(rst)
+            rst += 1
+            pred = [0] * len(scan_cis)
+        for si, ci, by, bx in blocks:
+            dc = int(comp_blocks[ci][(by, bx)][0])
+            if ah == 0:
+                v = dc >> al  # arithmetic shift per G.1.2.1
+                diff = v - pred[si]
+                pred[si] = v
+                t = _jpeg_cat(diff)
+                ln, c = dc_enc[t]
+                w.put(c, ln)
+                if t:
+                    w.put(_jpeg_amp(diff, t), t)
+            else:
+                w.put((dc >> al) & 1, 1)
+        unit += 1
+
+
+def _enc_ac_first_scan(w, blocks_grid, bwn, bhn, ss, se, al, ac_enc, restart):
+    eob = _EobState()
+    unit = 0
+    rst = 0
+    for by in range(bhn):
+        for bx in range(bwn):
+            if restart and unit and unit % restart == 0:
+                eob.flush(w, ac_enc)
+                w.restart(rst)
+                rst += 1
+            zz = blocks_grid[(by, bx)]
+            vals = []
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                m = abs(c) >> al
+                vals.append(m if c >= 0 else -m)
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eob.run += 1
+                if eob.run == 0x7FFF:
+                    eob.flush(w, ac_enc)
+                unit += 1
+                continue
+            eob.flush(w, ac_enc)
+            r = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r >= 16:
+                    ln, c = ac_enc[0xF0]
+                    w.put(c, ln)
+                    r -= 16
+                t = _jpeg_cat(v)
+                ln, c = ac_enc[(r << 4) | t]
+                w.put(c, ln)
+                w.put(_jpeg_amp(v, t), t)
+                r = 0
+            if nz[-1] < se - ss:
+                eob.run = 1
+            unit += 1
+    eob.flush(w, ac_enc)
+
+
+def _enc_ac_refine_scan(w, blocks_grid, bwn, bhn, ss, se, al, ac_enc, restart):
+    eob = _EobState()
+    unit = 0
+    rst = 0
+    for by in range(bhn):
+        for bx in range(bwn):
+            if restart and unit and unit % restart == 0:
+                eob.flush(w, ac_enc)
+                w.restart(rst)
+                rst += 1
+            zz = blocks_grid[(by, bx)]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eobpos = -1  # band index of last newly-nonzero coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eobpos = i
+            r = 0
+            br = []  # correction bits pending inside this block
+            for i in range(ss, se + 1):
+                t = absv[i - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and (i - ss) <= eobpos:
+                    eob.flush(w, ac_enc)
+                    ln, c = ac_enc[0xF0]
+                    w.put(c, ln)
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                    r -= 16
+                if t > 1:  # history coefficient: buffer its correction bit
+                    br.append(t & 1)
+                    continue
+                # newly nonzero (t == 1)
+                eob.flush(w, ac_enc)
+                ln, c = ac_enc[(r << 4) | 1]
+                w.put(c, ln)
+                w.put(0 if int(zz[i]) < 0 else 1, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eob.run += 1
+                eob.bits.extend(br)
+                if eob.run == 0x7FFF:
+                    eob.flush(w, ac_enc)
+            unit += 1
+    eob.flush(w, ac_enc)
+
+
+def _make_progressive_jpeg(width, height, pixels, channels=3, subsample=False,
+                           q_luma=None, q_chroma=None, script=None, restart=0):
+    """Progressive (SOF2) encoder returning (payload, expected_pixels).
+
+    ``script`` is a list of (comp_indices, Ss, Se, Ah, Al); default is
+    a libjpeg-style 10-scan script with successive approximation."""
+    import struct as _struct
+
+    comp_blocks, samp, qsel, qtbls, mcux, mcuy, expected = _jpeg_prepare(
+        width, height, pixels, channels, subsample, q_luma, q_chroma
+    )
+    ncomp = len(comp_blocks)
+    if script is None:
+        if ncomp == 3:
+            script = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([2], 1, 63, 0, 1),
+                ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+            ]
+        else:
+            script = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+
+    dc_enc = _jpeg_enc_table(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_enc = _jpeg_enc_table(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    payload = bytearray(b"\xff\xd8")
+    payload += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    payload += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qtbls[0]))
+    if ncomp == 3:
+        payload += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qtbls[1]))
+    sof = bytearray([8]) + _struct.pack(">HH", height, width) + bytes([ncomp])
+    for ci in range(ncomp):
+        ch, cv = samp[ci]
+        sof += bytes([ci + 1, (ch << 4) | cv, qsel[ci]])
+    payload += seg(0xC2, bytes(sof))  # SOF2 progressive
+    for tc_th, counts, syms in (
+        (0x00, _JPEG_DC_COUNTS, _JPEG_DC_SYMS),
+        (0x10, _JPEG_AC_COUNTS, _JPEG_AC_SYMS),
+    ):
+        payload += seg(0xC4, bytes([tc_th]) + bytes(counts) + syms)
+    if restart:
+        payload += seg(0xDD, _struct.pack(">H", restart))
+
+    for comps, ss, se, ah, al in script:
+        sos = bytearray([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        payload += seg(0xDA, bytes(sos))
+        w = _ProgWriter()
+        if ss == 0:
+            _enc_dc_scan(w, comp_blocks, comps, samp, mcux, mcuy, ah, al,
+                         dc_enc, restart)
+        else:
+            assert len(comps) == 1, "AC scans must be single-component"
+            ci = comps[0]
+            ch, cv = samp[ci]
+            comp_w = -(-width * ch // hmax)
+            comp_h = -(-height * cv // vmax)
+            bwn, bhn = -(-comp_w // 8), -(-comp_h // 8)
+            if ah == 0:
+                _enc_ac_first_scan(w, comp_blocks[ci], bwn, bhn, ss, se, al,
+                                   ac_enc, restart)
+            else:
+                _enc_ac_refine_scan(w, comp_blocks[ci], bwn, bhn, ss, se, al,
+                                    ac_enc, restart)
+        w.pad()
+        payload += w.out
+    payload += b"\xff\xd9"
+    return bytes(payload), expected
+
+
+def test_jpeg_progressive_gray_exact():
+    """Gray gradient through the 6-scan successive-approximation
+    script must decode byte-identically to the baseline expectation
+    (same quantized coefficients, different delivery)."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    grad = bytes((3 * x + 5 * y) % 256 for y in range(24) for x in range(17))
+    payload, expected = _make_progressive_jpeg(17, 24, grad, channels=1)
+    img = decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (17, 24, 1)
+    assert img["pixels"] == expected
+
+
+def test_jpeg_progressive_rgb_420_exact():
+    """Random RGB with 4:2:0 subsampling, Annex-K table, the default
+    10-scan script: byte-exact against the shared expectation."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(20260814)
+    pix = rng.randint(0, 256, size=(21, 19, 3), dtype=np.uint8).tobytes()
+    payload, expected = _make_progressive_jpeg(
+        19, 21, pix, channels=3, subsample=True, q_luma=_QTBL_LUMA
+    )
+    img = decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (19, 21, 3)
+    assert img["pixels"] == expected
+
+
+def test_jpeg_progressive_spectral_only_and_restarts():
+    """Spectral selection without successive approximation (Ah=Al=0
+    everywhere) plus per-scan restart intervals."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, size=(16, 24, 3), dtype=np.uint8).tobytes()
+    script = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 9, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0], 10, 63, 0, 0),
+    ]
+    payload, expected = _make_progressive_jpeg(
+        24, 16, pix, channels=3, script=script, restart=2
+    )
+    img = decode_jpeg(payload)
+    assert img["pixels"] == expected
+
+
+def test_jpeg_progressive_eob_runs_cover_flat_regions():
+    """A mostly-flat image exercises long EOB runs (EOBn with extra
+    bits) and buffered correction bits in refinement scans."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    arr = np.full((40, 40, 1), 128, dtype=np.uint8)
+    arr[3, 5, 0] = 140  # single detail in one corner block
+    payload, expected = _make_progressive_jpeg(
+        40, 40, arr.tobytes(), channels=1, q_luma=_QTBL_LUMA
+    )
+    img = decode_jpeg(payload)
+    assert img["pixels"] == expected
