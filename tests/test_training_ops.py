@@ -1368,3 +1368,60 @@ def test_jpeg_progressive_eob_runs_cover_flat_regions():
     )
     img = decode_jpeg(payload)
     assert img["pixels"] == expected
+
+
+def test_jpeg_progressive_random_scripts_fuzz():
+    """Seeded random images through random legal scan scripts (random
+    spectral splits, random successive-approximation depth, random
+    subsampling/dims/restarts): every combination must decode
+    byte-exactly."""
+    import random as _random
+
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    for seed in (1, 2, 3, 4, 5):
+        rng = _random.Random(seed)
+        nprng = np.random.RandomState(seed)
+        channels = rng.choice([1, 3])
+        width = rng.randint(8, 40)
+        height = rng.randint(8, 40)
+        subsample = channels == 3 and rng.random() < 0.5
+        restart = rng.choice([0, 0, 1, 3])
+        pix = nprng.randint(0, 256, size=(height, width, channels),
+                            dtype=np.uint8).tobytes()
+        # random spectral split of 1..63 into 1-3 bands
+        cuts = sorted(rng.sample(range(2, 63), rng.randint(0, 2)))
+        bands = []
+        lo = 1
+        for c in cuts + [64]:
+            bands.append((lo, c - 1))
+            lo = c
+        al0 = rng.randint(0, 2)  # successive-approximation depth
+        comps = list(range(channels))
+        script = [(comps, 0, 0, 0, al0)]
+        for ci in comps:
+            for (lo, hi) in bands:
+                script.append(([ci], lo, hi, 0, al0))
+        for a in range(al0, 0, -1):  # refinements down to Al=0
+            script.append((comps, 0, 0, a, a - 1))
+            for ci in comps:
+                for (lo, hi) in bands:
+                    script.append(([ci], lo, hi, a, a - 1))
+        rng.shuffle(script[1:])  # scan order is free after the DC-first
+        # ... except refinements must come after their first pass and
+        # in decreasing-Al order per (comp, band); restore that order
+        def sort_key(s):
+            comps_s, ss, se, ah, al = s
+            return (tuple(comps_s), ss, se, -ah if ah else -99, -al)
+        script = [script[0]] + sorted(script[1:], key=sort_key)
+        payload, expected = _make_progressive_jpeg(
+            width, height, pix, channels=channels, subsample=subsample,
+            q_luma=_QTBL_LUMA, script=script, restart=restart,
+        )
+        img = decode_jpeg(payload)
+        assert img["pixels"] == expected, (
+            f"seed {seed}: {width}x{height}x{channels} sub={subsample} "
+            f"restart={restart} script={script}"
+        )
