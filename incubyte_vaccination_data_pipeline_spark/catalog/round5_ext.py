@@ -477,11 +477,109 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- perplexity-style LM scoring -----------------------------------------
+#
+# The perplexity filter: score every document by the average surprisal
+# of its bigrams under the corpus's own add-one-smoothed bigram LM —
+# the standard "how unlike the corpus is this document" quality signal
+# used before pretraining. Determinism: probabilities are exact
+# rationals from integer counts; each term's -log2 p is quantized with
+# floor(x * 1024) BEFORE summing, so the per-doc aggregate is an exact
+# BIGINT sum (order-independent) and a 1-ulp libm-vs-JVM difference in
+# log2 would need to land within ~4e-11 of a 1/1024 boundary to flip a
+# value — vanishing at any corpus size (the same quantize-then-sum
+# strategy as PageRank/k-means/PCA, with the quantization width set by
+# the precision a quality score needs).
+
+_PPL_Q = 1024
+
+_PPL_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    occ AS (
+        SELECT t.doc_id, t.ws[i.i] AS w1, t.ws[i.i + 1] AS w2
+        FROM toks t,
+             LATERAL (SELECT UNNEST(generate_series(1, len(t.ws) - 1)) AS i) i
+        WHERE len(t.ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM occ GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM occ GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM occ),
+    scored AS (
+        SELECT o.doc_id,
+               CAST(FLOOR(log2(CAST(c1.n1 + v.vocab AS DOUBLE)
+                               / (c12.n12 + 1)) * {_PPL_Q}) AS BIGINT) AS q
+        FROM occ o
+        JOIN c12 ON o.w1 = c12.w1 AND o.w2 = c12.w2
+        JOIN c1 ON o.w1 = c1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(q) AS BIGINT) AS surprisal_q,
+           round(CAST(SUM(q) AS DOUBLE) / {_PPL_Q} / COUNT(*), 6) AS avg_bits
+    FROM scored
+    GROUP BY doc_id
+"""
+
+
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average bigram surprisal per document under the corpus's own
+    add-one bigram LM. One tokenize pass feeds the LM counts AND the
+    scoring join (checkpointed); all joins are equi-joins on words.
+    At 100 TB the LM tables are vocabulary-bounded, far smaller than
+    the corpus, and the scoring join partitions by w1."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    occ = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(ws) - 1)")).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.expr("ws[i - 1]").alias("w1"),
+        F.expr("ws[i]").alias("w2"),
+    ).localCheckpoint(eager=False)
+
+    c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = occ.agg(F.countDistinct("w2").alias("vocab"))
+
+    scored = (
+        occ.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log2(
+                    (F.col("n1") + F.col("vocab")).cast("double")
+                    / (F.col("n12") + 1)
+                )
+                * _PPL_Q
+            ).cast("bigint").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("q").cast("bigint").alias("surprisal_q"),
+        F.round(F.sum("q").cast("double") / _PPL_Q / F.count(F.lit(1)), 6).alias(
+            "avg_bits"
+        ),
+    )
+
 STAGED = {
     "quality_psi_drift_orders": (quality_psi_drift_orders, _PSI_ORACLE),
     "events_asof_tolerance": (events_asof_tolerance, _ASOF_TOL_ORACLE),
     "agg_heavy_hitters_cms": (agg_heavy_hitters_cms, _CMS_ORACLE),
     "text_containment_dedup": (text_containment_dedup, _CONTAIN_ORACLE),
+    "text_perplexity_bigram": (text_perplexity_bigram, _PPL_ORACLE),
 }
 
 
