@@ -574,12 +574,141 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+
+# --- engagement + customer-value analytics -------------------------------
+
+_MAU_WINDOW = 30
+
+_DAU_MAU_ORACLE = f"""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM active),
+    covered AS (
+        SELECT a.user_id, d.day
+        FROM active a JOIN days d
+          ON d.day >= a.day AND d.day < a.day + INTERVAL '{_MAU_WINDOW} days'
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY day),
+    mau AS (SELECT day, COUNT(DISTINCT user_id) AS mau FROM covered GROUP BY day)
+    SELECT d.day,
+           d.dau,
+           m.mau,
+           round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+    FROM dau d JOIN mau m ON d.day = m.day
+"""
+
+
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-{_MAU_WINDOW}-day MAU stickiness per active day.
+    The trailing distinct count cannot ride a window frame (COUNT
+    DISTINCT OVER RANGE is unsupported everywhere), so each (user,
+    day) activity row is exploded into the ≤{_MAU_WINDOW} future days
+    it keeps the user "monthly active" for — turning the sliding
+    distinct into a plain keyed distinct-aggregate. Blow-up factor is
+    the window length (bounded, documented), all shuffles keyed by
+    day; the DuckDB oracle restates the same coverage with a range
+    join."""
+    events = read_table(spark, sf_dir, "events")
+    active = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct().localCheckpoint(eager=False)
+    days = active.select("day").distinct()
+    covered = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), _MAU_WINDOW - 1),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    ).join(days, "day", "left_semi")
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    mau = covered.groupBy("day").agg(F.countDistinct("user_id").alias("mau"))
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+_RFM_AS_OF = "2002-01-01"
+
+_RFM_ORACLE = f"""
+    WITH base AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(o_orderdate), DATE '{_RFM_AS_OF}')
+                    AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               NTILE(4) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+        FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score = 4 AND f_score = 4 THEN 'champion'
+                WHEN r_score = 4 THEN 'recent'
+                WHEN f_score = 4 THEN 'loyal'
+                WHEN r_score = 1 AND f_score = 1 THEN 'lost'
+                ELSE 'regular' END AS segment
+    FROM scored
+"""
+
+
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quartiles (NTILE with custkey tie-break so both engines bucket
+    identically) + a rule-based segment label. One scan, one custkey
+    aggregate; the three NTILEs share one unpartitioned sort of the
+    per-customer frame — |customers| rows, not |orders| (acceptable
+    single-partition step on an aggregate that is orders-of-magnitude
+    smaller than the fact table; a scale-out variant would ntile via
+    approx quantile boundaries)."""
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_AS_OF).cast("date"), F.max("o_orderdate")
+        ).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("recency_days"), "o_custkey"))
+    f = F.ntile(4).over(Window.orderBy("frequency", "o_custkey"))
+    m = F.ntile(4).over(Window.orderBy("monetary", "o_custkey"))
+    scored = base.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 4) & (F.col("f_score") == 4), "champion")
+        .when(F.col("r_score") == 4, "recent")
+        .when(F.col("f_score") == 4, "loyal")
+        .when((F.col("r_score") == 1) & (F.col("f_score") == 1), "lost")
+        .otherwise("regular")
+    )
+    return scored.select("*", seg.alias("segment"))
+
 STAGED = {
     "quality_psi_drift_orders": (quality_psi_drift_orders, _PSI_ORACLE),
     "events_asof_tolerance": (events_asof_tolerance, _ASOF_TOL_ORACLE),
     "agg_heavy_hitters_cms": (agg_heavy_hitters_cms, _CMS_ORACLE),
     "text_containment_dedup": (text_containment_dedup, _CONTAIN_ORACLE),
     "text_perplexity_bigram": (text_perplexity_bigram, _PPL_ORACLE),
+    "events_dau_mau": (events_dau_mau, _DAU_MAU_ORACLE),
+    "orders_rfm_segmentation": (orders_rfm_segmentation, _RFM_ORACLE),
 }
 
 
