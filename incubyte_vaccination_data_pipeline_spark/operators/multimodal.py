@@ -386,6 +386,7 @@ def decode_jpeg(payload: bytes) -> dict:
                     payload, data_start, frame, scan, prog_coefs,
                     huff_dc, huff_ac, restart_interval, ss, se, ah, al,
                 )
+                frame["n_scans"] = frame.get("n_scans", 0) + 1
                 pos = end
                 continue
             if ns != len(frame["comps"]):
@@ -400,7 +401,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 restart_interval,
             )
         pos += 2 + seglen
-    if frame is not None and frame["progressive"]:
+    if frame is not None and frame["progressive"] and frame.get("n_scans"):
         return _finish_progressive(frame, prog_coefs, qt)
     raise DecoderNotAvailable("truncated JPEG (no SOS)")
 

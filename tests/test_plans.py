@@ -636,3 +636,21 @@ def test_pca_matrix_free_no_cartesian(spark, sf_dir):
     plan = _plan(QUERIES["embedding_pca_power_iteration"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, "v-side joins must broadcast"
+
+
+def test_catalog_wide_no_cartesian_products(spark, sf_dir):
+    """Blanket 100 TB guard: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only for
+    1-row scalar attachment (watermark frames, totals) — never as a
+    pair generator. Catches any future operator that silently degrades
+    to all-pairs."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        except Exception as ex:  # plan build must not fail either
+            offenders.append((name, f"plan build failed: {ex}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders

@@ -1425,3 +1425,16 @@ def test_jpeg_progressive_random_scripts_fuzz():
             f"seed {seed}: {width}x{height}x{channels} sub={subsample} "
             f"restart={restart} script={script}"
         )
+
+
+def test_jpeg_progressive_zero_scans_rejected():
+    """SOF2 with no SOS at all must raise, not decode to flat gray."""
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        DecoderNotAvailable,
+        decode_jpeg,
+    )
+
+    payload, _ = _make_progressive_jpeg(8, 8, bytes([10] * 64), channels=1)
+    i = payload.find(b"\xff\xda")  # cut everything from the first SOS
+    with pytest.raises(DecoderNotAvailable):
+        decode_jpeg(payload[:i] + b"\xff\xd9")
