@@ -770,6 +770,7 @@ def _finish_progressive(
             "height": height,
             "channels": 1,
             "pixels": planes[0].tobytes(),
+            "progressive": True,
         }
     if len(planes) != 3:
         raise DecoderNotAvailable(f"JPEG with {len(planes)} components out of scope")
@@ -787,6 +788,7 @@ def _finish_progressive(
         "height": height,
         "channels": 3,
         "pixels": rgb.tobytes(),
+        "progressive": True,
     }
 
 
@@ -875,7 +877,8 @@ def _decode_one(data: bytes) -> tuple[list[float], str]:
         else:
             means = [0.0] * ch
         feats = _pad([float(img["width"]), float(img["height"]), float(ch)] + means)
-        return feats, "jpeg-baseline-v1"
+        tag = "jpeg-progressive-v1" if img.get("progressive") else "jpeg-baseline-v1"
+        return feats, tag
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         au = decode_audio(data)
         s = np.asarray(au["samples"] or [0], dtype=np.float64)

@@ -685,12 +685,14 @@ def test_real_decoders_through_mapinpandas(spark):
     png = _make_png(4, 2, bytes(range(24)))
     wav = _make_wav([0, 16384, -16384, 0])
     jpg, _ = _make_jpeg(8, 8, bytes([90] * 192), channels=3)
+    pjpg, _ = _make_progressive_jpeg(8, 8, bytes([90] * 192), channels=3)
     rows = spark.createDataFrame(
         [
             (1, bytearray(png)),
             (2, bytearray(wav)),
             (3, bytearray(b"hello world")),
             (4, bytearray(jpg)),
+            (5, bytearray(pjpg)),
         ],
         "doc_id long, payload binary",
     )
@@ -705,6 +707,9 @@ def test_real_decoders_through_mapinpandas(spark):
     assert out[4]["features"][:3] == [8.0, 8.0, 3.0]
     # uniform color: per-channel means within quantization error of 90/255
     assert all(abs(m - 90.0 / 255.0) < 0.02 for m in out[4]["features"][3:6])
+    assert out[5]["decoder"] == "jpeg-progressive-v1"
+    # same image, same quantization: identical features either mode
+    assert out[5]["features"] == out[4]["features"]
 
 
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
