@@ -701,6 +701,109 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select("*", seg.alias("segment"))
 
+
+
+# --- composite: the training-ready corpus --------------------------------
+#
+# What a user actually runs before training: quality-gate the corpus
+# (text_ext's funnel rules), scrub PII (text_ext's patterns, over the
+# same derived PII-bearing variant so the scrub does real work), then
+# chunk the redacted text into training samples. The whole composite
+# is ONE scan of pure per-row expressions + the chunk explode — no
+# joins, no shuffles except the output write. Constants are imported
+# from text_ext so the composite can never drift from the individual
+# operators it composes.
+
+from incubyte_vaccination_data_pipeline_spark.catalog import text_ext as _tx
+
+_READY_ORACLE = f"""
+    WITH rules AS (
+        SELECT doc_id, source, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS ws,
+               {_tx._DIRTY_SQL} AS dirty
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(dirty, '{_tx._EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_tx._PHONE_RE}', '<PHONE>', 'g'),
+                 '{_tx._IP_RE}', '<IP>', 'g') AS clean
+        FROM rules
+        WHERE len(ws) >= {_tx._MIN_WORDS}
+          AND len(array_to_string(ws, '')) * 1.0 / len(ws)
+              BETWEEN {_tx._WLEN_LO} AND {_tx._WLEN_HI}
+          AND len(list_distinct(ws)) * 1.0 / len(ws) >= {_tx._DISTINCT_FLOOR}
+          AND list_has_any(ws, {_tx._STOPWORDS!r})
+    ),
+    ctoks AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(clean)), '\\s+') AS cw
+        FROM kept
+    )
+    SELECT t.doc_id, t.source,
+           CAST(i.i AS INT) AS chunk_id,
+           CAST(len(list_slice(t.cw, i.i * {_tx._STRIDE} + 1,
+                               i.i * {_tx._STRIDE} + {_tx._CHUNK})) AS INT)
+               AS n_tokens,
+           md5(array_to_string(
+                 list_slice(t.cw, i.i * {_tx._STRIDE} + 1,
+                            i.i * {_tx._STRIDE} + {_tx._CHUNK}), ' '))
+               AS chunk_md5
+    FROM ctoks t,
+         LATERAL (SELECT UNNEST(generate_series(
+                    0, (len(t.cw) - 1) // {_tx._STRIDE})) AS i) i
+"""
+
+
+def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter -> redact -> chunk in one scan; the end product a
+    training run reads."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(ws)
+    mean_wlen = F.length(F.array_join(ws, "")) / n
+    keep = (
+        (n >= _tx._MIN_WORDS)
+        & (mean_wlen >= _tx._WLEN_LO)
+        & (mean_wlen <= _tx._WLEN_HI)
+        & (F.size(F.array_distinct(ws)) / n >= _tx._DISTINCT_FLOOR)
+        & F.arrays_overlap(ws, F.array(*[F.lit(s) for s in _tx._STOPWORDS]))
+    )
+    dirty = F.expr(_tx._DIRTY_SQL)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, F.lit(_tx._EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(_tx._PHONE_RE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_tx._IP_RE),
+        F.lit("<IP>"),
+    )
+    kept = docs.filter(keep).select(
+        "doc_id",
+        "source",
+        F.split(F.lower(F.trim(clean)), r"\s+").alias("cw"),
+    )
+    cn = F.size("cw")
+    exploded = kept.select(
+        "doc_id",
+        "source",
+        "cw",
+        F.explode(
+            F.sequence(F.lit(0), ((cn - F.lit(1)) / F.lit(_tx._STRIDE)).cast("int"))
+        ).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("cw"), F.col("chunk_id") * _tx._STRIDE + 1, _tx._CHUNK)
+    return exploded.select(
+        "doc_id",
+        "source",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
 STAGED = {
     "quality_psi_drift_orders": (quality_psi_drift_orders, _PSI_ORACLE),
     "events_asof_tolerance": (events_asof_tolerance, _ASOF_TOL_ORACLE),
@@ -709,6 +812,7 @@ STAGED = {
     "text_perplexity_bigram": (text_perplexity_bigram, _PPL_ORACLE),
     "events_dau_mau": (events_dau_mau, _DAU_MAU_ORACLE),
     "orders_rfm_segmentation": (orders_rfm_segmentation, _RFM_ORACLE),
+    "corpus_training_ready": (corpus_training_ready, _READY_ORACLE),
 }
 
 
