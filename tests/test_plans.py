@@ -654,3 +654,52 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_bucketed_join_is_colocated_shuffle_free(spark, sf_dir):
+    """SURVEY §4 / 100 TB posture: two tables bucketed on the join key
+    join WITHOUT any Exchange — the bucketed scans already satisfy the
+    join's required partitioning on both sides. This is the layout
+    that turns the nightly fact-to-fact join from a corpus-wide
+    shuffle into a local merge."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+        write_bucketed_warehouse,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_bucketed_warehouse(orders, "bkt_orders_test", bucket_col="o_custkey", sort_col=None)
+    write_bucketed_warehouse(cust, "bkt_cust_test", bucket_col="c_custkey", sort_col=None)
+    try:
+        bo = spark.table("bkt_orders_test")
+        bc = spark.table("bkt_cust_test")
+        # disable broadcast so the join must rely on co-location, as it
+        # would when both sides are fact-sized
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy(
+                "o_custkey"
+            ).agg(F.sum("o_totalprice").alias("spend"))
+            plan = _plan(joined)
+            assert "Exchange hashpartitioning" not in plan, (
+                "co-bucketed join must not shuffle:\n" + plan
+            )
+            # sanity: same result as the unbucketed join
+            n = joined.count()
+            m = (
+                orders.join(cust, orders.o_custkey == cust.c_custkey)
+                .groupBy("o_custkey").count().count()
+            )
+            assert n == m
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders_test")
+        spark.sql("DROP TABLE IF EXISTS bkt_cust_test")
