@@ -804,6 +804,63 @@ def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
 
+
+
+# --- schema evolution ----------------------------------------------------
+
+_EVOLVE_CUTOFF = "1996-01-01"
+
+
+def format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: the warehouse's orders table was written
+    in two generations — v1 (3 columns) and v2 (v1 + a new
+    ``o_channel`` column) — and a single ``mergeSchema`` read must
+    union them with NULLs for v1's missing column. This is the lake
+    reality every long-lived pipeline hits: old partitions never get
+    rewritten. Both generations derive deterministically from orders
+    (split at {_EVOLVE_CUTOFF}), so the oracle restates the merged
+    result exactly; the check is strict (no certificate).
+
+    Scale: two generation writes inherit source partitioning;
+    the merged scan is still one parquet scan with a unioned footer
+    schema — mergeSchema costs a footer pass, not a data pass.
+    """
+    import hashlib
+    from pathlib import Path
+
+    orders = read_table(spark, sf_dir, "orders")
+    repo_root = Path(__file__).resolve().parents[2]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = repo_root / "spark-warehouse" / f"orders_evolved_{tag}"
+    v1 = orders.filter(F.col("o_orderdate") < _EVOLVE_CUTOFF).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderdate") >= _EVOLVE_CUTOFF).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("web"))
+        .otherwise(F.lit("store"))
+        .alias("o_channel"),
+    )
+    v1.write.mode("overwrite").parquet(str(base / "gen=1"))
+    v2.write.mode("overwrite").parquet(str(base / "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(base / "gen=1"), str(base / "gen=2")
+    )
+    return merged.select("o_orderkey", "o_custkey", "o_totalprice", "o_channel")
+
+
+_EVOLVE_ORACLE = f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_channel
+    FROM orders WHERE o_orderdate < DATE '{_EVOLVE_CUTOFF}'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+    FROM orders WHERE o_orderdate >= DATE '{_EVOLVE_CUTOFF}'
+"""
+
 STAGED = {
     "quality_psi_drift_orders": (quality_psi_drift_orders, _PSI_ORACLE),
     "events_asof_tolerance": (events_asof_tolerance, _ASOF_TOL_ORACLE),
@@ -813,6 +870,7 @@ STAGED = {
     "events_dau_mau": (events_dau_mau, _DAU_MAU_ORACLE),
     "orders_rfm_segmentation": (orders_rfm_segmentation, _RFM_ORACLE),
     "corpus_training_ready": (corpus_training_ready, _READY_ORACLE),
+    "format_schema_evolution": (format_schema_evolution, _EVOLVE_ORACLE),
 }
 
 
