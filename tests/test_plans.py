@@ -703,3 +703,42 @@ def test_bucketed_join_is_colocated_shuffle_free(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders_test")
         spark.sql("DROP TABLE IF EXISTS bkt_cust_test")
+
+
+def test_range_layout_enables_file_skipping(spark, sf_dir, tmp_path):
+    """The 100 TB data-layout lever: writing a table
+    ``repartitionByRange`` on the hot predicate column gives each file
+    a narrow min/max range, so a point/range predicate prunes whole
+    files at scan time. Asserted by counting distinct input files of
+    the filtered read — the range layout must touch a strict subset
+    while the unclustered layout touches every file."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 8
+    clustered = str(tmp_path / "orders_range")
+    scattered = str(tmp_path / "orders_scatter")
+    orders.repartitionByRange(n_files, "o_custkey").write.parquet(clustered)
+    orders.repartition(n_files).write.parquet(scattered)
+
+    hot = F.col("o_custkey") < 50
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(hot)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    assert files_touched(scattered) == n_files, "scattered layout reads all files"
+    # the hot predicate covers ~1/3 of the key space -> at most
+    # ceil(n_files/3)+1 range files overlap it (vs ALL scattered files)
+    assert files_touched(clustered) <= n_files // 2, (
+        "range layout must confine the hot range to a strict file subset"
+    )
