@@ -160,3 +160,81 @@ def test_cli_entry_runs_pipeline(tmp_path):
     csvs = list((out / "dead_letter").glob("invalid_records_*.csv/*.csv"))
     assert csvs, "timestamped CSV dead-letter missing"
     assert csvs[0].read_text().splitlines()[0].count(",") >= 2
+
+
+def test_watermark_drops_late_rows_exactly(spark, tmp_path):
+    """STRICT late-data semantics: five files arrive as five
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered). Spark only
+    drops a late row once its window's state was evicted in a PRIOR
+    batch (a row landing in the same batch as the eviction still
+    merges — the watermark is a state-eviction bound, not a strict
+    input filter), so the straggler is staged one batch after the
+    watermark crossing:
+
+      batch1 f1: 3 rows 10:00-10:04    -> wm after = 09:54
+      batch2 f2: 1 row 10:30           -> wm 10:20 at batch3 start
+      batch3 f3: 1 row 10:32 (filler)  -> 10:00 window EMITTED+EVICTED
+      batch4 f4: straggler 10:02       -> window gone: DROPPED
+      batch5 f5: 1 row 11:00           -> flushes the 10:30 window
+    """
+    import datetime as dt
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_to_memory,
+        windowed_counts,
+    )
+
+    def mk(ts_list, path, mtime):
+        rows = [
+            (i, t, 1, "view", 1.0, "{}") for i, t in enumerate(ts_list)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    T0 = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)  # noqa: E731
+    base = _time.time() - 1000
+    src = tmp_path / "arrivals"
+    mk([m(0), m(2), m(4)], str(src / "f1"), base + 10)
+    mk([m(30)], str(src / "f2"), base + 20)
+    mk([m(32)], str(src / "f3"), base + 30)
+    mk([m(2)], str(src / "f4"), base + 40)   # the straggler
+    mk([m(60)], str(src / "f5"), base + 50)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(src))
+    )
+    out = run_to_memory(
+        windowed_counts(stream, watermark="10 minutes"),
+        "late_drop_test",
+        output_mode="append",
+        no_data_batches=True,
+    )
+    rows = out.filter(F.col("event_type") == "view").collect()
+    got = {r["window_start"]: r["n_events"] for r in rows}
+    # 10:00 window: ONLY the 3 on-time rows; the batch-4 straggler
+    # found its window evicted and was dropped
+    assert got.get(m(0)) == 3, got
+    # 10:30 window: the 10:30 and 10:32 rows
+    assert got.get(m(30)) == 2, got
+    # and the straggler did not resurrect or duplicate the 10:00 window
+    assert sum(1 for r in rows if r["window_start"] == m(0)) == 1
