@@ -238,3 +238,69 @@ def test_watermark_drops_late_rows_exactly(spark, tmp_path):
     assert got.get(m(30)) == 2, got
     # and the straggler did not resurrect or duplicate the 10:00 window
     assert sum(1 for r in rows if r["window_start"] == m(0)) == 1
+
+
+def test_dedup_state_expiry_readmits_after_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's contract, pinned exactly: a
+    duplicate arriving while the key's state lives is suppressed; the
+    same key arriving after the watermark expired its state is
+    RE-ADMITTED (the operator guarantees dedup only within the
+    watermark window — at-least-once beyond it, by design).
+
+      batch1 f1: id=1 @ 10:00                  -> emitted
+      batch2 f2: id=1 @ 10:05 (dup, state live) -> suppressed
+      batch3 f3: id=9 @ 10:30  (advances the watermark to 10:20)
+      batch4 f4: id=8 @ 10:32  (spacer: id=1 state evicted at its end
+                                — eviction happens at batch end, one
+                                batch after the watermark crossing,
+                                same lag the late-drop test pins)
+      batch5 f5: id=1 @ 10:33 (state gone)      -> emitted AGAIN
+    """
+    import datetime as dt
+    import os
+    import time as _time
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        dedup_events_stream,
+        run_to_memory,
+    )
+
+    def mk(rows, path, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    T0 = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)  # noqa: E731
+    base = _time.time() - 1000
+    src = tmp_path / "dedup_arrivals"
+    mk([(1, m(0), 1, "view", 0.0, "{}")], str(src / "f1"), base + 10)
+    mk([(1, m(5), 1, "view", 0.0, "{}")], str(src / "f2"), base + 20)
+    mk([(9, m(30), 1, "view", 0.0, "{}")], str(src / "f3"), base + 30)
+    mk([(8, m(32), 1, "view", 0.0, "{}")], str(src / "f4"), base + 40)
+    mk([(1, m(33), 1, "view", 0.0, "{}")], str(src / "f5"), base + 50)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(src))
+    )
+    out = run_to_memory(
+        dedup_events_stream(stream, watermark="10 minutes"),
+        "dedup_expiry_test",
+        output_mode="append",
+    )
+    emitted = sorted((r["event_id"], r["ts"]) for r in out.collect())
+    assert emitted == [(1, m(0)), (1, m(33)), (8, m(32)), (9, m(30))], emitted
