@@ -223,3 +223,65 @@ def test_ragged_csv_rows_null_fill_and_deadletter(spark, tmp_path):
     # filter excludes it from the warehouse-bound valid set
     valid = get_valid_records(clean)
     assert {r["CUST_I"] for r in valid.collect()} == {"1", "3"}
+
+
+def test_merge_upsert_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    """File-pruned MERGE: an upsert touching two range-files must
+    leave the other files byte-identical on disk and produce exactly
+    the last-writer-wins row set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        merge_upsert,
+        read_table,
+    )
+
+    target_path = str(tmp_path / "orders_merge")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    orders.repartitionByRange(8, "o_custkey").write.parquet(target_path)
+    before = {
+        f: os.path.getmtime(os.path.join(target_path, f))
+        for f in os.listdir(target_path)
+        if f.startswith("part-")
+    }
+
+    # source: update every order of two low custkeys + insert new keys
+    source = (
+        orders.filter(F.col("o_custkey").isin(3, 7))
+        .withColumn("o_totalprice", F.lit(1.0))
+        .unionByName(
+            spark.createDataFrame(
+                [(90_000_001, 3_000_001, 42.0), (90_000_002, 3_000_002, 43.0)],
+                "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+            )
+        )
+    )
+    stats = merge_upsert(spark, target_path, source, key="o_orderkey")
+    assert stats["n_files_total"] == 8
+    # both hot custkeys live in the low range -> at most 2 files touched
+    assert 1 <= stats["n_files_rewritten"] <= 2
+
+    after = {
+        f: os.path.getmtime(os.path.join(target_path, f))
+        for f in os.listdir(target_path)
+        if f.startswith("part-")
+    }
+    untouched = set(before) & set(after)
+    assert len(untouched) == 8 - stats["n_files_rewritten"]
+    assert all(before[f] == after[f] for f in untouched), (
+        "untouched files must not be rewritten"
+    )
+
+    # value check: last-writer-wins vs a pure DataFrame recomputation
+    merged = spark.read.parquet(target_path)
+    expect_updates = merged.filter(F.col("o_custkey").isin(3, 7))
+    assert expect_updates.count() > 0
+    assert expect_updates.filter(F.col("o_totalprice") != 1.0).count() == 0
+    assert merged.filter(F.col("o_orderkey") >= 90_000_001).count() == 2
+    expected_n = orders.count() + 2  # pure upsert: updates + 2 inserts
+    assert merged.count() == expected_n
+    assert merged.select("o_orderkey").distinct().count() == expected_n
