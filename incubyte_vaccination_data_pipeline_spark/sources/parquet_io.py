@@ -256,3 +256,41 @@ def merge_upsert(
         "n_files_rewritten": len(affected_files),
         "n_source_rows": source.count(),
     }
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Execute the small-files compaction the planner
+    (``corpus_compaction_plan``) sizes: read the fragmented directory,
+    compute the payload volume from the files' actual on-disk size
+    (metadata, no data scan), and rewrite as
+    ``ceil(bytes / target)`` right-sized files via ``repartition`` —
+    the nightly job that keeps a 100 TB lake's file count sane.
+    Lossless by construction (same rows, new layout); returns
+    ``{"n_src_files", "n_dst_files", "src_bytes"}``.
+    """
+    import math
+    import os
+
+    src_files = [
+        os.path.join(src_path, f)
+        for f in os.listdir(src_path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
+    src_bytes = sum(os.path.getsize(f) for f in src_files)
+    n_dst = max(1, math.ceil(src_bytes / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_dst).write.mode("overwrite").parquet(dst_path)
+    n_out = len(
+        [
+            f
+            for f in os.listdir(dst_path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+    )
+    return {"n_src_files": len(src_files), "n_dst_files": n_out,
+            "src_bytes": src_bytes}

@@ -285,3 +285,35 @@ def test_merge_upsert_rewrites_only_affected_files(spark, sf_dir, tmp_path):
     expected_n = orders.count() + 2  # pure upsert: updates + 2 inserts
     assert merged.count() == expected_n
     assert merged.select("o_orderkey").distinct().count() == expected_n
+
+
+def test_compact_files_merges_fragments_losslessly(spark, sf_dir, tmp_path):
+    """The compaction executor: 40 fragment files in, the planned
+    handful out, rows identical."""
+    import os
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        compact_files,
+        read_table,
+    )
+
+    frag = str(tmp_path / "docs_fragmented")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.repartition(40).write.parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.startswith("part-")])
+    assert n_frag == 40
+
+    out = str(tmp_path / "docs_compacted")
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    target = max(1, total // 3)  # plan ~3-4 output files
+    stats = compact_files(spark, frag, out, target_file_bytes=target)
+    assert stats["n_src_files"] == 40
+    assert 3 <= stats["n_dst_files"] <= 4
+    # lossless: same doc_id multiset
+    a = sorted(r["doc_id"] for r in spark.read.parquet(frag).collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert a == b
