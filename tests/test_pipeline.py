@@ -317,3 +317,48 @@ def test_compact_files_merges_fragments_losslessly(spark, sf_dir, tmp_path):
     a = sorted(r["doc_id"] for r in spark.read.parquet(frag).collect())
     b = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_merge_upsert_random_sources_match_reference(spark, sf_dir, tmp_path):
+    """Randomized merge property: after K successive merges with
+    random update/insert mixes, the directory equals a pure
+    dict-based upsert reference."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        merge_upsert,
+        read_table,
+    )
+
+    rng = random.Random(20260814)
+    target_path = str(tmp_path / "orders_rand_merge")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    orders.repartitionByRange(6, "o_custkey").write.parquet(target_path)
+    ref = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_totalprice"])
+        for r in orders.collect()
+    }
+    keys = sorted(ref)
+    next_new = 80_000_000
+    for step in range(3):
+        updates = rng.sample(keys, 20)
+        rows = [(k, ref[k][0], float(1000 + step)) for k in updates]
+        for _ in range(5):
+            next_new += 1
+            rows.append((next_new, rng.randrange(1, 100), float(step)))
+        src = spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+        )
+        merge_upsert(spark, target_path, src, key="o_orderkey")
+        for k, c, p in rows:
+            ref[k] = (c, p)
+        keys = sorted(ref)
+    got = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_totalprice"])
+        for r in spark.read.parquet(target_path).collect()
+    }
+    assert got == ref
