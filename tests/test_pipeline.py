@@ -362,3 +362,39 @@ def test_merge_upsert_random_sources_match_reference(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(target_path).collect()
     }
     assert got == ref
+
+
+def test_corrupt_file_handling_modes(spark, sf_dir, tmp_path):
+    """Operational resilience: a corrupt part-file in a directory
+    fails the read loudly by default (no silent data loss), and
+    ``ignoreCorruptFiles`` recovers the healthy files — the triage
+    switch for a 100 TB lake with one bad object."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    path = str(tmp_path / "orders_with_corruption")
+    read_table(spark, sf_dir, "orders").select("o_orderkey").repartition(
+        4
+    ).write.parquet(path)
+    healthy = spark.read.parquet(path).count()
+    part = next(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    # corrupt one file: truncate it mid-body (footer gone)
+    full = os.path.join(path, part)
+    size = os.path.getsize(full)
+    with open(full, "r+b") as fh:
+        fh.truncate(size // 2)
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(path).count()  # loud by default
+
+    recovered = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(path).count()
+    )
+    assert 0 < recovered < healthy  # healthy files survive, bad one skipped
