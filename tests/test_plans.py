@@ -742,3 +742,27 @@ def test_range_layout_enables_file_skipping(spark, sf_dir, tmp_path):
     assert files_touched(clustered) <= n_files // 2, (
         "range layout must confine the hot range to a strict file subset"
     )
+
+
+def test_staged_queries_plan_shapes(spark, sf_dir):
+    """Plan guards for the round-5 staged operators (they join the
+    registered catalog next round; their 100 TB posture is pinned
+    now): no cartesian anywhere, single-scan shapes where designed."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import round5_ext
+
+    for name, (fn, _) in round5_ext.STAGED.items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name in ("corpus_training_ready", "events_asof_tolerance",
+                    "orders_rfm_segmentation"):
+            assert plan.count("Scan parquet") == 1, (
+                f"{name} must be single-scan"
+            )
+        if name == "agg_heavy_hitters_cms":
+            # the sketch must be built with map-side partial aggregation
+            assert plan.count("HashAggregate") >= 4, name
+        if name == "text_containment_dedup":
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                "containment candidates must come from the gram index "
+                "equi-join, never a nested-loop pair scan"
+            )

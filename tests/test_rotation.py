@@ -187,3 +187,19 @@ def test_rebuild_counts_any_row_kind(tmp_path):
         "q_green": {"round": 1, "value": True},
         "q_weak": {"round": 1, "value": False},
     }
+
+
+def test_round5_registration_keeps_gap_bound():
+    """Forward simulation of the round-5 plan: registering the 9
+    staged queries (149 total) must keep every query within the
+    ceil(N/50)-round re-verification guarantee."""
+    import math
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES, round5_ext
+    from incubyte_vaccination_data_pipeline_spark.catalog import verify_rotation as vr
+
+    names = list(QUERIES) + sorted(round5_ext.STAGED)
+    hist = vr.rebuild_history()
+    bound = math.ceil(len(names) / vr.WINDOW)
+    gap = vr.simulate_max_gap(names, hist, rounds=2 * bound + 2)
+    assert gap <= bound, f"round-5 registration would break the gap bound: {gap}"
