@@ -861,6 +861,53 @@ _EVOLVE_ORACLE = f"""
     FROM orders WHERE o_orderdate >= DATE '{_EVOLVE_CUTOFF}'
 """
 
+
+
+# --- tokenizer training prep ---------------------------------------------
+
+_BPE_TOP = 20
+
+_BPE_ORACLE = f"""
+    WITH words AS (
+        SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS n FROM words WHERE len(w) >= 2 GROUP BY w),
+    pairs AS (
+        SELECT substr(wc.w, i.i, 2) AS pair, wc.n
+        FROM wc, LATERAL (SELECT UNNEST(generate_series(1, len(wc.w) - 1)) AS i) i
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {_BPE_TOP}
+"""
+
+
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step of tokenizer training: corpus-weighted
+    adjacent-character pair counts, top {_BPE_TOP} merge candidates.
+    The pair explode runs over DISTINCT words weighted by their corpus
+    frequency — the standard trick that makes tokenizer training
+    vocabulary-bounded instead of corpus-bounded (a 100 TB corpus has
+    millions of distinct words, not trillions). Iterating BPE applies
+    the winning merge to the word symbol table and repeats this exact
+    counting shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    pairs = wc.select(
+        F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"), "w", "n"
+    ).select(F.expr("substr(w, i, 2)").alias("pair"), "n")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_BPE_TOP)
+    )
+
 STAGED = {
     "quality_psi_drift_orders": (quality_psi_drift_orders, _PSI_ORACLE),
     "events_asof_tolerance": (events_asof_tolerance, _ASOF_TOL_ORACLE),
@@ -871,6 +918,7 @@ STAGED = {
     "orders_rfm_segmentation": (orders_rfm_segmentation, _RFM_ORACLE),
     "corpus_training_ready": (corpus_training_ready, _READY_ORACLE),
     "format_schema_evolution": (format_schema_evolution, _EVOLVE_ORACLE),
+    "text_bpe_merge_candidates": (text_bpe_merge_candidates, _BPE_ORACLE),
 }
 
 
