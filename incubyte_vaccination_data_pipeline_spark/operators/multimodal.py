@@ -307,6 +307,9 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise DecoderNotAvailable("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while payload[pos + 1] == 0xFF and pos + 4 <= n:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -555,11 +558,16 @@ def _scan_data_end(payload: bytes, start: int) -> int:
     the entropy-coded data that begins at ``start``."""
     p, n = start, len(payload)
     while p + 1 < n:
-        if payload[p] == 0xFF and payload[p + 1] not in (0x00,) and not (
-            0xD0 <= payload[p + 1] <= 0xD7
-        ):
-            return p
-        p += 2 if payload[p] == 0xFF else 1
+        if payload[p] == 0xFF:
+            nxt = payload[p + 1]
+            if nxt == 0xFF:  # fill byte: the marker starts later
+                p += 1
+                continue
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return p
+            p += 2
+        else:
+            p += 1
     return n
 
 

@@ -1443,3 +1443,16 @@ def test_jpeg_progressive_zero_scans_rejected():
     i = payload.find(b"\xff\xda")  # cut everything from the first SOS
     with pytest.raises(DecoderNotAvailable):
         decode_jpeg(payload[:i] + b"\xff\xd9")
+
+
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """T.81 allows 0xFF fill bytes before any marker; inject them
+    before DQT/SOS in both baseline and progressive streams."""
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import decode_jpeg
+
+    for maker in (_make_jpeg, _make_progressive_jpeg):
+        payload, expected = maker(8, 8, bytes([55] * 64), channels=1)
+        padded = payload.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+        padded = padded.replace(b"\xff\xda", b"\xff\xff\xff\xda", 1)
+        img = decode_jpeg(padded)
+        assert img["pixels"] == expected, maker.__name__
