@@ -187,9 +187,12 @@ def kmeans_embeddings_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Magnitude budget (sf0.1: n = 5000, d = 64): centered q ≤ 2^22,
 # v normalized to ±2^10 ⇒ w = Σ_d cq·v ≤ 2^38, rescaled by 2^18 to
-# ≤ 2^20 ⇒ v' = Σ_n cq·w' ≤ n·2^42 ≈ 2^54 < 2^63. At larger n the
-# rescale shift grows with log2(n) (documented; the arithmetic stays
-# BIGINT-exact, only the constant changes).
+# ≤ 2^20 ⇒ v' = Σ_n cq·w' ≤ n·2^42 ≈ 2^54 < 2^63 worst-case (the
+# realistic bound is far lower — random-sign terms cancel to ~√n·typ).
+# The normalize step computes v·2^10 before dividing, so the loud
+# (ANSI / DuckDB overflow error, never silent corruption) ceiling is
+# |v| < 2^53; at larger n grow the 2^18 rescale shift with log2(n) —
+# the arithmetic stays BIGINT-exact, only the constant changes.
 
 _V_SCALE = 1024          # eigenvector components normalized to ±2^10
 _W_SHIFT = 262144        # 2^18 rescale between the two half-steps
