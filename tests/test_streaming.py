@@ -304,3 +304,73 @@ def test_dedup_state_expiry_readmits_after_watermark(spark, tmp_path):
     )
     emitted = sorted((r["event_id"], r["ts"]) for r in out.collect())
     assert emitted == [(1, m(0)), (1, m(33)), (8, m(32)), (9, m(30))], emitted
+
+
+def test_session_window_merges_across_batches(spark, tmp_path):
+    """Cross-batch session merging, pinned: two events of one user
+    arriving in DIFFERENT micro-batches but within the session gap
+    (30 min) must merge into ONE session row spanning both, while a
+    third event past the gap opens a new session.
+
+      batch1 f1: u1 @ 10:00
+      batch2 f2: u1 @ 10:10  (within gap -> extends the session)
+      batch3 f3: u1 @ 12:00  (past gap -> new session; also advances
+                              the watermark so session 1 emits)
+      batch4 f4: u1 @ 14:00  (flushes session 2)
+    """
+    import datetime as dt
+    import os
+    import time as _time
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_to_memory,
+        session_windows,
+    )
+
+    def mk(ts_list, path, mtime):
+        rows = [(i, t, 1, "view", 2.0, "{}") for i, t in enumerate(ts_list)]
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    T0 = dt.datetime(2024, 1, 1, 10, 0)
+    h = lambda mins: T0 + dt.timedelta(minutes=mins)  # noqa: E731
+    base = _time.time() - 1000
+    src = tmp_path / "session_arrivals"
+    mk([h(0)], str(src / "f1"), base + 10)
+    mk([h(10)], str(src / "f2"), base + 20)
+    mk([h(120)], str(src / "f3"), base + 30)
+    mk([h(240)], str(src / "f4"), base + 40)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(src))
+    )
+    out = run_to_memory(
+        session_windows(stream, gap="30 minutes"),
+        "session_merge_test",
+        output_mode="append",
+        no_data_batches=True,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["session_start"])
+    assert len(rows) >= 2
+    s1 = rows[0]
+    # ONE merged session covering 10:00 and 10:10, ending 10:40
+    assert s1["session_start"] == h(0)
+    assert s1["session_end"] == h(40)
+    assert s1["n_events"] == 2 and s1["session_value"] == 4.0
+    s2 = rows[1]
+    assert s2["session_start"] == h(120) and s2["n_events"] == 1
