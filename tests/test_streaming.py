@@ -374,3 +374,69 @@ def test_session_window_merges_across_batches(spark, tmp_path):
     assert s1["n_events"] == 2 and s1["session_value"] == 4.0
     s2 = rows[1]
     assert s2["session_start"] == h(120) and s2["n_events"] == 1
+
+
+def test_stream_stream_join_matches_across_batches(spark, tmp_path):
+    """Cross-batch stream-stream join state, pinned: a click buffered
+    in batch 1 joins a purchase arriving in batch 2; a click older
+    than the join window at purchase time never matches; and a click
+    whose state was expired by the watermark before its purchase
+    arrives yields no match (inner-join drop).
+
+      batch1 f1: click A @ 10:00 (buffered)
+      batch2 f2: purchase P1 @ 10:05 -> joins A across batches
+      batch3 f3: click B @ 11:00 (wm -> 10:55, A's state expired:
+                 A is > 30 min old AND past the watermark)
+      batch4 f4: purchase P2 @ 11:10 -> joins B only
+      batch5 f5: spacer @ 12:00 to flush
+    """
+    import datetime as dt
+    import os
+    import time as _time
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_to_memory,
+        stream_stream_click_purchase_join,
+    )
+
+    def mk(rows, path, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    T0 = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)  # noqa: E731
+    base = _time.time() - 1000
+    src = tmp_path / "ssj_arrivals"
+    mk([(1, m(0), 1, "click", 1.0, "{}")], str(src / "f1"), base + 10)
+    mk([(2, m(5), 1, "purchase", 0.0, "{}")], str(src / "f2"), base + 20)
+    mk([(3, m(60), 1, "click", 2.0, "{}")], str(src / "f3"), base + 30)
+    mk([(4, m(70), 1, "purchase", 0.0, "{}")], str(src / "f4"), base + 40)
+    mk([(5, m(120), 1, "view", 0.0, "{}")], str(src / "f5"), base + 50)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(src))
+    )
+    out = run_to_memory(
+        stream_stream_click_purchase_join(stream),
+        "ssj_cross_batch_test",
+        output_mode="append",
+    )
+    matches = sorted((r["purchase_id"], r["click_id"]) for r in out.collect())
+    # P1 joined the batch-1 click; P2 joined ONLY click B (A is 70 min
+    # old — outside the 30-min join window — and state-expired)
+    assert matches == [(2, 1), (4, 3)], matches
