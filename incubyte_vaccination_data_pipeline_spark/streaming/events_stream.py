@@ -122,7 +122,12 @@ def _running_totals_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get() if state.exists else (0, 0.0)
+    # GroupState.get is a PROPERTY returning the state tuple (calling
+    # it raises "'tuple' object is not callable") — a latent crash the
+    # single-file local source never hit because state.exists is only
+    # True from the second micro-batch on; pinned by
+    # tests/test_streaming.py::test_running_totals_accumulate_across_batches
+    n, total = state.get if state.exists else (0, 0.0)
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].sum())

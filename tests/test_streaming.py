@@ -440,3 +440,60 @@ def test_stream_stream_join_matches_across_batches(spark, tmp_path):
     # P1 joined the batch-1 click; P2 joined ONLY click B (A is 70 min
     # old — outside the 30-min join window — and state-expired)
     assert matches == [(2, 1), (4, 3)], matches
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    """Custom applyInPandasWithState operator, pinned cross-batch:
+    per-user group state must carry counts/totals between micro-
+    batches, and update mode must emit one refreshed row per touched
+    user per batch (the untouched user is NOT re-emitted)."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_to_memory,
+        running_user_totals,
+    )
+
+    def mk(rows, path, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    T0 = dt.datetime(2024, 1, 1, 10, 0)
+    base = _time.time() - 1000
+    src = tmp_path / "totals_arrivals"
+    mk(
+        [(1, T0, 1, "view", 1.5, "{}"), (2, T0, 2, "view", 4.0, "{}")],
+        str(src / "f1"),
+        base + 10,
+    )
+    mk([(3, T0, 1, "view", 2.5, "{}")], str(src / "f2"), base + 20)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(src))
+    )
+    out = run_to_memory(
+        running_user_totals(stream), "totals_cross_batch", output_mode="update"
+    )
+    rows = sorted(
+        ((r["user_id"], r["n_events"], r["total_value"]) for r in out.collect())
+    )
+    # batch1 emits (u1: 1 event, 1.5) and (u2: 1, 4.0); batch2 emits
+    # the REFRESHED u1 (2 events, 4.0) only — state carried across
+    assert rows == [(1, 1, 1.5), (1, 2, 4.0), (2, 1, 4.0)], rows
