@@ -497,3 +497,68 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     # batch1 emits (u1: 1 event, 1.5) and (u2: 1, 4.0); batch2 emits
     # the REFRESHED u1 (2 events, 4.0) only — state carried across
     assert rows == [(1, 1, 1.5), (1, 2, 4.0), (2, 1, 4.0)], rows
+
+
+def test_foreach_batch_upsert_merges_across_batches(spark, tmp_path):
+    """Cross-batch foreachBatch upsert: batch 1 creates the target,
+    batch 2 must take the MERGE path (anti-join survivors + refreshed
+    rows) — the branch a single-file source never executes. Final
+    parquet = last-writer-wins totals per user."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_foreach_batch_upsert,
+        running_user_totals,
+    )
+
+    def mk(rows, path, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    T0 = dt.datetime(2024, 1, 1, 10, 0)
+    base = _time.time() - 1000
+    src = tmp_path / "upsert_arrivals"
+    mk(
+        [(1, T0, 1, "view", 1.0, "{}"), (2, T0, 2, "view", 10.0, "{}")],
+        str(src / "f1"),
+        base + 10,
+    )
+    mk([(3, T0, 1, "view", 2.0, "{}")], str(src / "f2"), base + 20)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(src))
+    )
+    target = str(tmp_path / "totals_target")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_foreach_batch_upsert(
+            running_user_totals(stream), target, key_cols=["user_id"]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # u1 refreshed by batch 2 (2 events, 3.0); u2 survives batch 1
+    assert final == {1: (2, 3.0), 2: (1, 10.0)}, final
