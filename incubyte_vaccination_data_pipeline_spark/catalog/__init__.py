@@ -50,6 +50,21 @@ from incubyte_vaccination_data_pipeline_spark.catalog import training_ext  # noq
 # skew report) joins the live registry
 training_ext.register()
 
+# round 4 continuation: exactly six of the ten staged round-5 queries
+# fit the 50-slot driver window behind the four certificate queries
+# (window simulation: staged at 41-46, certificates at 47-50); the
+# remaining four register in round 5
+from incubyte_vaccination_data_pipeline_spark.catalog import round5_ext  # noqa: E402
+
+round5_ext.register([
+    "quality_psi_drift_orders",
+    "text_containment_dedup",
+    "text_perplexity_bigram",
+    "corpus_training_ready",
+    "agg_heavy_hitters_cms",
+    "orders_rfm_segmentation",
+])
+
 FLAGSHIP_COUNTRY = vax.FLAGSHIP_COUNTRY
 
 # The driver verifies the first N registered queries per round (observed

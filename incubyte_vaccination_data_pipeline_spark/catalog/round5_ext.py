@@ -922,9 +922,14 @@ STAGED = {
 }
 
 
-def register() -> None:
-    """Round-5 one-liner: move the staged queries into the live
-    registry (call from ``catalog/__init__.py``)."""
-    for name, (fn, oracle) in STAGED.items():
+def register(names: list[str] | None = None) -> None:
+    """Move staged queries into the live registry (call from
+    ``catalog/__init__.py``). ``names`` selects a subset — round 4
+    registers exactly the six that fit the verification window behind
+    the certificate queries (positions 41-46 of 50, simulated in
+    ``tests/test_rotation.py``); round 5 registers the rest with a
+    bare ``register()``."""
+    for name in (names if names is not None else list(STAGED)):
+        fn, oracle = STAGED[name]
         QUERIES[name] = fn
         ORACLES[name] = oracle
