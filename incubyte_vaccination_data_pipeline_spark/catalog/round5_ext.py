@@ -266,16 +266,46 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     two md5 digest halves; top-{_TOP} keys by estimate with the CM
     over-estimate guarantee as a checked column."""
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
-    b0 = F.expr(_bucket_sql("l_partkey", 0, "instr"))
-    b1 = F.expr(_bucket_sql("l_partkey", 1, "instr"))
+    # compute the digest ONCE in its own projection: each decoded half
+    # is 8 positional terms, and Catalyst inlines the md5 call into
+    # every term (16 md5 evaluations per row without this — the same
+    # CSE trap operators/dedup.py documents); the 128-cell sketch is
+    # additionally checkpointed because both per-row broadcast sides
+    # consume it and self-join sides re-execute unshared subtrees
+    def halves(df):
+        # Spark side uses native conv(hex, 16, 10) — proven value-equal
+        # to the oracle's positional strpos decode (DuckDB has no conv)
+        # and measurably faster than 8 instr terms per half
+        hashed = df.withColumn("h", F.md5(F.col("l_partkey").cast("string")))
+        return hashed.select(
+            "*",
+            (
+                F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")
+                % _CMS_BUCKETS
+            ).alias("b0"),
+            (
+                F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)")
+                % _CMS_BUCKETS
+            ).alias("b1"),
+        ).drop("h")
+
     cells = (
-        li.select(F.lit(0).alias("row_id"), b0.alias("bucket"))
-        .unionByName(li.select(F.lit(1).alias("row_id"), b1.alias("bucket")))
+        halves(li)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("row_id"), F.col("b0").alias("bucket")),
+                    F.struct(F.lit(1).alias("row_id"), F.col("b1").alias("bucket")),
+                )
+            ).alias("p")
+        )
+        .select("p.row_id", "p.bucket")
         .groupBy("row_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    truth = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_n")).select(
-        "l_partkey", "true_n", b0.alias("b0"), b1.alias("b1")
+    truth = halves(
+        li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_n"))
     )
     c0 = cells.filter(F.col("row_id") == 0).select(
         F.col("bucket").alias("b0"), F.col("n").alias("n0")
