@@ -759,8 +759,11 @@ def test_staged_queries_plan_shapes(spark, sf_dir):
                 f"{name} must be single-scan"
             )
         if name == "agg_heavy_hitters_cms":
-            # the sketch must be built with map-side partial aggregation
-            assert plan.count("HashAggregate") >= 4, name
+            # the 128-cell sketch is checkpointed (one build serves both
+            # broadcast consumers) so it appears as an RDD scan boundary;
+            # the truth aggregate still shows partial+final HashAggregate
+            assert "Scan ExistingRDD" in plan, name
+            assert plan.count("HashAggregate") >= 2, name
         if name == "text_containment_dedup":
             assert "BroadcastNestedLoopJoin" not in plan, (
                 "containment candidates must come from the gram index "
