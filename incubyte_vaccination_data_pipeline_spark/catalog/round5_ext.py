@@ -1,15 +1,15 @@
-"""Round-5 staged operators: distribution drift, tolerance-bounded
-as-of matching, and Count-Min heavy hitters.
+"""Round-4/5 staged operator family: drift monitoring, sketches,
+containment dedup, LM scoring, engagement/value analytics, schema
+evolution, and the training-ready composite.
 
-Implemented + driver-style tested now, but ``register()`` is
-deliberately NOT called this round: the round-4 verification window
-is already full (40 never-verified queries + the 4 certificate
-queries occupy positions 1-44 of 50), and registering more would push
-the certificates out — the exact failure mode the round-3 verdict's
-item 1 warned about. Round 5 registers them with one line, the same
+All entries are implemented + driver-style tested; a window
+simulation (``tests/test_rotation.py``) showed exactly SIX fit the
+round-4 driver verification window behind the four certificate
+queries, so ``catalog/__init__.py`` registers that subset now and
+round 5 registers the rest with a bare ``register()`` — the same
 staging pattern ``training_ext`` used in round 3.
 
-Operators:
+Operators (first batch):
 
 ``quality_psi_drift_orders`` — Population Stability Index per column
 between the orders snapshot and the deterministically mutated second
@@ -938,6 +938,93 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BPE_TOP)
     )
 
+
+
+# --- cohort + seasonality analytics --------------------------------------
+
+_COHORT_ORACLE = """
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(o_orderdate) AS first_date
+        FROM orders GROUP BY o_custkey
+    ),
+    cohorts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('quarter', first_date) AS DATE) AS cohort_q
+        FROM firsts
+    )
+    SELECT c.cohort_q,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                / COUNT(DISTINCT o.o_custkey) AS DOUBLE) AS ltv_per_customer
+    FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+    GROUP BY c.cohort_q
+"""
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort lifetime value: customers grouped by the
+    quarter of their FIRST order, with each cohort's total and
+    per-customer value over all subsequent activity. One scan builds
+    the first-order frame (keyed aggregate), a second pass joins the
+    cohort label back — the join is on the customer key both sides
+    already aggregate/shuffle on. Money stays DECIMAL until the final
+    cast (repo convention), so LTV is exact-over-exact."""
+    orders = read_table(spark, sf_dir, "orders")
+    cohorts = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_date"))
+        .select(
+            "o_custkey",
+            F.to_date(F.date_trunc("quarter", "first_date")).alias("cohort_q"),
+        )
+    )
+    dec = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    return (
+        orders.join(cohorts, "o_custkey")
+        .groupBy("cohort_q")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dec.cast("double").alias("total_value"),
+            (dec / F.countDistinct("o_custkey")).cast("double").alias(
+                "ltv_per_customer"
+            ),
+        )
+    )
+
+
+_SEASONAL_ORACLE = """
+    SELECT event_type,
+           CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: event volume/value by (type, day-of-week,
+    hour) — the load-shaping / anomaly-baseline input. Single scan,
+    one keyed aggregate; DOW convention pinned to Sunday=0 on both
+    engines (Spark ``dayofweek`` is 1-based Sunday=1, DuckDB
+    ``EXTRACT(dow)`` is 0-based Sunday=0 — the Spark side subtracts
+    one so the driver compare sees identical codes)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
 STAGED = {
     "quality_psi_drift_orders": (quality_psi_drift_orders, _PSI_ORACLE),
     "events_asof_tolerance": (events_asof_tolerance, _ASOF_TOL_ORACLE),
@@ -949,6 +1036,8 @@ STAGED = {
     "corpus_training_ready": (corpus_training_ready, _READY_ORACLE),
     "format_schema_evolution": (format_schema_evolution, _EVOLVE_ORACLE),
     "text_bpe_merge_candidates": (text_bpe_merge_candidates, _BPE_ORACLE),
+    "orders_cohort_ltv": (orders_cohort_ltv, _COHORT_ORACLE),
+    "events_seasonal_profile": (events_seasonal_profile, _SEASONAL_ORACLE),
 }
 
 
