@@ -198,7 +198,7 @@ def test_round5_registration_keeps_gap_bound():
     from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES, round5_ext
     from incubyte_vaccination_data_pipeline_spark.catalog import verify_rotation as vr
 
-    names = list(QUERIES) + sorted(round5_ext.STAGED)
+    names = list(QUERIES) + sorted(set(round5_ext.STAGED) - set(QUERIES))
     hist = vr.rebuild_history()
     bound = math.ceil(len(names) / vr.WINDOW)
     gap = vr.simulate_max_gap(names, hist, rounds=2 * bound + 2)
