@@ -385,11 +385,18 @@ def test_corrupt_file_handling_modes(spark, sf_dir, tmp_path):
     part = next(
         f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
     )
-    # corrupt one file: truncate it mid-body (footer gone)
+    # corrupt one file: truncate it mid-body (footer gone). Also drop
+    # Hadoop's local-FS .crc sidecar for that file — otherwise the
+    # read can die in CRC verification (ChecksumException), which
+    # ignoreCorruptFiles does NOT treat as a corrupt-file condition;
+    # the test targets parquet-level corruption handling.
     full = os.path.join(path, part)
     size = os.path.getsize(full)
     with open(full, "r+b") as fh:
         fh.truncate(size // 2)
+    crc = os.path.join(path, f".{part}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
     with _pytest.raises(Exception):
         spark.read.parquet(path).count()  # loud by default
