@@ -178,3 +178,34 @@ def test_rfm_quartiles_sum_and_champions(spark, sf_dir):
             else "regular"
         )
         assert r["segment"] == want
+
+
+def test_cohort_ltv_hand_computed(spark, monkeypatch, tmp_path):
+    """Two customers: one acquired in Q1 with two orders, one in Q3
+    with one order — cohort totals and per-customer LTV by hand."""
+    import datetime as dt
+
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+
+    rows = [
+        (1, 10, dt.date(2020, 2, 1), 100.0),
+        (2, 10, dt.date(2020, 8, 1), 50.0),   # later order, same Q1 cohort
+        (3, 20, dt.date(2020, 2, 2), 30.0),   # second Q1 customer
+        (4, 30, dt.date(2020, 7, 1), 40.0),   # Q3 cohort
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice double",
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "orders"),
+        orders,
+    )
+    fn, _ = round5_ext.STAGED["orders_cohort_ltv"]
+    out = {r["cohort_q"]: r for r in fn(spark, str(tmp_path)).collect()}
+    q1, q3 = dt.date(2020, 1, 1), dt.date(2020, 7, 1)
+    assert out[q1]["n_customers"] == 2 and out[q1]["n_orders"] == 3
+    assert out[q1]["total_value"] == 180.0  # 100 + 50 + 30
+    assert out[q1]["ltv_per_customer"] == 90.0
+    assert out[q3]["n_customers"] == 1 and out[q3]["total_value"] == 40.0
