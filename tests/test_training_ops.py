@@ -718,9 +718,12 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
 
     orders = read_table(spark, sf_dir, "orders")
+    # rsd=0.02 like the catalog query: a 5% bound is then a 2.5-sigma
+    # margin at ANY sf (the default rsd=0.05 leaves only 1 sigma and
+    # legitimately missed by 6.7% at sf0.01)
     row = orders.agg(
         F.countDistinct("o_custkey").alias("exact"),
-        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
 
