@@ -30,3 +30,57 @@ def fanout_repartition(df: DataFrame, *cols: str) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
     return df.repartition(n, *cols)
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 8,
+) -> DataFrame:
+    """Two-dimensional data-skipping layout: interleave the bit
+    patterns of both columns' value buckets into a Z-order key and
+    range-partition on it, so files carry narrow min/max ranges in
+    BOTH dimensions — predicates on either column prune files, where
+    a plain range layout serves only its own sort column.
+
+    Bucketing uses fixed-width bins over each column's [min, max]
+    (a 2-scalar metadata collect per column — production systems use
+    approximate quantile boundaries for skewed keys; the interleave
+    arithmetic is identical). The Z-key is pure integer bit math in
+    one codegen'd expression; the layout write is one
+    ``repartitionByRange`` pass, the same cost class as any sorted
+    rewrite. Returns the frame with the layout applied (caller
+    writes it); the ``__z`` column is dropped on write.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(col_a).alias("a0"), F.max(col_a).alias("a1"),
+        F.min(col_b).alias("b0"), F.max(col_b).alias("b1"),
+    ).collect()[0]
+    n_buckets = 1 << bits
+
+    def bucket(col, lo, hi):
+        if hi == lo:
+            return F.lit(0)
+        frac = (F.col(col).cast("double") - float(lo)) / (float(hi) - float(lo))
+        return F.least(
+            F.lit(n_buckets - 1), F.floor(frac * n_buckets).cast("int")
+        )
+
+    ba = bucket(col_a, stats["a0"], stats["a1"])
+    bb = bucket(col_b, stats["b0"], stats["b1"])
+    z = F.lit(0)
+    for k in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ba, k) % 2, 2 * k + 1)
+            + F.shiftleft(F.shiftright(bb, k) % 2, 2 * k)
+        )
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .drop("__z")
+    )

@@ -769,3 +769,46 @@ def test_staged_queries_plan_shapes(spark, sf_dir):
                 "containment candidates must come from the gram index "
                 "equi-join, never a nested-loop pair scan"
             )
+
+
+def test_zorder_layout_skips_files_in_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs plain range layout: the range layout prunes only
+    its own sort column (the other predicate touches every file); the
+    Z-layout gives BOTH columns' predicates a strict file subset."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.partitioning import (
+        zorder_layout,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 16
+    rng = str(tmp_path / "orders_1d")
+    zod = str(tmp_path / "orders_z")
+    orders.repartitionByRange(n_files, "o_custkey").write.parquet(rng)
+    zorder_layout(orders, "o_custkey", "o_totalprice", n_files).write.parquet(zod)
+
+    lo_cust = F.col("o_custkey") < orders.agg(
+        F.expr("percentile(o_custkey, 0.1)")
+    ).collect()[0][0]
+    lo_price = F.col("o_totalprice") < orders.agg(
+        F.expr("percentile(o_totalprice, 0.1)")
+    ).collect()[0][0]
+
+    def touched(path, pred):
+        return (
+            spark.read.parquet(path).filter(pred)
+            .select(F.input_file_name()).distinct().count()
+        )
+
+    # 1-D layout: custkey prunes hard, price reads everything
+    assert touched(rng, lo_cust) <= n_files // 4
+    assert touched(rng, lo_price) == n_files
+    # Z-layout: BOTH dimensions prune to a strict subset
+    assert touched(zod, lo_cust) < n_files
+    assert touched(zod, lo_price) < n_files
+    # and the rows themselves are intact
+    assert spark.read.parquet(zod).count() == orders.count()
