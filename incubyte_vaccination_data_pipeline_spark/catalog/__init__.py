@@ -50,20 +50,13 @@ from incubyte_vaccination_data_pipeline_spark.catalog import training_ext  # noq
 # skew report) joins the live registry
 training_ext.register()
 
-# round 4 continuation: exactly six of the ten staged round-5 queries
-# fit the 50-slot driver window behind the four certificate queries
-# (window simulation: staged at 41-46, certificates at 47-50); the
-# remaining four register in round 5
+# round 5: the full staged family registers (round 4 staged six of the
+# twelve to keep the four certificate queries inside the 50-slot driver
+# window; the never-verified remainder now sorts to the window's front
+# automatically via the rotation below)
 from incubyte_vaccination_data_pipeline_spark.catalog import round5_ext  # noqa: E402
 
-round5_ext.register([
-    "quality_psi_drift_orders",
-    "text_containment_dedup",
-    "text_perplexity_bigram",
-    "corpus_training_ready",
-    "agg_heavy_hitters_cms",
-    "orders_rfm_segmentation",
-])
+round5_ext.register()
 
 FLAGSHIP_COUNTRY = vax.FLAGSHIP_COUNTRY
 

@@ -401,7 +401,14 @@ def test_corrupt_file_handling_modes(spark, sf_dir, tmp_path):
     with _pytest.raises(Exception):
         spark.read.parquet(path).count()  # loud by default
 
+    # recovery read pins the schema explicitly: schema inference picks an
+    # arbitrary footer, and if it lands on the corrupt file the read dies
+    # in UNABLE_TO_INFER_SCHEMA before ignoreCorruptFiles can apply at
+    # scan time — pinning the schema is also the realistic triage move
     recovered = (
-        spark.read.option("ignoreCorruptFiles", "true").parquet(path).count()
+        spark.read.schema("o_orderkey bigint")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .count()
     )
     assert 0 < recovered < healthy  # healthy files survive, bad one skipped

@@ -92,21 +92,34 @@ def test_simulated_growth_keeps_gap_bounded():
     assert gap <= bound, f"simulated verification gap {gap} > ceil(N/50)={bound}"
 
 
-def test_round4_window_contains_staged_and_certificate_queries():
-    """The specific round-4 contract: the 8 newly-registered
-    training_ext queries AND the 4 r2 rows-only certificate queries all
-    sit inside the driver's 50-slot window."""
+def test_round4_window_contract_frozen():
+    """The round-4 contract, restated against FROZEN inputs (driver
+    history through round 3 + the round-4 registration set): the 8
+    training_ext queries and the 4 r2 rows-only certificate queries
+    all sat inside the 50-slot window.  Rebuilt with max_round=3, so
+    landing newer CORRECTNESS files can never redden this test (the
+    r4-boundary stale-ritual failure class)."""
     from incubyte_vaccination_data_pipeline_spark.catalog import training_ext
 
-    window = list(catalog.QUERIES)[: vr.WINDOW]
+    round5_only = {
+        "events_asof_tolerance",
+        "events_dau_mau",
+        "format_schema_evolution",
+        "text_bpe_merge_candidates",
+        "orders_cohort_ltv",
+        "events_seasonal_profile",
+    }
+    r4_names = [n for n in catalog.QUERIES if n not in round5_only]
+    hist = vr.rebuild_history(max_round=3)
+    window = set(vr.rotation_order(r4_names, hist)[: vr.WINDOW])
     must_have = set(training_ext.STAGED) | {
         "ann_lsh_topk",
         "ann_ivf_topk",
         "multimodal_features",
         "stream_running_totals",
     }
-    missing = must_have - set(window)
-    assert not missing, f"queries outside the driver window: {sorted(missing)}"
+    missing = must_have - window
+    assert not missing, f"round-4 contract violated: {sorted(missing)}"
 
 
 def test_every_query_has_an_oracle():
