@@ -98,3 +98,66 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("features_ok"),
     )
+
+
+@query(
+    "multimodal_decode_roundtrip",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               (8 + doc_id % 9)::INT AS width,
+               (8 + doc_id % 7)::INT AS height
+        FROM documents
+        WHERE doc_id < 48
+    ),
+    px AS (
+        SELECT d.doc_id,
+               SUM((d.doc_id + 31 * y.y + 7 * x.x + 97 * c.c) % 256)
+                   ::BIGINT AS pixel_checksum
+        FROM docs d,
+             UNNEST(range(d.height)) AS y(y),
+             UNNEST(range(d.width)) AS x(x),
+             UNNEST(range(3)) AS c(c)
+        GROUP BY d.doc_id
+    ),
+    au AS (
+        SELECT d.doc_id,
+               SUM((13 * d.doc_id + 29 * i.i) % 65536 - 32768)
+                   ::BIGINT AS wav_checksum
+        FROM docs d, UNNEST(range(128)) AS i(i)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, d.width, d.height, 3 AS channels,
+           px.pixel_checksum, 128 AS n_samples, au.wav_checksum
+    FROM docs d
+    JOIN px USING (doc_id)
+    JOIN au USING (doc_id)
+    """,
+)
+def multimodal_decode_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec driver path: per document row, synthesize a
+    deterministic RGB PNG (all 5 scanline filters exercised) and a
+    PCM16 WAV, decode both through the dependency-free codecs
+    (``operators/multimodal.py:decode_image/decode_audio``), and emit
+    integer checksums computed from the DECODED bytes. The oracle
+    restates each checksum in closed form over generate_series — a
+    full value check on the decode path, replacing the
+    byte-histogram-only coverage the driver data gave
+    ``multimodal_features``. Scale shape: Arrow-batched mapInPandas,
+    one small payload pair per row, no shuffle before the exchange-free
+    per-row map."""
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        ROUNDTRIP_SCHEMA,
+        decode_roundtrip_batch,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select(
+            "doc_id",
+            (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+            (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+        )
+    )
+    return docs.mapInPandas(decode_roundtrip_batch, schema=ROUNDTRIP_SCHEMA)

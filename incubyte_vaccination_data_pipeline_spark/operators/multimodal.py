@@ -981,3 +981,154 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         decode_features, schema=FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoders (the media WRITE path): deterministic PNG / WAV synthesis so a
+# driver-checkable query can push real payloads through the decoders and
+# emit invariants a SQL oracle restates exactly.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int, height: int, pixels: np.ndarray, channels: int = 3,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Minimal PNG encoder (8-bit, gray/RGB/RGBA, non-interlaced).
+    ``pixels`` is uint8 of shape (height, width*channels); ``filters``
+    picks the per-row filter type 0-4 (default cycles y % 5 so every
+    scanline filter the decoder supports is exercised)."""
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    px = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(height, stride)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = (filters[y] if filters is not None else y % 5) if height else 0
+        line = px[y].astype(np.int32)
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            left = np.zeros(stride, dtype=np.int32)
+            left[channels:] = line[:-channels]
+            filt = (line - left) & 0xFF
+        elif f == 2:  # Up
+            filt = (line - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.zeros(stride, dtype=np.int32)
+            left[channels:] = line[:-channels]
+            filt = (line - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            left = np.zeros(stride, dtype=np.int32)
+            left[channels:] = line[:-channels]
+            upleft = np.zeros(stride, dtype=np.int32)
+            upleft[channels:] = prev[:-channels]
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (line - pred) & 0xFF
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Minimal RIFF/WAVE PCM16 encoder (interleaved int16 samples)."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+#: decode_roundtrip output schema (all columns SQL-restatable)
+ROUNDTRIP_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int,"
+    " pixel_checksum bigint, n_samples int, wav_checksum bigint"
+)
+
+_RT_WAV_N = 128  # samples per synthesized WAV payload
+
+
+def decode_roundtrip_batch(
+    batch_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Encode -> decode roundtrip over REAL codecs, per row: synthesize
+    a deterministic RGB PNG (pixel(y,x,c) = (doc_id + 31y + 7x + 97c)
+    mod 256, per-row filter cycling through all 5 scanline filters) and
+    a PCM16 WAV (sample(i) = (13*doc_id + 29i) mod 65536 - 32768), run
+    them through ``decode_image`` / ``decode_audio``, and emit integer
+    checksums computed FROM THE DECODED OUTPUT. A SQL oracle restates
+    the same sums in closed form over generate_series, so any decoder
+    defect (wrong unfilter math, sample misread, dimension bug)
+    surfaces as a value mismatch — not a self-certified TRUE. Any
+    decode failure or dimension disagreement emits -1 checksums, which
+    can never match the oracle."""
+    c_idx = np.arange(3, dtype=np.int64)[None, None, :]
+    i_idx = np.arange(_RT_WAV_N, dtype=np.int64)
+    for pdf in batch_iter:
+        rows = []
+        for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+            doc_id, w, h = int(doc_id), int(w), int(h)
+            y_idx = np.arange(h, dtype=np.int64)[:, None, None]
+            x_idx = np.arange(w, dtype=np.int64)[None, :, None]
+            px = ((doc_id + 31 * y_idx + 7 * x_idx + 97 * c_idx) % 256).astype(
+                np.uint8
+            )
+            try:
+                img = decode_image(encode_png(w, h, px.reshape(h, w * 3), 3))
+                ok = (img["width"], img["height"], img["channels"]) == (w, h, 3)
+                pixel_checksum = (
+                    int(np.frombuffer(img["pixels"], dtype=np.uint8).sum())
+                    if ok
+                    else -1
+                )
+            except Exception:
+                pixel_checksum = -1
+            samples = ((13 * doc_id + 29 * i_idx) % 65536) - 32768
+            try:
+                au = decode_audio(encode_wav(samples.astype("<i2"), 8000, 1))
+                n_samples = len(au["samples"])
+                wav_checksum = int(sum(au["samples"]))
+            except Exception:
+                n_samples, wav_checksum = -1, -1
+            rows.append(
+                {
+                    "doc_id": doc_id, "width": w, "height": h, "channels": 3,
+                    "pixel_checksum": pixel_checksum,
+                    "n_samples": n_samples, "wav_checksum": wav_checksum,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "channels",
+                "pixel_checksum", "n_samples", "wav_checksum",
+            ],
+        )

@@ -1459,3 +1459,43 @@ def test_jpeg_fill_bytes_before_markers_tolerated():
         padded = padded.replace(b"\xff\xda", b"\xff\xff\xff\xda", 1)
         img = decode_jpeg(padded)
         assert img["pixels"] == expected, maker.__name__
+
+
+def test_package_png_encoder_all_filters_roundtrip():
+    """The package-side encode_png (driver roundtrip path) must invert
+    exactly through decode_image for every scanline filter type."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        w, h = 11, 7
+        px = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+        for f in range(5):
+            data = encode_png(w, h, px, ch, filters=[f] * h)
+            img = decode_image(data)
+            assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+            got = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w * ch)
+            assert (got == px).all(), f"filter {f} channels {ch}"
+        # mixed filters (the roundtrip query's y % 5 cycling)
+        data = encode_png(w, h, px, ch)
+        got = np.frombuffer(decode_image(data)["pixels"], dtype=np.uint8)
+        assert (got.reshape(h, w * ch) == px).all()
+
+
+def test_package_wav_encoder_roundtrip():
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    samples = np.array([-32768, -1, 0, 1, 32767, 123, -456], dtype=np.int16)
+    au = decode_audio(encode_wav(samples, 16000, 1))
+    assert au["sample_rate"] == 16000 and au["channels"] == 1
+    assert au["samples"] == samples.tolist()
