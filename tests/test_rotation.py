@@ -101,15 +101,10 @@ def test_round4_window_contract_frozen():
     r4-boundary stale-ritual failure class)."""
     from incubyte_vaccination_data_pipeline_spark.catalog import training_ext
 
-    round5_only = {
-        "events_asof_tolerance",
-        "events_dau_mau",
-        "format_schema_evolution",
-        "text_bpe_merge_candidates",
-        "orders_cohort_ltv",
-        "events_seasonal_profile",
-    }
-    r4_names = [n for n in catalog.QUERIES if n not in round5_only]
+    # the round-4 registration set IS the union of driver rows through
+    # round 4 (the r4 window verified every then-new query) — frozen,
+    # so round-5+ registrations can't leak in
+    r4_names = sorted(vr.rebuild_history(max_round=4))
     hist = vr.rebuild_history(max_round=3)
     window = set(vr.rotation_order(r4_names, hist)[: vr.WINDOW])
     must_have = set(training_ext.STAGED) | {
