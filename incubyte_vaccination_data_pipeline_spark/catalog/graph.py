@@ -130,6 +130,12 @@ def graph_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
 TRIANGLE_MIN_SUPPORT = 2
 
 
+#: sortable orientation key: degree * KEY_BASE + node id (node ids are
+#: bounded far below KEY_BASE, so the key totally orders nodes by
+#: (degree, id) in one bigint comparison)
+_TRI_KEY_BASE = 1_000_000_000
+
+
 @query(
     "graph_triangle_count",
     oracle=f"""
@@ -139,32 +145,50 @@ TRIANGLE_MIN_SUPPORT = 2
         WHERE a.l_partkey < b.l_partkey
         GROUP BY pa, pb HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
     ),
+    deg AS (
+        SELECT node, COUNT(*) * {_TRI_KEY_BASE} + node AS k
+        FROM (SELECT pa AS node FROM pairs
+              UNION ALL SELECT pb AS node FROM pairs)
+        GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN da.k < db.k THEN p.pa ELSE p.pb END AS src,
+               CASE WHEN da.k < db.k THEN p.pb ELSE p.pa END AS dst,
+               CASE WHEN da.k < db.k THEN db.k ELSE da.k END AS kdst
+        FROM pairs p
+        JOIN deg da ON p.pa = da.node
+        JOIN deg db ON p.pb = db.node
+    ),
     wedges AS (
-        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
-        FROM pairs e1 JOIN pairs e2 ON e1.pb = e2.pa
+        SELECT e1.dst AS a, e2.dst AS c
+        FROM oriented e1 JOIN oriented e2
+          ON e1.src = e2.src AND e1.kdst < e2.kdst
     )
     SELECT COUNT(*) AS n_triangles,
            (SELECT COUNT(*) FROM pairs) AS n_edges
     FROM wedges w
-    JOIN pairs e3 ON w.a = e3.pa AND w.c = e3.pb
+    JOIN oriented e3 ON w.a = e3.src AND w.c = e3.dst
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the support-thresholded co-purchase graph
-    (parts sharing >= {TRIANGLE_MIN_SUPPORT} orders are adjacent): the
-    classic two-equi-join algorithm with ordered orientation — every
-    edge is stored once as (low, high), wedges form by joining edge
-    lists on the middle vertex, and a third equi-join closes them, so
-    each triangle is counted exactly once and no cartesian ever
-    appears. The clustering signal of the co-occurrence graph.
+    (parts sharing >= {TRIANGLE_MIN_SUPPORT} orders are adjacent) with
+    DEGREE-ORDERED orientation: every undirected edge points from its
+    lower-(degree, id) endpoint to the higher, wedges form by joining
+    the oriented edge list on the source vertex, and a third equi-join
+    closes them — each triangle counted exactly once at its
+    minimum-key corner. The clustering signal of the co-occurrence
+    graph.
 
-    Scale note: wedge count is sum(deg^2) — the standard skew risk.
-    The support threshold is the first line of defense (it turns a
-    quadratic noise graph into a bounded signal graph); the ordered
-    orientation halves the rest, and production adds degree-ordered
-    orientation (low-degree -> high-degree) to bound wedges by
-    arboricity. The compact edge list is lazily checkpointed so the
-    three self-references share one derivation."""
+    Scale note: with id-ordered orientation wedge count is
+    sum(out_deg^2) and a power-law hub explodes it; degree-ordered
+    orientation bounds every out-degree by O(sqrt(m)) (arboricity), so
+    the wedge join survives a 100x scale-up of a skewed co-purchase
+    graph. The support threshold stays as the first line of defense
+    (1.2M noise edges -> ~4k signal edges at sf0.1). The oriented edge
+    list is lazily checkpointed so its three self-references share one
+    derivation; the degree join is an equi-join on node, never
+    all-pairs."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -180,14 +204,39 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .localCheckpoint(eager=False)
     )
-    e1 = pairs.alias("e1")
-    e2 = pairs.alias("e2")
-    e3 = pairs.alias("e3")
-    wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa")).select(
-        F.col("e1.pa").alias("a"), F.col("e2.pb").alias("c")
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(
+            (
+                F.count(F.lit(1)) * F.lit(_TRI_KEY_BASE) + F.col("node")
+            ).alias("k")
+        )
     )
+    da = deg.alias("da")
+    db = deg.alias("db")
+    lt = F.col("da.k") < F.col("db.k")
+    oriented = (
+        pairs.join(da, F.col("pa") == F.col("da.node"))
+        .join(db, F.col("pb") == F.col("db.node"))
+        .select(
+            F.when(lt, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.greatest("da.k", "db.k").alias("kdst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.kdst") < F.col("e2.kdst")),
+    ).select(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("c"))
     tri = wedges.join(
-        e3, (F.col("a") == F.col("e3.pa")) & (F.col("c") == F.col("e3.pb"))
+        e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.crossJoin(F.broadcast(n_edges))
