@@ -205,47 +205,83 @@ def dedup_events_stream(
     )
 
 
+#: hash-bucket partition count for the upsert snapshot target; at
+#: 100 TB size this to (snapshot bytes / target file size), locally a
+#: handful keeps per-batch file churn low
+UPSERT_KEY_BUCKETS = 16
+
+
 def run_foreach_batch_upsert(
-    df: DataFrame, target_path: str, key_cols: list[str]
+    df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    n_buckets: int = UPSERT_KEY_BUCKETS,
+    shuffle_partitions: int | None = 4,
 ) -> None:
     """Drive a streaming aggregate into a parquet target via
     ``foreachBatch`` with last-writer-wins upsert semantics — the
     pattern for exactly-once sinks Spark lacks natively (JDBC upserts,
-    Delta MERGE). Each micro-batch rewrites the union of (existing
-    minus updated keys) + new rows; idempotent per batch id, so a
-    replayed batch converges to the same state.
+    Delta MERGE).
 
-    At scale the rewrite targets only affected partitions (partition
-    the target by a key prefix / date and overwrite dynamically);
-    the local form keeps the logic testable without a Delta dependency.
-    """
+    The target is PARTITIONED BY a key-hash bucket (``__kh``), so each
+    micro-batch (1) collects the touched buckets from the batch keys —
+    a bounded metadata collect, <= n_buckets values; (2) reads ONLY
+    those partitions (directory pruning on the partition column);
+    (3) anti-joins away refreshed keys and rewrites ONLY the touched
+    partitions via dynamic partition overwrite. A batch touching 0.1%
+    of buckets leaves the other 99.9% of the snapshot untouched — the
+    real 100 TB shape, and it also removes the old tmp-dir double
+    write. Idempotent per batch id (a replayed batch converges to the
+    same state). ``shuffle_partitions`` is pinned at query START, like
+    ``run_to_memory``: streaming state partitioning is fixed for the
+    query's life and every state partition costs a state-store
+    instance; production sizes this to the cluster instead."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint()
+        batch_df = batch_df.withColumn(
+            "__kh", F.pmod(F.hash(*key_cols), F.lit(n_buckets))
+        ).localCheckpoint()
         try:
-            existing = spark.read.parquet(target_path)
-        except Exception:
-            batch_df.write.mode("overwrite").parquet(target_path)
+            existing = spark.read.option("basePath", target_path).parquet(
+                target_path
+            )
+        except Exception:  # first batch creates the partitioned target
+            # co-locate each bucket into one task -> ~1 file per
+            # partition dir instead of shuffle_partitions files each
+            batch_df.repartition(n_buckets, "__kh").write.mode(
+                "overwrite"
+            ).partitionBy("__kh").parquet(target_path)
             return
-        keep = existing.join(
+        touched = [
+            r["__kh"] for r in batch_df.select("__kh").distinct().collect()
+        ]
+        survivors = existing.filter(F.col("__kh").isin(touched)).join(
             batch_df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
         )
-        keep.unionByName(batch_df).write.mode("overwrite").parquet(
-            target_path + ".tmp"
+        # materialize before the write: the survivors' lineage reads the
+        # same path the dynamic overwrite is about to replace
+        out = survivors.unionByName(batch_df).localCheckpoint()
+        (
+            out.repartition(min(n_buckets, max(len(touched), 1)), "__kh")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__kh")
+            .parquet(target_path)
         )
-        merged = spark.read.parquet(target_path + ".tmp")
-        merged.write.mode("overwrite").parquet(target_path)
 
-    q = (
-        df.writeStream.outputMode("update")
-        .foreachBatch(_upsert)
-        .start()
-    )
+    session = df.sparkSession
+    prev = session.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        session.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        q = df.writeStream.outputMode("update").foreachBatch(_upsert).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        session.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_to_memory(
