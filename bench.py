@@ -74,6 +74,15 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
 
+    # release every shared frame keyed to this corpus: the cache bounds
+    # entry count, but persisted RDDs pin executor storage memory until
+    # LRU eviction — a multi-sf sweep in one session must not accumulate
+    from incubyte_vaccination_data_pipeline_spark.shared_cache import (
+        release_shared_state,
+    )
+
+    release_shared_state(sf_dir)
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "total_headline_query_sec",

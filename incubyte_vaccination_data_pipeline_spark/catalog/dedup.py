@@ -140,7 +140,7 @@ _MINHASH_CTES = f"""aug AS ({AUG_SQL}),
 #: persist is safe at any scale. (The un-persisted operator plan shape
 #: stays guarded in tests/test_plans.py via ``minhash_candidate_pairs``
 #: directly — a persisted frame's plan renders as InMemoryRelation.)
-from incubyte_vaccination_data_pipeline_spark.catalog.shared_cache import BoundedCache
+from incubyte_vaccination_data_pipeline_spark.shared_cache import BoundedCache
 
 _SHARED_PAIRS = BoundedCache()
 

@@ -98,7 +98,7 @@ IVF_RECALL_FLOOR = 0.35  # measured 0.48-0.62 aggregate across sfs
 #: both recall certificates, and the IVF quantizer is a build-once
 #: index (production IVF never re-trains per search). Both are tiny
 #: (50 rows / 16x64 floats).
-from incubyte_vaccination_data_pipeline_spark.catalog.shared_cache import BoundedCache
+from incubyte_vaccination_data_pipeline_spark.shared_cache import BoundedCache
 
 _SHARED_EXACT = BoundedCache()
 _SHARED_CENTROIDS = BoundedCache()

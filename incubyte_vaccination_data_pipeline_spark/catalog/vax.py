@@ -34,6 +34,7 @@ from incubyte_vaccination_data_pipeline_spark.functions.dates import (
 from incubyte_vaccination_data_pipeline_spark.functions.derive import age_years, staleness_flag
 from incubyte_vaccination_data_pipeline_spark.operators.views import dedup_latest
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+from incubyte_vaccination_data_pipeline_spark.shared_cache import register_dict_cache
 
 FLAGSHIP_COUNTRY = "NATION_7"
 
@@ -433,7 +434,7 @@ def vax_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame
 
 
-_DEADLETTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DEADLETTER_CACHE: dict[tuple[str, str], DataFrame] = register_dict_cache({})
 
 
 @query(

@@ -17,10 +17,53 @@ from collections.abc import Callable
 from typing import Any
 
 
+#: every BoundedCache and registered dict cache, for the cross-corpus
+#: release sweep (bench between scale factors, notebook dataset loops)
+_ALL_CACHES: list[Any] = []
+
+
+def register_dict_cache(d: dict) -> dict:
+    """Track a plain-dict frame cache so :func:`release_shared_state`
+    can sweep it alongside the BoundedCaches."""
+    _ALL_CACHES.append(d)
+    return d
+
+
+def _unpersist(value: Any) -> None:
+    if hasattr(value, "unpersist"):
+        try:
+            value.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+
+
+def _key_matches(key: Any, sf_dir: str) -> bool:
+    parts = key if isinstance(key, tuple) else (key,)
+    return any(isinstance(p, str) and sf_dir in p for p in parts)
+
+
+def release_shared_state(sf_dir: str | None = None) -> int:
+    """Unpersist and drop every cached shared frame — all of them, or
+    only entries keyed to ``sf_dir``. The explicit sweep between bench
+    scale factors / dataset switches: BoundedCache bounds entry COUNT,
+    but persisted RDDs pin executor storage memory until eviction;
+    a corpus the session is done with should release immediately.
+    Returns the number of entries dropped."""
+    n = 0
+    for cache in _ALL_CACHES:
+        entries = cache._entries if isinstance(cache, BoundedCache) else cache
+        for key in list(entries):
+            if sf_dir is None or _key_matches(key, sf_dir):
+                _unpersist(entries.pop(key))
+                n += 1
+    return n
+
+
 class BoundedCache:
     def __init__(self, max_entries: int = 8):
         self._entries: OrderedDict[Any, Any] = OrderedDict()
         self._max = max_entries
+        _ALL_CACHES.append(self)
 
     def get_or_build(self, key: Any, build: Callable[[], Any]) -> Any:
         if key in self._entries:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from incubyte_vaccination_data_pipeline_spark.shared_cache import register_dict_cache
 
 TESTDATA_TABLES = [
     "region",
@@ -34,7 +35,7 @@ TESTDATA_TABLES = [
 #: scan costs several driver<->JVM round-trips (footer read, schema),
 #: ~0.1 s per table per query build; the handle is an immutable lazy
 #: plan, so reuse is free and nothing is persisted or pinned
-_READ_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_READ_CACHE: dict[tuple[str, str, str], DataFrame] = register_dict_cache({})
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

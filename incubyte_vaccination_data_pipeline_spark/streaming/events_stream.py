@@ -30,11 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from incubyte_vaccination_data_pipeline_spark.shared_cache import register_dict_cache
 
 SESSION_GAP = "30 minutes"
 _DEC = "decimal(18,2)"
 
-_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = register_dict_cache({})
 
 
 def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:

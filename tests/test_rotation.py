@@ -150,7 +150,7 @@ def test_bench_compact_line_fits_driver_tail():
 
 
 def test_bounded_cache_evicts_and_unpersists():
-    from incubyte_vaccination_data_pipeline_spark.catalog.shared_cache import BoundedCache
+    from incubyte_vaccination_data_pipeline_spark.shared_cache import BoundedCache
 
     class Frame:
         def __init__(self):

@@ -1,0 +1,56 @@
+"""Cross-corpus shared-state release (the bench multi-sf memory story):
+``release_shared_state`` must unpersist and drop every cached frame
+keyed to a swept corpus, so a session iterating scale factors shows no
+storage-memory growth across transitions."""
+
+from __future__ import annotations
+
+from incubyte_vaccination_data_pipeline_spark import shared_cache as sc
+
+
+def _entries(cache):
+    return cache._entries if isinstance(cache, sc.BoundedCache) else cache
+
+
+def test_release_shared_state_unpersists_swept_corpus(spark, sf_dir):
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    # builds the persisted exact-ANN twin keyed (app, sf_dir)
+    QUERIES["ann_bruteforce_topk"](spark, sf_dir).count()
+    held = [
+        v
+        for c in sc._ALL_CACHES
+        for k, v in _entries(c).items()
+        if sc._key_matches(k, sf_dir) and hasattr(v, "storageLevel")
+    ]
+    assert held, "expected at least one persisted frame for the corpus"
+    assert any(v.storageLevel.useMemory for v in held)
+
+    n = sc.release_shared_state(sf_dir)
+    assert n >= len(held)
+    for v in held:
+        assert not v.storageLevel.useMemory, "frame still persisted"
+    for c in sc._ALL_CACHES:
+        assert not any(sc._key_matches(k, sf_dir) for k in _entries(c))
+
+
+def test_release_shared_state_all_clears_everything(spark, sf_dir):
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    read_table(spark, sf_dir, "orders")  # populates the read cache
+    assert any(len(_entries(c)) for c in sc._ALL_CACHES)
+    sc.release_shared_state()
+    assert all(len(_entries(c)) == 0 for c in sc._ALL_CACHES)
+
+
+def test_release_ignores_other_corpora(spark, sf_dir, tmp_path):
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    read_table(spark, sf_dir, "orders")
+    before = sum(len(_entries(c)) for c in sc._ALL_CACHES)
+    assert sc.release_shared_state(str(tmp_path)) == 0
+    assert sum(len(_entries(c)) for c in sc._ALL_CACHES) == before
