@@ -207,6 +207,53 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_join_tolerance",
+    oracle="""
+    SELECT a.user_id, a.event_id, a.ts,
+           CASE WHEN b.ts >= a.ts - INTERVAL 10 MINUTES
+                THEN b.ts END AS click_ts,
+           CASE WHEN b.ts >= a.ts - INTERVAL 10 MINUTES
+                THEN b.value END AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def events_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join WITH matching tolerance (pandas
+    ``merge_asof(tolerance=...)`` / kdb ``wj`` semantics): the most
+    recent click at-or-before each purchase counts only within a
+    10-minute window, else the payload nulls out. Same
+    union+last_value single-shuffle plan as ``events_asof_join`` —
+    the tolerance is a post-match null-out, not a join predicate, so
+    no range join appears at any scale. The oracle restates it via
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` plus the tolerance CASE."""
+    from incubyte_vaccination_data_pipeline_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        payload_cols=["value"], payload_prefix="click_",
+    )
+    in_tol = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(in_tol, F.col("click_ts")).alias("click_ts"),
+        F.when(in_tol, F.col("click_value")).alias("click_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming surface (streaming/events_stream.py), exposed
 # through the driver gate: the tumbling stream shares the batch oracle
