@@ -353,23 +353,21 @@ def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_running_totals",
     oracle="""
-    SELECT user_id, COUNT(*) AS n_events, TRUE AS matches_batch
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     """,
 )
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState custom stateful operator (per-user
-    running totals), driven to completion and certified against its
-    batch twin in the same frame: per user, the final stream state
-    (max n_events + its total via max_by — update mode may emit one
-    row per micro-batch) must equal the plain batch aggregation. The
-    oracle restates user_id/n_events and ``matches_batch`` as literal
-    TRUE — the in-query-assert pattern for non-SQL-expressible
-    operators (state arrival-order float sums carry a 1e-6 relative
-    tolerance). Caveat: the oracle independently value-checks only
-    user_id/n_events; ``matches_batch`` is computed by the Spark job
-    under test, so its real verification is the exact per-state
-    semantics pinned in tests/test_streaming.py."""
+    running totals), driven to completion; the FINAL stream state per
+    user (max n_events + its total via max_by — update mode may emit
+    one row per micro-batch) is what the query returns. The state
+    accumulates integer cents (event values are 2-dp money), so the
+    total is exact and arrival-order independent — which is what lets
+    the oracle restate BOTH columns with no tolerance and no TRUE
+    certificate (this was a rows-only certificate through round 4;
+    the decimal-exact state upgraded it to a full value check)."""
     from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
         read_events_stream,
         run_to_memory,
@@ -380,27 +378,9 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = run_to_memory(
         running_user_totals(stream), "ivdp_stream_running", "update"
     )
-    final = updates.groupBy("user_id").agg(
-        F.max("n_events").alias("s_n"),
-        F.expr("max_by(total_value, n_events)").alias("s_total"),
-    )
-    batch = (
-        read_table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("double")).alias("b_total"),
-        )
-    )
-    tol = F.lit(1e-6) * F.greatest(F.lit(1.0), F.abs(F.col("b_total")))
-    return batch.join(final, "user_id", "left").select(
-        "user_id",
-        "n_events",
-        F.coalesce(
-            (F.col("s_n") == F.col("n_events"))
-            & (F.abs(F.col("s_total") - F.col("b_total")) <= tol),
-            F.lit(False),
-        ).alias("matches_batch"),
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(total_value, n_events)").alias("total_value"),
     )
 
 
@@ -580,21 +560,22 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_upsert_snapshot",
     oracle="""
-    SELECT user_id, COUNT(*) AS n_events, TRUE AS value_ok
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     """,
 )
 def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch exactly-once sink through the driver gate: stream
-    per-user totals into a parquet target with last-writer-wins upsert
-    semantics (``run_foreach_batch_upsert`` — the JDBC-upsert /
-    Delta-MERGE pattern), then read the landed snapshot back and
-    certify it against the in-frame batch twin. ``n_events`` is
-    restated exactly by the oracle; the float total carries the usual
-    1e-6 relative tolerance as ``value_ok`` (certificate caveat as in
-    ``stream_running_totals``: the TRUE column's independent check is
-    tests/test_streaming.py's ground-truth comparison). The target
-    lands under the repo's own warehouse dir, keyed by sf, and is
+    per-user totals into a key-hash-partitioned parquet target with
+    last-writer-wins upsert semantics (``run_foreach_batch_upsert`` —
+    the partition-pruned JDBC-upsert / Delta-MERGE pattern), then
+    return the LANDED snapshot. The streaming total is computed in
+    DECIMAL(18,2), so both columns are exact and the oracle restates
+    them directly — no TRUE certificate, no batch-twin join (rows-only
+    through round 4; the decimal-exact totals upgraded it to a full
+    value check of what actually landed on disk). The target lands
+    under the repo's own warehouse dir, keyed by sf, and is
     overwritten per run — the upsert path itself is idempotent per
     batch id."""
     import hashlib
@@ -617,30 +598,11 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     totals = stream.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("double")), 6).alias("total_value"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
     )
     run_foreach_batch_upsert(totals, target, key_cols=["user_id"])
-    landed = spark.read.parquet(target)
-    batch = (
-        read_table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_batch"),
-            F.sum(F.col("value").cast("double")).alias("tv_batch"),
-        )
-    )
-    joined = landed.join(batch, "user_id", "full_outer")
-    tol = F.abs(F.col("total_value") - F.col("tv_batch")) <= F.lit(1e-6) * F.greatest(
-        F.abs(F.col("tv_batch")), F.lit(1.0)
-    )
-    return joined.select(
-        "user_id",
-        F.col("n_events"),
-        (
-            F.col("n_events").isNotNull()
-            & (F.col("n_events") == F.col("n_batch"))
-            & F.coalesce(tol, F.lit(False))
-        ).alias("value_ok"),
+    return spark.read.parquet(target).select(
+        "user_id", "n_events", "total_value"
     )
 
 

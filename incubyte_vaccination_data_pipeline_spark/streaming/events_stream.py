@@ -114,7 +114,7 @@ def session_windows(stream: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
 
 
 _RUNNING_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
-_RUNNING_STATE_SCHEMA = "n bigint, total double"
+_RUNNING_STATE_SCHEMA = "n bigint, cents bigint"
 
 
 def _running_totals_fn(
@@ -128,13 +128,17 @@ def _running_totals_fn(
     # single-file local source never hit because state.exists is only
     # True from the second micro-batch on; pinned by
     # tests/test_streaming.py::test_running_totals_accumulate_across_batches
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+        # integer-cent accumulation: event values are 2-dp money, so
+        # the running total is EXACT and arrival-order independent —
+        # what lets the driver oracle restate total_value with no
+        # tolerance (SUM(CAST(value AS DECIMAL(18,2))))
+        cents += int((pdf["value"] * 100).round().sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        [{"user_id": user_id, "n_events": n, "total_value": round(total, 6)}]
+        [{"user_id": user_id, "n_events": n, "total_value": cents / 100.0}]
     )
 
 
