@@ -106,7 +106,9 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH docs AS (
         SELECT doc_id,
                (8 + doc_id % 9)::INT AS width,
-               (8 + doc_id % 7)::INT AS height
+               (8 + doc_id % 7)::INT AS height,
+               (2 + doc_id % 3)::INT AS jbw,
+               (1 + doc_id % 4)::INT AS jbh
         FROM documents
         WHERE doc_id < 48
     ),
@@ -126,26 +128,40 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ::BIGINT AS wav_checksum
         FROM docs d, UNNEST(range(128)) AS i(i)
         GROUP BY d.doc_id
+    ),
+    jp AS (
+        SELECT d.doc_id,
+               (64 * SUM((d.doc_id + 11 * bx.bx + 17 * by.by) % 256))
+                   ::BIGINT AS jpeg_checksum
+        FROM docs d,
+             UNNEST(range(d.jbh)) AS by(by),
+             UNNEST(range(d.jbw)) AS bx(bx)
+        GROUP BY d.doc_id
     )
     SELECT d.doc_id, d.width, d.height, 3 AS channels,
-           px.pixel_checksum, 128 AS n_samples, au.wav_checksum
+           px.pixel_checksum, 128 AS n_samples, au.wav_checksum,
+           d.jbw AS jpeg_blocks_w, d.jbh AS jpeg_blocks_h,
+           jp.jpeg_checksum
     FROM docs d
     JOIN px USING (doc_id)
     JOIN au USING (doc_id)
+    JOIN jp USING (doc_id)
     """,
 )
 def multimodal_decode_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec driver path: per document row, synthesize a
-    deterministic RGB PNG (all 5 scanline filters exercised) and a
-    PCM16 WAV, decode both through the dependency-free codecs
-    (``operators/multimodal.py:decode_image/decode_audio``), and emit
-    integer checksums computed from the DECODED bytes. The oracle
-    restates each checksum in closed form over generate_series — a
-    full value check on the decode path, replacing the
-    byte-histogram-only coverage the driver data gave
-    ``multimodal_features``. Scale shape: Arrow-batched mapInPandas,
-    one small payload pair per row, no shuffle before the exchange-free
-    per-row map."""
+    deterministic RGB PNG (all 5 scanline filters exercised), a PCM16
+    WAV, and a DC-only baseline JPEG (block-constant gray — exact
+    under the all-ones quant table, with a real differential-DC
+    Huffman entropy segment), decode all three through the
+    dependency-free codecs (``operators/multimodal.py:decode_image/
+    decode_audio/decode_jpeg``), and emit integer checksums computed
+    from the DECODED bytes. The oracle restates each checksum in
+    closed form over generate_series — a full value check on the
+    decode paths, replacing the byte-histogram-only coverage the
+    driver data gave ``multimodal_features``. Scale shape:
+    Arrow-batched mapInPandas, small payloads per row, no shuffle
+    before the exchange-free per-row map."""
     from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
         ROUNDTRIP_SCHEMA,
         decode_roundtrip_batch,

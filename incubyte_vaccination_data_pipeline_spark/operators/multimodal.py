@@ -1067,10 +1067,119 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+#: T.81 Annex K luminance DC Huffman table (categories 0-11)
+_JPEG_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_SYMS = bytes(range(12))
+#: minimal AC table: only EOB (0x00), as the single 1-bit code "0"
+_JPEG_AC_COUNTS = [1] + [0] * 15
+_JPEG_AC_SYMS = bytes([0x00])
+
+
+def _canonical_codes(counts: list[int], syms: bytes) -> dict[int, tuple[int, int]]:
+    """Symbol -> (code, length) under the same T.81 Annex C canonical
+    assignment the decoder's ``_build_huffman`` uses."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[syms[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """Entropy-coded-segment writer: MSB-first bits, 0xFF byte
+    stuffing, final byte padded with 1-bits (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def encode_jpeg_gray_blocks(block_vals: np.ndarray) -> bytes:
+    """Minimal baseline-JPEG (SOF0) encoder for 8x8-BLOCK-CONSTANT
+    grayscale images: quant table all-ones, so each block is a single
+    exactly-representable DC coefficient (8 * (v - 128)) and the
+    decode roundtrip is bit-exact — what lets a SQL oracle restate
+    the decoded pixel checksum in closed form. The entropy stream is
+    still a real Huffman segment (differential DC prediction,
+    category+amplitude codes, EOB per block, byte stuffing), so the
+    decoder's marker walk, canonical Huffman decode, dequantize and
+    IDCT all execute for every block. ``block_vals`` is uint8 of
+    shape (blocks_high, blocks_wide)."""
+    bh, bw = block_vals.shape
+    h, w = 8 * bh, 8 * bw
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([1, 1, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 19 + len(_JPEG_DC_SYMS))
+        + bytes([0x00])
+        + bytes(_JPEG_DC_COUNTS)
+        + _JPEG_DC_SYMS
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 19 + len(_JPEG_AC_SYMS))
+        + bytes([0x10])
+        + bytes(_JPEG_AC_COUNTS)
+        + _JPEG_AC_SYMS
+    )
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    dc_codes = _canonical_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_codes = _canonical_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    eob_code, eob_len = ac_codes[0x00]
+    wtr = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            dc = 8 * (int(block_vals[by, bx]) - 128)
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            code, length = dc_codes[t]
+            wtr.put(code, length)
+            if t:
+                amp = diff if diff >= 0 else diff + (1 << t) - 1
+                wtr.put(amp, t)
+            wtr.put(eob_code, eob_len)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 #: decode_roundtrip output schema (all columns SQL-restatable)
 ROUNDTRIP_SCHEMA = (
     "doc_id bigint, width int, height int, channels int,"
-    " pixel_checksum bigint, n_samples int, wav_checksum bigint"
+    " pixel_checksum bigint, n_samples int, wav_checksum bigint,"
+    " jpeg_blocks_w int, jpeg_blocks_h int, jpeg_checksum bigint"
 )
 
 _RT_WAV_N = 128  # samples per synthesized WAV payload
@@ -1082,14 +1191,17 @@ def decode_roundtrip_batch(
     """Encode -> decode roundtrip over REAL codecs, per row: synthesize
     a deterministic RGB PNG (pixel(y,x,c) = (doc_id + 31y + 7x + 97c)
     mod 256, per-row filter cycling through all 5 scanline filters) and
-    a PCM16 WAV (sample(i) = (13*doc_id + 29i) mod 65536 - 32768), run
-    them through ``decode_image`` / ``decode_audio``, and emit integer
-    checksums computed FROM THE DECODED OUTPUT. A SQL oracle restates
-    the same sums in closed form over generate_series, so any decoder
-    defect (wrong unfilter math, sample misread, dimension bug)
-    surfaces as a value mismatch — not a self-certified TRUE. Any
-    decode failure or dimension disagreement emits -1 checksums, which
-    can never match the oracle."""
+    a PCM16 WAV (sample(i) = (13*doc_id + 29i) mod 65536 - 32768), and
+    a DC-only baseline JPEG (8x8-block-constant gray, block(by,bx) =
+    (doc_id + 11*bx + 17*by) mod 256, exact under the all-ones quant
+    table), run them through ``decode_image`` / ``decode_audio`` /
+    ``decode_jpeg``, and emit integer checksums computed FROM THE
+    DECODED OUTPUT. A SQL oracle restates the same sums in closed form
+    over generate_series, so any decoder defect (wrong unfilter math,
+    Huffman/DC-prediction bug, sample misread, dimension bug) surfaces
+    as a value mismatch — not a self-certified TRUE. Any decode
+    failure or dimension disagreement emits -1 checksums, which can
+    never match the oracle."""
     c_idx = np.arange(3, dtype=np.int64)[None, None, :]
     i_idx = np.arange(_RT_WAV_N, dtype=np.int64)
     for pdf in batch_iter:
@@ -1118,11 +1230,31 @@ def decode_roundtrip_batch(
                 wav_checksum = int(sum(au["samples"]))
             except Exception:
                 n_samples, wav_checksum = -1, -1
+            jbw, jbh = 2 + doc_id % 3, 1 + doc_id % 4
+            by_idx = np.arange(jbh, dtype=np.int64)[:, None]
+            bx_idx = np.arange(jbw, dtype=np.int64)[None, :]
+            blocks = ((doc_id + 11 * bx_idx + 17 * by_idx) % 256).astype(
+                np.uint8
+            )
+            try:
+                jim = decode_jpeg(encode_jpeg_gray_blocks(blocks))
+                jok = (jim["width"], jim["height"], jim["channels"]) == (
+                    8 * jbw, 8 * jbh, 1,
+                )
+                jpeg_checksum = (
+                    int(np.frombuffer(jim["pixels"], dtype=np.uint8).sum())
+                    if jok
+                    else -1
+                )
+            except Exception:
+                jpeg_checksum = -1
             rows.append(
                 {
                     "doc_id": doc_id, "width": w, "height": h, "channels": 3,
                     "pixel_checksum": pixel_checksum,
                     "n_samples": n_samples, "wav_checksum": wav_checksum,
+                    "jpeg_blocks_w": jbw, "jpeg_blocks_h": jbh,
+                    "jpeg_checksum": jpeg_checksum,
                 }
             )
         yield pd.DataFrame(
@@ -1130,5 +1262,6 @@ def decode_roundtrip_batch(
             columns=[
                 "doc_id", "width", "height", "channels",
                 "pixel_checksum", "n_samples", "wav_checksum",
+                "jpeg_blocks_w", "jpeg_blocks_h", "jpeg_checksum",
             ],
         )

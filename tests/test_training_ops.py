@@ -1499,3 +1499,34 @@ def test_package_wav_encoder_roundtrip():
     au = decode_audio(encode_wav(samples, 16000, 1))
     assert au["sample_rate"] == 16000 and au["channels"] == 1
     assert au["samples"] == samples.tolist()
+
+
+def test_package_jpeg_block_encoder_exact_roundtrip():
+    """DC-only block-constant baseline JPEG must decode bit-exactly
+    (the roundtrip driver query's closed-form-oracle precondition):
+    real Huffman entropy stream, differential DC prediction, byte
+    stuffing, all-ones quant table."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_blocks,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        bh, bw = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        blocks = rng.integers(0, 256, size=(bh, bw), dtype=np.uint8)
+        img = decode_jpeg(encode_jpeg_gray_blocks(blocks))
+        assert (img["width"], img["height"], img["channels"]) == (
+            8 * bw, 8 * bh, 1,
+        )
+        px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+            8 * bh, 8 * bw
+        )
+        assert (px == np.kron(blocks, np.ones((8, 8), dtype=np.uint8))).all()
+    # byte-stuffing edge: values that force 0xFF bytes in the stream
+    blocks = np.array([[255, 0, 255, 0]], dtype=np.uint8)
+    img = decode_jpeg(encode_jpeg_gray_blocks(blocks))
+    px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(8, 32)
+    assert (px == np.kron(blocks, np.ones((8, 8), dtype=np.uint8))).all()
