@@ -562,3 +562,75 @@ def test_foreach_batch_upsert_merges_across_batches(spark, tmp_path):
     }
     # u1 refreshed by batch 2 (2 events, 3.0); u2 survives batch 1
     assert final == {1: (2, 3.0), 2: (1, 10.0)}, final
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-pruned MERGE contract of the foreachBatch upsert: a
+    micro-batch touching one key-hash bucket must leave every other
+    bucket's files byte-for-byte untouched (the 100 TB property — a
+    0.1%-of-keys batch cannot rewrite the other 99.9%)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_foreach_batch_upsert,
+    )
+
+    n_buckets = 8
+    # pick two keys that land in DIFFERENT buckets under Spark's hash
+    buckets = {
+        r["k"]: r["b"]
+        for r in spark.range(1, 50)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.hash("id"), F.lit(n_buckets)).alias("b"),
+        )
+        .collect()
+    }
+    k1 = 1
+    k2 = next(k for k, b in buckets.items() if b != buckets[k1])
+
+    def snapshot(path):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, path)] = fh.read()
+        return out
+
+    target = str(tmp_path / "pruned_target")
+
+    def one_batch(rows):
+        df = spark.createDataFrame(rows, "user_id bigint, total double")
+        src = tmp_path / f"b{len(rows)}_{rows[0][0]}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema("user_id bigint, total double").parquet(
+            str(src)
+        )
+        run_foreach_batch_upsert(
+            stream, target, key_cols=["user_id"], n_buckets=n_buckets
+        )
+
+    one_batch([(k1, 1.0), (k2, 2.0)])  # creates both buckets
+    before = snapshot(target)
+    one_batch([(k1, 5.0)])  # touches ONLY k1's bucket
+    after = snapshot(target)
+
+    k2_dir = f"__kh={buckets[k2]}"
+    k1_dir = f"__kh={buckets[k1]}"
+    untouched_before = {p: b for p, b in before.items() if p.startswith(k2_dir)}
+    untouched_after = {p: b for p, b in after.items() if p.startswith(k2_dir)}
+    assert untouched_before and untouched_before == untouched_after
+    # ... while the touched bucket WAS rewritten
+    assert {p for p in before if p.startswith(k1_dir)} != {
+        p for p in after if p.startswith(k1_dir)
+    } or any(
+        before[p] != after.get(p) for p in before if p.startswith(k1_dir)
+    )
+    final = {
+        r["user_id"]: r["total"] for r in spark.read.parquet(target).collect()
+    }
+    assert final == {k1: 5.0, k2: 2.0}
