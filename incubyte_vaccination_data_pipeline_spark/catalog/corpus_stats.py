@@ -330,3 +330,80 @@ def corpus_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_per_file"
         ),
     )
+
+
+_SEQ_LEN = 512  # tokens per packed training sequence (2k-8k in prod)
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]')) + 1 AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS start_global
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(start_global AS BIGINT) AS start_global,
+           CAST(start_global // {_SEQ_LEN} AS BIGINT) AS seq_first,
+           CAST((start_global + n_tokens - 1) // {_SEQ_LEN} AS BIGINT)
+               AS seq_last,
+           CAST(start_global % {_SEQ_LEN} AS BIGINT) AS offset_in_seq,
+           CAST((start_global + n_tokens - 1) // {_SEQ_LEN}
+             - start_global // {_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing plan: concatenate every
+    document's tokens (+1 EOS separator) in doc_id order and slice the
+    stream into fixed {_SEQ_LEN}-token sequences — documents cross
+    sequence boundaries, exactly how packed pretraining datasets are
+    laid out. Emits each document's global token offset and the
+    sequence span it lands in (the shuffle-free recipe a writer task
+    needs to emit its shard of packed sequences).
+
+    Scale shape: the global offset comes from
+    ``operators/prefix.py:global_cumsum`` — range partition +
+    per-partition window + driver prefix over the partition TOTALS
+    (bounded metadata collect) — never a single-task global window.
+    Beyond-reference family (training-data ops)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.prefix import (
+        global_cumsum,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (bpe_token_count("text") + 1).alias("n_tokens")
+    )
+    cum = global_cumsum(docs, "doc_id", "n_tokens", out_col="__cum")
+    start = (F.col("__cum") - F.col("n_tokens")).cast("bigint")
+    last = start + F.col("n_tokens") - 1
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_global"),
+        last.alias("__last"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start_global",
+        F.expr(f"start_global div {_SEQ_LEN}").alias("seq_first"),
+        F.expr(f"__last div {_SEQ_LEN}").alias("seq_last"),
+        (F.col("start_global") % _SEQ_LEN).alias("offset_in_seq"),
+        (
+            F.expr(f"__last div {_SEQ_LEN}")
+            - F.expr(f"start_global div {_SEQ_LEN}")
+            + 1
+        ).alias("n_seqs"),
+    )

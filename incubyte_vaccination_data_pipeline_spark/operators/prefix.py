@@ -1,0 +1,68 @@
+"""Distributed global prefix sum (the scale-correct cumulative sum).
+
+A naive global running total is a window over ONE ordering with no
+partition key — Spark plans it as a single-task sort, the classic
+100 TB scale-killer. The textbook distributed shape implemented here:
+
+1. range-partition by the order column (``repartitionByRange`` — the
+   same total-order layout a global sort would use, but each range is
+   an independent task);
+2. per-partition running sum via an ordinary partitioned window;
+3. per-partition TOTALS to the driver — a metadata-scale collect
+   bounded by the partition count, like the IVF centroid pull — and an
+   exclusive prefix over them;
+4. broadcast the tiny offset table back and add.
+
+Used by ``corpus_pack_sequences`` (GPT-style training-sequence
+packing: concatenate all document tokens, slice into fixed-length
+sequences) where every document needs its global token offset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``value_col`` in ``order_col``
+    order, without a single-task global window. The range-partitioned
+    frame is lazily checkpointed so the totals pass and the final
+    projection share one materialization (range bounds come from a
+    sampling pass and must not be re-derived between the two uses)."""
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_ranges, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__local", F.sum(F.col(value_col)).over(w))
+    totals = {
+        r["__pid"]: r["__tot"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(value_col)).alias("__tot"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid] or 0
+    off_df = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__offset") + F.col("__local")).cast("bigint"))
+        .drop("__pid", "__local", "__offset")
+    )

@@ -1530,3 +1530,23 @@ def test_package_jpeg_block_encoder_exact_roundtrip():
     img = decode_jpeg(encode_jpeg_gray_blocks(blocks))
     px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(8, 32)
     assert (px == np.kron(blocks, np.ones((8, 8), dtype=np.uint8))).all()
+
+
+def test_global_cumsum_matches_serial(spark):
+    """Distributed prefix sum (range partition + partition totals +
+    broadcast offsets) must equal the serial cumulative sum, across
+    multiple ranges and with an empty-range-tolerant offset table."""
+    from incubyte_vaccination_data_pipeline_spark.operators.prefix import (
+        global_cumsum,
+    )
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        r["k"]: r["cum"]
+        for r in global_cumsum(df, "k", "v", out_col="cum", n_ranges=8).collect()
+    }
+    acc = 0
+    for k, v in rows:
+        acc += v
+        assert got[k] == acc, (k, got[k], acc)
