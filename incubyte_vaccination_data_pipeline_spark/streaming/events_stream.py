@@ -58,15 +58,20 @@ def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (one-file glob locally;
     a directory of arriving files or Kafka in production)."""
+    import os
+
     schema = _events_file_schema(spark, sf_dir)
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        # file streams need a directory source; the glob narrows the
-        # testdata dir to the events table
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # production layout: events.parquet is a DIRECTORY of part
+        # files (the 10x-stress scratch uses it too) — stream the
+        # directory itself
+        raw = reader.load(path)
+    else:
+        # single-file testdata layout: file streams need a directory
+        # source; the glob narrows the testdata dir to the events table
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) read as long
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
