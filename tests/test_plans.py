@@ -812,3 +812,16 @@ def test_zorder_layout_skips_files_in_both_dimensions(spark, sf_dir, tmp_path):
     assert touched(zod, lo_price) < n_files
     # and the rows themselves are intact
     assert spark.read.parquet(zod).count() == orders.count()
+
+
+def test_pack_sequences_no_single_partition_window(spark, sf_dir):
+    """The global prefix sum must never plan a single-task global
+    window: the running-sum Window is partitioned by the range id
+    (one keyed exchange), partition totals travel via broadcast."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["corpus_pack_sequences"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan
+    assert "BroadcastExchange" in plan  # the tiny offset table
+    assert "CartesianProduct" not in plan
