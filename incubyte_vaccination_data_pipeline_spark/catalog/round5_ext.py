@@ -289,30 +289,19 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b1"),
         ).drop("h")
 
-    cells = (
-        halves(li)
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("row_id"), F.col("b0").alias("bucket")),
-                    F.struct(F.lit(1).alias("row_id"), F.col("b1").alias("bucket")),
-                )
-            ).alias("p")
-        )
-        .select("p.row_id", "p.bucket")
-        .groupBy("row_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    # ONE scan, ONE keyed shuffle: the per-key counts (needed anyway
+    # for the true_n verification column) already determine every
+    # sketch cell — bucket count = SUM(true_n) over the keys hashing
+    # there — so the sketch folds over the checkpointed key aggregate
+    # instead of re-scanning raw rows. (A production sketch-only pass
+    # with no true_n column builds the 128 cells map-side from raw
+    # rows and never groups by key at all; the bound column is what
+    # forces the key aggregate here.)
     truth = halves(
         li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_n"))
-    )
-    c0 = cells.filter(F.col("row_id") == 0).select(
-        F.col("bucket").alias("b0"), F.col("n").alias("n0")
-    )
-    c1 = cells.filter(F.col("row_id") == 1).select(
-        F.col("bucket").alias("b1"), F.col("n").alias("n1")
-    )
+    ).localCheckpoint(eager=False)
+    c0 = truth.groupBy("b0").agg(F.sum("true_n").alias("n0"))
+    c1 = truth.groupBy("b1").agg(F.sum("true_n").alias("n1"))
     est = (
         truth.join(F.broadcast(c0), "b0")
         .join(F.broadcast(c1), "b1")

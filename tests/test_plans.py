@@ -759,11 +759,15 @@ def test_staged_queries_plan_shapes(spark, sf_dir):
                 f"{name} must be single-scan"
             )
         if name == "agg_heavy_hitters_cms":
-            # the 128-cell sketch is checkpointed (one build serves both
-            # broadcast consumers) so it appears as an RDD scan boundary;
-            # the truth aggregate still shows partial+final HashAggregate
+            # the per-key truth aggregate is checkpointed (one build
+            # serves the sketch folds AND the estimate join) so it
+            # appears as an RDD scan boundary; the sketch folds show
+            # partial+final HashAggregate
             assert "Scan ExistingRDD" in plan, name
             assert plan.count("HashAggregate") >= 2, name
+            assert plan.count("Scan parquet") <= 1, (
+                "CMS must not re-scan lineitem for the sketch"
+            )
         if name == "text_containment_dedup":
             assert "BroadcastNestedLoopJoin" not in plan, (
                 "containment candidates must come from the gram index "
