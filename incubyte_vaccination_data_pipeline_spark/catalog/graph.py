@@ -101,9 +101,14 @@ def graph_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("out_deg"))
         .localCheckpoint(eager=False)
     )
-    score = deg.select("node", F.lit(PR_SCALE).cast("bigint").alias("score"))
+    # carry out_deg IN the score frame: the contribution projection
+    # needs no join, so each iteration is ONE keyed join + ONE
+    # aggregate + the dangling-node left re-attach (was two joins)
+    score = deg.select(
+        "node", "out_deg", F.lit(PR_SCALE).cast("bigint").alias("score")
+    )
     for _ in range(PR_ITERATIONS):
-        contrib = score.join(deg, "node").select(
+        contrib = score.select(
             "node", F.expr("score div out_deg").alias("contrib")
         )
         recv = (
@@ -111,13 +116,14 @@ def graph_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("contrib").alias("recv"))
         )
-        score = deg.select("node").join(recv, "node", "left").select(
+        score = deg.join(recv, "node", "left").select(
             "node",
+            "out_deg",
             (
                 F.lit(_TELEPORT) + F.expr("(85 * coalesce(recv, 0)) div 100")
             ).cast("bigint").alias("score"),
         )
-    return score.join(deg, "node").select(
+    return score.select(
         "node", F.col("score").alias("rank_micro"), "out_deg"
     )
 
