@@ -177,3 +177,60 @@ def multimodal_decode_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return docs.mapInPandas(decode_roundtrip_batch, schema=ROUNDTRIP_SCHEMA)
+
+
+@query(
+    "multimodal_resize_thumbnail",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               (8 + doc_id % 9)::INT AS width,
+               (8 + doc_id % 7)::INT AS height
+        FROM documents
+        WHERE doc_id < 48
+    ),
+    t AS (
+        SELECT d.doc_id, d.width, d.height, c.c,
+               SUM((d.doc_id
+                    + 31 * ((i.i * d.height) // 4)
+                    + 7 * ((j.j * d.width) // 4)
+                    + 97 * c.c) % 256) AS s
+        FROM docs d,
+             UNNEST(range(4)) AS i(i),
+             UNNEST(range(4)) AS j(j),
+             UNNEST(range(3)) AS c(c)
+        GROUP BY d.doc_id, d.width, d.height, c.c
+    )
+    SELECT doc_id, width AS src_w, height AS src_h,
+           CAST(MAX(CASE WHEN c = 0 THEN s END) AS BIGINT) AS ch0_sum,
+           CAST(MAX(CASE WHEN c = 1 THEN s END) AS BIGINT) AS ch1_sum,
+           CAST(MAX(CASE WHEN c = 2 THEN s END) AS BIGINT) AS ch2_sum
+    FROM t
+    GROUP BY doc_id, width, height
+    """,
+)
+def multimodal_resize_thumbnail_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> RESIZE driver path (the thumbnail / model-input
+    normalization stage): synthesize the deterministic RGB PNG per
+    row, decode it, nearest-neighbor-resize to 4x4
+    (``operators/multimodal.py:resize_nearest`` — integer index map,
+    pure numpy), and emit per-channel integer sums of the thumbnail.
+    The oracle restates each sum in closed form (the resize index map
+    is integer division), value-checking decode AND resize end-to-end.
+    Same Arrow-batched mapInPandas scale shape as
+    ``multimodal_decode_roundtrip``."""
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        THUMBNAIL_SCHEMA,
+        thumbnail_roundtrip_batch,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select(
+            "doc_id",
+            (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+            (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+        )
+    )
+    return docs.mapInPandas(thumbnail_roundtrip_batch, schema=THUMBNAIL_SCHEMA)

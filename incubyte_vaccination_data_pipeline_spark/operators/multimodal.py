@@ -1175,6 +1175,26 @@ def encode_jpeg_gray_blocks(block_vals: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def resize_nearest(img: dict, out_w: int, out_h: int) -> dict:
+    """Nearest-neighbor resize of a decoded image dict (the thumbnail /
+    model-input-normalization stage of an image curation pipeline).
+    Index map: out pixel (i, j) <- in pixel (i*h div out_h,
+    j*w div out_w) — pure integer arithmetic, so a SQL oracle can
+    restate resized-pixel checksums exactly. Pure numpy fancy
+    indexing; no image library."""
+    w, h, ch = img["width"], img["height"], img["channels"]
+    px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    out = px[ys[:, None], xs[None, :], :]
+    return {
+        "width": out_w,
+        "height": out_h,
+        "channels": ch,
+        "pixels": np.ascontiguousarray(out).tobytes(),
+    }
+
+
 #: decode_roundtrip output schema (all columns SQL-restatable)
 ROUNDTRIP_SCHEMA = (
     "doc_id bigint, width int, height int, channels int,"
@@ -1183,6 +1203,56 @@ ROUNDTRIP_SCHEMA = (
 )
 
 _RT_WAV_N = 128  # samples per synthesized WAV payload
+
+#: thumbnail side length for the resize roundtrip stage
+_THUMB = 4
+
+THUMBNAIL_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int,"
+    " ch0_sum bigint, ch1_sum bigint, ch2_sum bigint"
+)
+
+
+def thumbnail_roundtrip_batch(
+    batch_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode -> RESIZE stage over synthesized PNGs: per row, build the
+    same deterministic RGB PNG as ``decode_roundtrip_batch``, decode
+    it, nearest-neighbor-resize to {_THUMB}x{_THUMB}, and emit
+    per-channel integer sums of the THUMBNAIL pixels. The index map is
+    integer division, so a SQL oracle restates each channel sum in
+    closed form — a full value check on the decode+resize path. Decode
+    or dimension failure emits -1 sums (can never match)."""
+    c_idx = np.arange(3, dtype=np.int64)[None, None, :]
+    for pdf in batch_iter:
+        rows = []
+        for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+            doc_id, w, h = int(doc_id), int(w), int(h)
+            y_idx = np.arange(h, dtype=np.int64)[:, None, None]
+            x_idx = np.arange(w, dtype=np.int64)[None, :, None]
+            px = ((doc_id + 31 * y_idx + 7 * x_idx + 97 * c_idx) % 256).astype(
+                np.uint8
+            )
+            try:
+                img = decode_image(encode_png(w, h, px.reshape(h, w * 3), 3))
+                thumb = resize_nearest(img, _THUMB, _THUMB)
+                tp = np.frombuffer(thumb["pixels"], dtype=np.uint8).reshape(
+                    _THUMB, _THUMB, 3
+                )
+                sums = tp.sum(axis=(0, 1), dtype=np.int64)
+                s0, s1, s2 = (int(v) for v in sums)
+            except Exception:
+                s0 = s1 = s2 = -1
+            rows.append(
+                {
+                    "doc_id": doc_id, "src_w": w, "src_h": h,
+                    "ch0_sum": s0, "ch1_sum": s1, "ch2_sum": s2,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "src_w", "src_h", "ch0_sum", "ch1_sum", "ch2_sum"],
+        )
 
 
 def decode_roundtrip_batch(

@@ -1550,3 +1550,29 @@ def test_global_cumsum_matches_serial(spark):
     for k, v in rows:
         acc += v
         assert got[k] == acc, (k, got[k], acc)
+
+
+def test_resize_nearest_semantics():
+    """Nearest-neighbor index map: out(i,j) = in(i*h//oh, j*w//ow) —
+    hand-checked on a 2x2 -> 4x4 upscale and a 4x4 -> 2x2 downscale."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    src = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    img = {"width": 2, "height": 2, "channels": 1, "pixels": src.tobytes()}
+    up = resize_nearest(img, 4, 4)
+    got = np.frombuffer(up["pixels"], dtype=np.uint8).reshape(4, 4)
+    expect = np.array(
+        [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]],
+        dtype=np.uint8,
+    )
+    assert (got == expect).all()
+
+    src4 = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    img4 = {"width": 4, "height": 4, "channels": 1, "pixels": src4.tobytes()}
+    down = resize_nearest(img4, 2, 2)
+    got = np.frombuffer(down["pixels"], dtype=np.uint8).reshape(2, 2)
+    assert (got == np.array([[0, 2], [8, 10]], dtype=np.uint8)).all()
