@@ -234,3 +234,41 @@ def multimodal_resize_thumbnail_q(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return docs.mapInPandas(thumbnail_roundtrip_batch, schema=THUMBNAIL_SCHEMA)
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id FROM documents WHERE doc_id < 48
+    ),
+    s AS (
+        SELECT d.doc_id,
+               (i.i // 32)::INT AS frame_id,
+               (13 * d.doc_id + 29 * i.i) % 65536 - 32768 AS v
+        FROM docs d, UNNEST(range(128)) AS i(i)
+    )
+    SELECT doc_id, frame_id,
+           CAST(SUM(v) AS BIGINT) AS frame_sum,
+           CAST(SUM(v * v) AS BIGINT) AS frame_energy
+    FROM s
+    GROUP BY doc_id, frame_id
+    """,
+)
+def multimodal_audio_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> FRAME-SAMPLE driver path (the windowing step of audio
+    curation; the same shape frame-samples video once a codec exists):
+    synthesize the deterministic PCM16 WAV per row, decode it, slice
+    the DECODED samples into 32-sample frames, and emit each frame's
+    integer sum + energy. One row per (doc, frame); the oracle
+    restates both integers in closed form, value-checking decode and
+    framing end-to-end. Arrow-batched mapInPandas, exchange-free."""
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        FRAMES_SCHEMA,
+        audio_frames_batch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 48
+    ).select("doc_id")
+    return docs.mapInPandas(audio_frames_batch, schema=FRAMES_SCHEMA)

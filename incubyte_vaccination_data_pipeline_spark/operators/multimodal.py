@@ -1195,6 +1195,57 @@ def resize_nearest(img: dict, out_w: int, out_h: int) -> dict:
     }
 
 
+#: audio framing: samples per frame for the frame-sample stage
+_FRAME_LEN = 32
+
+FRAMES_SCHEMA = (
+    "doc_id bigint, frame_id int, frame_sum bigint, frame_energy bigint"
+)
+
+
+def audio_frames_batch(
+    batch_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode -> FRAME-SAMPLE stage (the audio/video windowing step of
+    a media curation pipeline): per row, synthesize the same
+    deterministic PCM16 WAV as ``decode_roundtrip_batch``, decode it,
+    slice the DECODED samples into {_FRAME_LEN}-sample frames, and
+    emit each frame's integer sum and energy (sum of squares) — both
+    exact integers a SQL oracle restates in closed form. One output
+    row per (doc, frame): the explode shape a frame-level filter
+    (silence trim, energy gate) consumes downstream."""
+    i_idx = np.arange(_RT_WAV_N, dtype=np.int64)
+    for pdf in batch_iter:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            samples = ((13 * doc_id + 29 * i_idx) % 65536) - 32768
+            try:
+                au = decode_audio(encode_wav(samples.astype("<i2"), 8000, 1))
+                s = np.asarray(au["samples"], dtype=np.int64)
+                frames = s.reshape(-1, _FRAME_LEN)
+                sums = frames.sum(axis=1)
+                energies = (frames * frames).sum(axis=1)
+                for fid in range(frames.shape[0]):
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "frame_id": fid,
+                            "frame_sum": int(sums[fid]),
+                            "frame_energy": int(energies[fid]),
+                        }
+                    )
+            except Exception:
+                rows.append(
+                    {
+                        "doc_id": doc_id, "frame_id": -1,
+                        "frame_sum": -1, "frame_energy": -1,
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_id", "frame_sum", "frame_energy"]
+        )
+
+
 #: decode_roundtrip output schema (all columns SQL-restatable)
 ROUNDTRIP_SCHEMA = (
     "doc_id bigint, width int, height int, channels int,"
