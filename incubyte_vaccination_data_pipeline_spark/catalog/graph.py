@@ -136,12 +136,6 @@ def graph_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
 TRIANGLE_MIN_SUPPORT = 2
 
 
-#: sortable orientation key: degree * KEY_BASE + node id (node ids are
-#: bounded far below KEY_BASE, so the key totally orders nodes by
-#: (degree, id) in one bigint comparison)
-_TRI_KEY_BASE = 1_000_000_000
-
-
 @query(
     "graph_triangle_count",
     oracle=f"""
@@ -152,15 +146,18 @@ _TRI_KEY_BASE = 1_000_000_000
         GROUP BY pa, pb HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
     ),
     deg AS (
-        SELECT node, COUNT(*) * {_TRI_KEY_BASE} + node AS k
+        SELECT node, COUNT(*) AS d
         FROM (SELECT pa AS node FROM pairs
               UNION ALL SELECT pb AS node FROM pairs)
         GROUP BY node
     ),
     oriented AS (
-        SELECT CASE WHEN da.k < db.k THEN p.pa ELSE p.pb END AS src,
-               CASE WHEN da.k < db.k THEN p.pb ELSE p.pa END AS dst,
-               CASE WHEN da.k < db.k THEN db.k ELSE da.k END AS kdst
+        SELECT CASE WHEN (da.d, p.pa) < (db.d, p.pb)
+                    THEN p.pa ELSE p.pb END AS src,
+               CASE WHEN (da.d, p.pa) < (db.d, p.pb)
+                    THEN p.pb ELSE p.pa END AS dst,
+               CASE WHEN (da.d, p.pa) < (db.d, p.pb)
+                    THEN db.d ELSE da.d END AS dd
         FROM pairs p
         JOIN deg da ON p.pa = da.node
         JOIN deg db ON p.pb = db.node
@@ -168,7 +165,7 @@ _TRI_KEY_BASE = 1_000_000_000
     wedges AS (
         SELECT e1.dst AS a, e2.dst AS c
         FROM oriented e1 JOIN oriented e2
-          ON e1.src = e2.src AND e1.kdst < e2.kdst
+          ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
     )
     SELECT COUNT(*) AS n_triangles,
            (SELECT COUNT(*) FROM pairs) AS n_edges
@@ -214,32 +211,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("pa").alias("node"))
         .unionAll(pairs.select(F.col("pb").alias("node")))
         .groupBy("node")
-        .agg(
-            (
-                F.count(F.lit(1)) * F.lit(_TRI_KEY_BASE) + F.col("node")
-            ).alias("k")
-        )
+        .agg(F.count(F.lit(1)).alias("d"))
     )
     da = deg.alias("da")
     db = deg.alias("db")
-    lt = F.col("da.k") < F.col("db.k")
+    # explicit lexicographic (degree, id) comparison — no composite
+    # bigint key, so no magnitude assumption on ids or degrees at any
+    # scale factor
+    lt = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col("pa") < F.col("pb"))
+    )
     oriented = (
         pairs.join(da, F.col("pa") == F.col("da.node"))
         .join(db, F.col("pb") == F.col("db.node"))
         .select(
             F.when(lt, F.col("pa")).otherwise(F.col("pb")).alias("src"),
             F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-            F.greatest("da.k", "db.k").alias("kdst"),
+            F.when(lt, F.col("db.d")).otherwise(F.col("da.d")).alias("dd"),
         )
         .localCheckpoint(eager=False)
     )
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.alias("e3")
+    wedge_lt = (F.col("e1.dd") < F.col("e2.dd")) | (
+        (F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
     wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.kdst") < F.col("e2.kdst")),
+        e2, (F.col("e1.src") == F.col("e2.src")) & wedge_lt
     ).select(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("c"))
     tri = wedges.join(
         e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
