@@ -1576,3 +1576,62 @@ def test_resize_nearest_semantics():
     down = resize_nearest(img4, 2, 2)
     got = np.frombuffer(down["pixels"], dtype=np.uint8).reshape(2, 2)
     assert (got == np.array([[0, 2], [8, 10]], dtype=np.uint8)).all()
+
+
+def test_decode_roundtrip_corrupt_payload_emits_sentinel(spark):
+    """A decoder failure inside the roundtrip stage must emit -1
+    checksums for that row (which can never match the oracle) instead
+    of killing the Arrow batch — the one-bad-file-at-100TB rule."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.operators import multimodal as mm
+
+    orig = mm.decode_image
+
+    def boom(payload):
+        raise ValueError("synthetic decoder failure")
+
+    mm.decode_image = boom
+    try:
+        batches = list(
+            mm.decode_roundtrip_batch(
+                iter([pd.DataFrame({"doc_id": [1], "width": [8], "height": [8]})])
+            )
+        )
+    finally:
+        mm.decode_image = orig
+    row = batches[0].iloc[0]
+    assert row["pixel_checksum"] == -1
+    # the other codecs still decode
+    assert row["wav_checksum"] != -1 and row["jpeg_checksum"] != -1
+
+
+def test_global_cumsum_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from incubyte_vaccination_data_pipeline_spark.operators.prefix import (
+        global_cumsum,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=60),
+        ranges=st.integers(min_value=1, max_value=6),
+        seed=st.integers(min_value=0, max_value=99),
+    )
+    def check(n, ranges, seed):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, rng.randint(-5, 50)) for i in range(n)]
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        got = {
+            r["k"]: r["c"]
+            for r in global_cumsum(df, "k", "v", out_col="c", n_ranges=ranges).collect()
+        }
+        acc = 0
+        for k, v in rows:
+            acc += v
+            assert got[k] == acc
+
+    check()
