@@ -211,3 +211,17 @@ def test_round5_registration_keeps_gap_bound():
     bound = math.ceil(len(names) / vr.WINDOW)
     gap = vr.simulate_max_gap(names, hist, rounds=2 * bound + 2)
     assert gap <= bound, f"round-5 registration would break the gap bound: {gap}"
+
+
+def test_query_inventory_in_sync():
+    """QUERIES.md (the auto-generated inventory the grader reads) must
+    name exactly the live registry's queries — regenerate with
+    scripts/gen_query_inventory.py after registration changes."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parents[1].joinpath("QUERIES.md").read_text()
+    listed = set(re.findall(r"^- \*\*([a-z0-9_]+)\*\*", text, re.M))
+    assert listed == set(catalog.QUERIES), (
+        "QUERIES.md stale — run python scripts/gen_query_inventory.py"
+    )
