@@ -192,15 +192,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is lazily checkpointed so its three self-references share one
     derivation; the degree join is an equi-join on node, never
     all-pairs."""
+    from incubyte_vaccination_data_pipeline_spark.operators.cooccur import (
+        cooccurrence_pairs,
+    )
+
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
     pairs = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select(F.col("lo").alias("pa"), F.col("hi").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("__sup"))
         .filter(F.col("__sup") >= TRIANGLE_MIN_SUPPORT)

@@ -361,10 +361,15 @@ def test_simhash_hamming_band_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_basket_pairs_single_keyed_join(spark, sf_dir):
+def test_basket_pairs_single_scan_no_join(spark, sf_dir):
+    """The co-occurrence pair expansion is a single-scan groupBy +
+    JVM-side array combination generator — no self-join of the fact
+    table at all (was: shuffle-both-sides equi-join)."""
     plan = _plan(QUERIES["basket_part_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, "basket pairs must not self-join"
+    assert plan.count("Scan parquet") == 1
 
 
 def test_range_search_is_broadcast_and_shuffle_free(spark, sf_dir):
