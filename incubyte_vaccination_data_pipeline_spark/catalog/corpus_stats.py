@@ -53,19 +53,19 @@ PAD_BUCKET = 64  # fixed-bucket batching granularity (tokens)
     SELECT rw.w1, r2.w2, r2.c AS n_bigram, r2.c1s AS n_context,
            round(r2.c * 1.0 / r2.c1s, 6) AS p_cond
     FROM ranked_w1 rw JOIN ranked_w2 r2 ON rw.w1 = r2.w1
-    WHERE rw.r1 <= {TOP_W1} AND r2.r2 <= {TOP_W2}
+    WHERE rw.r1 <= 20 AND r2.r2 <= 3
     """,
 )
 def text_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional bigram table: for the {TOP_W1} most frequent
-    contexts w1, the top {TOP_W2} continuations w2 with
+    """Conditional bigram table: for the 20 most frequent
+    contexts w1, the top 3 continuations w2 with
     P(w2|w1) = count(w1 w2) / count(w1 _) — exact int/int division
     rounded once, so the probabilities hash-match across engines.
 
     Plan shape: one explode into (w1, w2) pairs, a pair-keyed count
     with map-side combine, a w1-partitioned window for context totals
     and continuation ranks (one keyed shuffle), and a dense-rank
-    filter for the context top-{TOP_W1}. Nothing global except the
+    filter for the context top-20. Nothing global except the
     final tiny rank frame."""
     docs = read_table(spark, sf_dir, "documents")
     w = docs.select(F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws"))
@@ -128,16 +128,16 @@ def text_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(SUM(c) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
                       AS BIGINT) * 1.0 / n_total, 6) AS cum_frac
     FROM ranked CROSS JOIN total
-    WHERE rnk <= {VOCAB_TOP}
+    WHERE rnk <= 100
     """,
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary coverage curve: the {VOCAB_TOP} most frequent tokens
+    """Vocabulary coverage curve: the 100 most frequent tokens
     with the cumulative fraction of corpus tokens they cover — the
     statistic that sizes a tokenizer vocabulary.
 
     Plan shape: distributed token count (map-side combine), top-K via
-    TakeOrdered (the only global step, bounded at {VOCAB_TOP} rows),
+    TakeOrdered (the only global step, bounded at 100 rows),
     then the cumulative window runs on that tiny frame with the corpus
     total crossed in as a 1-row broadcast. The single-partition window
     is bounded by K, never by the vocabulary."""
@@ -179,8 +179,8 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT n_tokens,
-               CAST(ceil(n_tokens * 1.0 / {PAD_BUCKET}) AS BIGINT)
-                   * {PAD_BUCKET} AS bucket
+               CAST(ceil(n_tokens * 1.0 / 64) AS BIGINT)
+                   * 64 AS bucket
         FROM t
     )
     SELECT bucket,
@@ -192,7 +192,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Padding waste per fixed {PAD_BUCKET}-token length bucket: if
+    """Padding waste per fixed 64-token length bucket: if
     batches pad every document to its bucket boundary, how many pad
     tokens does each bucket burn? The statistic behind choosing
     bucket boundaries (or switching to sequence packing). One
@@ -365,7 +365,7 @@ _SEQ_LEN = 512  # tokens per packed training sequence (2k-8k in prod)
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style training-sequence packing plan: concatenate every
     document's tokens (+1 EOS separator) in doc_id order and slice the
-    stream into fixed {_SEQ_LEN}-token sequences — documents cross
+    stream into fixed 512-token sequences — documents cross
     sequence boundaries, exactly how packed pretraining datasets are
     laid out. Emits each document's global token offset and the
     sequence span it lands in (the shuffle-free recipe a writer task

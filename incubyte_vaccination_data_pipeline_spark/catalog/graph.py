@@ -175,12 +175,12 @@ TRIANGLE_MIN_SUPPORT = 2
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the support-thresholded co-purchase graph
-    (parts sharing >= {TRIANGLE_MIN_SUPPORT} orders are adjacent) with
+    (parts sharing >= 2 orders are adjacent) with
     DEGREE-ORDERED orientation: every undirected edge points from its
     lower-(degree, id) endpoint to the higher, wedges form by joining
     the oriented edge list on the source vertex, and a third equi-join
     closes them — each triangle counted exactly once at its
-    minimum-key corner. The clustering signal of the co-occurrence
+    minimum-(degree, id) corner. The clustering signal of the co-occurrence
     graph.
 
     Scale note: with id-ordered orientation wedge count is

@@ -60,7 +60,7 @@ _PSI_ORACLE = f"""
         UNION ALL
         SELECT 'o_totalprice',
                CAST(LEAST({_N_PRICE_BINS - 1},
-                          CAST(FLOOR(o_totalprice / {_PRICE_BIN}) AS BIGINT))
+                          CAST(FLOOR(o_totalprice / 60000) AS BIGINT))
                     AS VARCHAR),
                COUNT(*)
         FROM orders GROUP BY 2
@@ -73,7 +73,7 @@ _PSI_ORACLE = f"""
         UNION ALL
         SELECT 'o_totalprice',
                CAST(LEAST({_N_PRICE_BINS - 1},
-                          CAST(FLOOR(o_totalprice / {_PRICE_BIN}) AS BIGINT))
+                          CAST(FLOOR(o_totalprice / 60000) AS BIGINT))
                     AS VARCHAR),
                COUNT(*)
         FROM new_snap GROUP BY 2
@@ -172,12 +172,12 @@ _ASOF_TOL_ORACLE = f"""
     )
     SELECT event_id AS purchase_id,
            user_id,
-           CASE WHEN date_diff('second', click_ts, ts) <= {_TOLERANCE_S}
+           CASE WHEN date_diff('second', click_ts, ts) <= 600
                 THEN click_id_raw END AS click_id,
-           CASE WHEN date_diff('second', click_ts, ts) <= {_TOLERANCE_S}
+           CASE WHEN date_diff('second', click_ts, ts) <= 600
                 THEN CAST(date_diff('second', click_ts, ts) AS BIGINT)
            END AS gap_seconds,
-           COALESCE(date_diff('second', click_ts, ts) <= {_TOLERANCE_S},
+           COALESCE(date_diff('second', click_ts, ts) <= 600,
                     FALSE) AS within_tolerance
     FROM attributed
     WHERE event_type = 'purchase'
@@ -185,7 +185,7 @@ _ASOF_TOL_ORACLE = f"""
 
 
 def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch attribution bounded by a {_TOLERANCE_S}-second
+    """Last-touch attribution bounded by a 600-second
     tolerance — stale clicks null out after the window, so the plan
     is identical to the unbounded version."""
     events = read_table(spark, sf_dir, "events").filter(
@@ -231,7 +231,7 @@ def _bucket_sql(key: str, half: int, instr_fn: str) -> str:
     start = 1 if half == 0 else 9
     return (
         f"({md5_half_decode_sql(f'md5(cast({key} as string))', start, instr_fn)}"
-        f" % {_CMS_BUCKETS})"
+        f" % 64)"
     )
 
 
@@ -257,13 +257,13 @@ _CMS_ORACLE = f"""
     JOIN cells c0 ON c0.row_id = 0 AND c0.bucket = truth.b0
     JOIN cells c1 ON c1.row_id = 1 AND c1.bucket = truth.b1
     ORDER BY cm_estimate DESC, l_partkey
-    LIMIT {_TOP}
+    LIMIT 20
 """
 
 
 def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min heavy hitters: 2×{_CMS_BUCKETS}-cell sketch from the
-    two md5 digest halves; top-{_TOP} keys by estimate with the CM
+    """Count-Min heavy hitters: 2×64-cell sketch from the
+    two md5 digest halves; top-20 keys by estimate with the CM
     over-estimate guarantee as a checked column."""
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
     # compute the digest ONCE in its own projection: each decoded half
@@ -355,14 +355,14 @@ _CONTAIN_ORACLE = f"""
         FROM toks t,
              LATERAL (SELECT UNNEST(generate_series(
                         1, len(t.ws) - {_SHINGLE_K - 1})) AS i) i
-        WHERE len(t.ws) >= {_SHINGLE_K}
+        WHERE len(t.ws) >= 3
     ),
     snips AS (
-        SELECT doc_id + {_SNIP_OFFSET} AS sid,
+        SELECT doc_id + 5000000 AS sid,
                list_slice(ws, 1,
                    GREATEST(10, CAST(FLOOR(len(ws) * 2.0 / 5) AS BIGINT))) AS sws
         FROM toks
-        WHERE doc_id % {_SNIP_MOD} = 0 AND len(ws) >= 10
+        WHERE doc_id % 7 = 0 AND len(ws) >= 10
     ),
     sgrams AS (
         SELECT DISTINCT s.sid,
@@ -371,7 +371,7 @@ _CONTAIN_ORACLE = f"""
         FROM snips s,
              LATERAL (SELECT UNNEST(generate_series(
                         1, len(s.sws) - {_SHINGLE_K - 1})) AS i) i
-        WHERE len(s.sws) >= {_SHINGLE_K}
+        WHERE len(s.sws) >= 3
     ),
     df AS (SELECT gram, COUNT(*) AS df FROM dgrams GROUP BY gram),
     probes AS (
@@ -381,7 +381,7 @@ _CONTAIN_ORACLE = f"""
                        PARTITION BY s.sid
                        ORDER BY COALESCE(d.df, 0), s.gram) AS rn
             FROM sgrams s LEFT JOIN df d ON s.gram = d.gram
-        ) WHERE rn <= {_PROBE_GRAMS}
+        ) WHERE rn <= 5
     ),
     cand AS (
         SELECT DISTINCT p.sid, g.doc
@@ -406,14 +406,14 @@ _CONTAIN_ORACLE = f"""
                    ORDER BY CAST(v.n_common AS DOUBLE) / a.na DESC, v.doc)
                    AS rn
         FROM verified v JOIN asize a ON v.sid = a.sid
-        WHERE CAST(v.n_common AS DOUBLE) / a.na >= {_MIN_CONTAIN}
+        WHERE CAST(v.n_common AS DOUBLE) / a.na >= 0.8
     ) WHERE rn = 1
 """
 
 
 def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment matching: derived snippet probes →
-    rarest-{_PROBE_GRAMS}-gram inverted-index candidates → exact
+    rarest-5-gram inverted-index candidates → exact
     containment verify → best match per probe. Every join is an
     equi-join on a gram or id; the gram frames are checkpointed once
     because index build and verification both consume them."""
@@ -433,7 +433,7 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return g.select(
             id_col,
             F.expr(
-                f"array_join(slice({arr}, i, {_SHINGLE_K}), ' ')"
+                f"array_join(slice({arr}, i, 3), ' ')"
             ).alias("gram"),
         ).distinct()
 
@@ -531,7 +531,7 @@ _PPL_ORACLE = f"""
     scored AS (
         SELECT o.doc_id,
                CAST(FLOOR(log2(CAST(c1.n1 + v.vocab AS DOUBLE)
-                               / (c12.n12 + 1)) * {_PPL_Q}) AS BIGINT) AS q
+                               / (c12.n12 + 1)) * 1024) AS BIGINT) AS q
         FROM occ o
         JOIN c12 ON o.w1 = c12.w1 AND o.w2 = c12.w2
         JOIN c1 ON o.w1 = c1.w1
@@ -540,7 +540,7 @@ _PPL_ORACLE = f"""
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
            CAST(SUM(q) AS BIGINT) AS surprisal_q,
-           round(CAST(SUM(q) AS DOUBLE) / {_PPL_Q} / COUNT(*), 6) AS avg_bits
+           round(CAST(SUM(q) AS DOUBLE) / 1024 / COUNT(*), 6) AS avg_bits
     FROM scored
     GROUP BY doc_id
 """
@@ -608,7 +608,7 @@ _DAU_MAU_ORACLE = f"""
     covered AS (
         SELECT a.user_id, d.day
         FROM active a JOIN days d
-          ON d.day >= a.day AND d.day < a.day + INTERVAL '{_MAU_WINDOW} days'
+          ON d.day >= a.day AND d.day < a.day + INTERVAL '30 days'
     ),
     dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY day),
     mau AS (SELECT day, COUNT(DISTINCT user_id) AS mau FROM covered GROUP BY day)
@@ -621,10 +621,10 @@ _DAU_MAU_ORACLE = f"""
 
 
 def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU / trailing-{_MAU_WINDOW}-day MAU stickiness per active day.
+    """DAU / trailing-30-day MAU stickiness per active day.
     The trailing distinct count cannot ride a window frame (COUNT
     DISTINCT OVER RANGE is unsupported everywhere), so each (user,
-    day) activity row is exploded into the ≤{_MAU_WINDOW} future days
+    day) activity row is exploded into the ≤30 future days
     it keeps the user "monthly active" for — turning the sliding
     distinct into a plain keyed distinct-aggregate. Blow-up factor is
     the window length (bounded, documented), all shuffles keyed by
@@ -660,7 +660,7 @@ _RFM_AS_OF = "2002-01-01"
 _RFM_ORACLE = f"""
     WITH base AS (
         SELECT o_custkey,
-               CAST(date_diff('day', MAX(o_orderdate), DATE '{_RFM_AS_OF}')
+               CAST(date_diff('day', MAX(o_orderdate), DATE '2002-01-01')
                     AS BIGINT) AS recency_days,
                COUNT(*) AS frequency,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -837,7 +837,7 @@ def format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     union them with NULLs for v1's missing column. This is the lake
     reality every long-lived pipeline hits: old partitions never get
     rewritten. Both generations derive deterministically from orders
-    (split at {_EVOLVE_CUTOFF}), so the oracle restates the merged
+    (split at 1996-01-01), so the oracle restates the merged
     result exactly; the check is strict (no certificate).
 
     Scale: two generation writes inherit source partitioning;
@@ -873,11 +873,11 @@ def format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVOLVE_ORACLE = f"""
     SELECT o_orderkey, o_custkey, o_totalprice,
            CAST(NULL AS VARCHAR) AS o_channel
-    FROM orders WHERE o_orderdate < DATE '{_EVOLVE_CUTOFF}'
+    FROM orders WHERE o_orderdate < DATE '1996-01-01'
     UNION ALL
     SELECT o_orderkey, o_custkey, o_totalprice,
            CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
-    FROM orders WHERE o_orderdate >= DATE '{_EVOLVE_CUTOFF}'
+    FROM orders WHERE o_orderdate >= DATE '1996-01-01'
 """
 
 
@@ -899,13 +899,13 @@ _BPE_ORACLE = f"""
     SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
     FROM pairs GROUP BY pair
     ORDER BY n_occurrences DESC, pair
-    LIMIT {_BPE_TOP}
+    LIMIT 20
 """
 
 
 def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first BPE merge step of tokenizer training: corpus-weighted
-    adjacent-character pair counts, top {_BPE_TOP} merge candidates.
+    adjacent-character pair counts, top 20 merge candidates.
     The pair explode runs over DISTINCT words weighted by their corpus
     frequency — the standard trick that makes tokenizer training
     vocabulary-bounded instead of corpus-bounded (a 100 TB corpus has

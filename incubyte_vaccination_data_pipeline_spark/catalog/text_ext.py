@@ -134,8 +134,8 @@ _STRIDE = 24
     """,
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window chunking: window {_CHUNK} tokens, stride
-    {_STRIDE}. ``sequence``+``explode`` generates chunk indices
+    """Sliding-window chunking: window 32 tokens, stride
+    24. ``sequence``+``explode`` generates chunk indices
     distributed; each chunk is ``slice``+``array_join`` — no UDF, no
     shuffle, output-bound growth only."""
     docs = read_table(spark, sf_dir, "documents")

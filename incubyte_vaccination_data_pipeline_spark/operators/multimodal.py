@@ -1013,7 +1013,7 @@ def encode_png(
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
-        f = (filters[y] if filters is not None else y % 5) if height else 0
+        f = filters[y] if filters is not None else y % 5
         line = px[y].astype(np.int32)
         if f == 0:
             filt = line
@@ -1202,6 +1202,31 @@ FRAMES_SCHEMA = (
     "doc_id bigint, frame_id int, frame_sum bigint, frame_energy bigint"
 )
 
+_RT_WAV_N = 128  # samples per synthesized WAV payload
+
+
+def _synth_wav_samples(doc_id: int) -> np.ndarray:
+    """The ONE deterministic WAV synthesis shared by every roundtrip
+    stage AND restated by their SQL oracles:
+    sample(i) = (13*doc_id + 29*i) mod 65536 - 32768. Changing this
+    formula means changing every consuming oracle in
+    ``catalog/multimodal.py`` in the same commit."""
+    i_idx = np.arange(_RT_WAV_N, dtype=np.int64)
+    return ((13 * doc_id + 29 * i_idx) % 65536) - 32768
+
+
+def _synth_png_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """The ONE deterministic RGB pixel synthesis shared by the decode
+    and resize roundtrips AND their oracles:
+    pixel(y,x,c) = (doc_id + 31*y + 7*x + 97*c) mod 256. Shape
+    (h, w, 3) uint8."""
+    y_idx = np.arange(h, dtype=np.int64)[:, None, None]
+    x_idx = np.arange(w, dtype=np.int64)[None, :, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((doc_id + 31 * y_idx + 7 * x_idx + 97 * c_idx) % 256).astype(
+        np.uint8
+    )
+
 
 def audio_frames_batch(
     batch_iter: Iterator[pd.DataFrame],
@@ -1209,17 +1234,16 @@ def audio_frames_batch(
     """Decode -> FRAME-SAMPLE stage (the audio/video windowing step of
     a media curation pipeline): per row, synthesize the same
     deterministic PCM16 WAV as ``decode_roundtrip_batch``, decode it,
-    slice the DECODED samples into {_FRAME_LEN}-sample frames, and
+    slice the DECODED samples into 32-sample frames, and
     emit each frame's integer sum and energy (sum of squares) — both
     exact integers a SQL oracle restates in closed form. One output
     row per (doc, frame): the explode shape a frame-level filter
     (silence trim, energy gate) consumes downstream."""
-    i_idx = np.arange(_RT_WAV_N, dtype=np.int64)
     for pdf in batch_iter:
         rows = []
         for doc_id in pdf["doc_id"]:
             doc_id = int(doc_id)
-            samples = ((13 * doc_id + 29 * i_idx) % 65536) - 32768
+            samples = _synth_wav_samples(doc_id)
             try:
                 au = decode_audio(encode_wav(samples.astype("<i2"), 8000, 1))
                 s = np.asarray(au["samples"], dtype=np.int64)
@@ -1253,8 +1277,6 @@ ROUNDTRIP_SCHEMA = (
     " jpeg_blocks_w int, jpeg_blocks_h int, jpeg_checksum bigint"
 )
 
-_RT_WAV_N = 128  # samples per synthesized WAV payload
-
 #: thumbnail side length for the resize roundtrip stage
 _THUMB = 4
 
@@ -1269,21 +1291,16 @@ def thumbnail_roundtrip_batch(
 ) -> Iterator[pd.DataFrame]:
     """Decode -> RESIZE stage over synthesized PNGs: per row, build the
     same deterministic RGB PNG as ``decode_roundtrip_batch``, decode
-    it, nearest-neighbor-resize to {_THUMB}x{_THUMB}, and emit
+    it, nearest-neighbor-resize to 4x4, and emit
     per-channel integer sums of the THUMBNAIL pixels. The index map is
     integer division, so a SQL oracle restates each channel sum in
     closed form — a full value check on the decode+resize path. Decode
     or dimension failure emits -1 sums (can never match)."""
-    c_idx = np.arange(3, dtype=np.int64)[None, None, :]
     for pdf in batch_iter:
         rows = []
         for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
             doc_id, w, h = int(doc_id), int(w), int(h)
-            y_idx = np.arange(h, dtype=np.int64)[:, None, None]
-            x_idx = np.arange(w, dtype=np.int64)[None, :, None]
-            px = ((doc_id + 31 * y_idx + 7 * x_idx + 97 * c_idx) % 256).astype(
-                np.uint8
-            )
+            px = _synth_png_pixels(doc_id, w, h)
             try:
                 img = decode_image(encode_png(w, h, px.reshape(h, w * 3), 3))
                 thumb = resize_nearest(img, _THUMB, _THUMB)
@@ -1323,17 +1340,11 @@ def decode_roundtrip_batch(
     as a value mismatch — not a self-certified TRUE. Any decode
     failure or dimension disagreement emits -1 checksums, which can
     never match the oracle."""
-    c_idx = np.arange(3, dtype=np.int64)[None, None, :]
-    i_idx = np.arange(_RT_WAV_N, dtype=np.int64)
     for pdf in batch_iter:
         rows = []
         for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
             doc_id, w, h = int(doc_id), int(w), int(h)
-            y_idx = np.arange(h, dtype=np.int64)[:, None, None]
-            x_idx = np.arange(w, dtype=np.int64)[None, :, None]
-            px = ((doc_id + 31 * y_idx + 7 * x_idx + 97 * c_idx) % 256).astype(
-                np.uint8
-            )
+            px = _synth_png_pixels(doc_id, w, h)
             try:
                 img = decode_image(encode_png(w, h, px.reshape(h, w * 3), 3))
                 ok = (img["width"], img["height"], img["channels"]) == (w, h, 3)
@@ -1344,7 +1355,7 @@ def decode_roundtrip_batch(
                 )
             except Exception:
                 pixel_checksum = -1
-            samples = ((13 * doc_id + 29 * i_idx) % 65536) - 32768
+            samples = _synth_wav_samples(doc_id)
             try:
                 au = decode_audio(encode_wav(samples.astype("<i2"), 8000, 1))
                 n_samples = len(au["samples"])

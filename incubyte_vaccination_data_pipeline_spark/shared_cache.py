@@ -38,8 +38,12 @@ def _unpersist(value: Any) -> None:
 
 
 def _key_matches(key: Any, sf_dir: str) -> bool:
+    # exact element equality: every cache keys the corpus dir as a
+    # standalone tuple element, and substring matching would sweep a
+    # sibling corpus whose path merely contains sf_dir (e.g. a
+    # "<sf_dir>_10x" stress scratch)
     parts = key if isinstance(key, tuple) else (key,)
-    return any(isinstance(p, str) and sf_dir in p for p in parts)
+    return any(p == sf_dir for p in parts)
 
 
 def release_shared_state(sf_dir: str | None = None) -> int:
@@ -73,11 +77,7 @@ class BoundedCache:
         self._entries[key] = value
         while len(self._entries) > self._max:
             _, evicted = self._entries.popitem(last=False)
-            if hasattr(evicted, "unpersist"):
-                try:
-                    evicted.unpersist()
-                except Exception:
-                    pass  # session already stopped; nothing to release
+            _unpersist(evicted)
         return value
 
     def __len__(self) -> int:

@@ -15,9 +15,8 @@ def first_sentence(doc: str | None) -> str:
     if not doc:
         return ""
     text = " ".join(doc.split())
-    for stop in (". ", ".\n"):
-        if stop in text:
-            return text[: text.index(stop) + 1]
+    if ". " in text:  # whitespace already normalized — one stop marker
+        return text[: text.index(". ") + 1]
     return text[:160]
 
 
