@@ -1635,3 +1635,22 @@ def test_global_cumsum_hypothesis(spark):
             assert got[k] == acc
 
     check()
+
+
+def test_jpeg_block_encoder_extreme_dc_swings():
+    """Category-11 DC differentials (the table's maximum): alternating
+    0/255 blocks produce diff = ±2040 = 11 bits; the encoder must emit
+    them and the decoder recover exactly (also stresses EOB-after-
+    max-category and repeated byte-stuffing)."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_blocks,
+    )
+
+    blocks = np.array([[0, 255] * 8, [255, 0] * 8], dtype=np.uint8)
+    img = decode_jpeg(encode_jpeg_gray_blocks(blocks))
+    assert (img["width"], img["height"]) == (128, 16)
+    px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(16, 128)
+    assert (px == np.kron(blocks, np.ones((8, 8), dtype=np.uint8))).all()
