@@ -1654,3 +1654,22 @@ def test_jpeg_block_encoder_extreme_dc_swings():
     assert (img["width"], img["height"]) == (128, 16)
     px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(16, 128)
     assert (px == np.kron(blocks, np.ones((8, 8), dtype=np.uint8))).all()
+
+
+def test_wav_encoder_stereo_interleaved_roundtrip():
+    """Stereo PCM16: channels metadata and interleaved sample order
+    must survive the encode -> decode roundtrip exactly."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    left = np.array([100, -200, 300], dtype=np.int16)
+    right = np.array([-1000, 2000, -3000], dtype=np.int16)
+    interleaved = np.empty(6, dtype=np.int16)
+    interleaved[0::2], interleaved[1::2] = left, right
+    au = decode_audio(encode_wav(interleaved, 44100, 2))
+    assert au["sample_rate"] == 44100 and au["channels"] == 2
+    assert au["samples"] == interleaved.tolist()
