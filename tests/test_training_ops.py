@@ -1673,3 +1673,39 @@ def test_wav_encoder_stereo_interleaved_roundtrip():
     au = decode_audio(encode_wav(interleaved, 44100, 2))
     assert au["sample_rate"] == 44100 and au["channels"] == 2
     assert au["samples"] == interleaved.tolist()
+
+
+def test_cooccurrence_pairs_matches_selfjoin_with_duplicates(spark):
+    """The single-scan pair expansion must produce the IDENTICAL pair
+    multiset to the self-join it replaced — including groups with
+    duplicate items (each instance pair counts once) and equal-value
+    pairs (dropped by the strict <)."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.cooccur import (
+        cooccurrence_pairs,
+    )
+
+    rows = [
+        (1, 10), (1, 10), (1, 20),          # dup item: (10,20) twice
+        (2, 5), (2, 5),                      # only equal pairs -> none
+        (3, 7), (3, 8), (3, 9), (3, 7),      # mixed dups
+        (4, 42),                             # singleton -> none
+    ]
+    df = spark.createDataFrame(rows, "g bigint, item bigint")
+    got = sorted(
+        tuple(r)
+        for r in cooccurrence_pairs(df, "g", "item")
+        .groupBy("lo", "hi").count().collect()
+    )
+    a = df.select("g", F.col("item").alias("x"))
+    b = df.select("g", F.col("item").alias("y"))
+    expect = sorted(
+        tuple(r)
+        for r in a.join(b, "g").filter("x < y")
+        .groupBy(F.col("x").alias("lo"), F.col("y").alias("hi"))
+        .count().collect()
+    )
+    assert got == expect
+    assert (1, 20, 1) not in dict(((l, h), c) for l, h, c in got).items()
+    assert ((10, 20), 2) in {((l, h), c) for l, h, c in got}
