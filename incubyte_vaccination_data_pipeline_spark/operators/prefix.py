@@ -32,10 +32,13 @@ def global_cumsum(
     n_ranges: int | None = None,
 ) -> DataFrame:
     """Inclusive global running sum of ``value_col`` in ``order_col``
-    order, without a single-task global window. The range-partitioned
-    frame is lazily checkpointed so the totals pass and the final
-    projection share one materialization (range bounds come from a
-    sampling pass and must not be re-derived between the two uses)."""
+    order, without a single-task global window. ``order_col`` must be
+    a TOTAL order (unique values): with ties, the within-tie running
+    order — and therefore each tied row's cumsum — is not
+    deterministic in any engine. The range-partitioned frame is lazily
+    checkpointed so the totals pass and the final projection share one
+    materialization (range bounds come from a sampling pass and must
+    not be re-derived between the two uses)."""
     spark = df.sparkSession
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
