@@ -76,9 +76,14 @@ def _rotate_least_recently_verified() -> None:
     # CORRECTNESS_r*.json files at import — cheap, deterministic), so a
     # new round's file takes effect without a manual state rebuild;
     # verified_rounds.json stays as the committed, test-enforced
-    # artifact of the same computation
+    # artifact of the same computation.  Queries whose committed
+    # fingerprint (query_fingerprints.json) differs from the one the
+    # driver last verified sort as never-verified, so a materially
+    # changed query re-enters the window the NEXT round (round-6
+    # change-aware staleness; see verify_rotation docstring).
     hist = verify_rotation.rebuild_history()
-    order = verify_rotation.rotation_order(list(QUERIES), hist)
+    stale = verify_rotation.stale_set()
+    order = verify_rotation.rotation_order(list(QUERIES), hist, stale)
     ordered = {k: QUERIES[k] for k in order}
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -23,10 +23,28 @@ This module implements the generalizing policy:
   window sooner than one it fully verified the same round.  Ties keep
   original registration order (stable sort).
 
+* **Change-aware staleness** (round 6): ``query_fingerprints.json``
+  maps query name -> a fingerprint of WHAT the driver would verify —
+  sha256 over the normalized *analyzed logical plan* at sf0.001 plus
+  the oracle SQL text.  The plan string captures every code path that
+  shapes the computation (operator helpers included), so a rewrite in
+  a shared module changes the fingerprints of exactly the queries it
+  affects.  The refresh step records, per query, the fingerprint the
+  driver last value-checked (``verified_fp``); a query whose current
+  ``fp`` differs is STALE and sorts as never-verified (round 0), so a
+  materially changed query re-enters the window the NEXT round instead
+  of waiting out the LRU cycle (the round-5 gap: five rewritten
+  queries kept their pre-change certificates for ~2 rounds).
+  ``tests/test_fingerprints.py`` recomputes all fingerprints against
+  the committed file, so shipping a change without refreshing reddens
+  the suite — the "re-verified at most one round later" claim is true
+  by construction.
+
 Invariant: every query re-enters the 50-slot window within
 ``ceil(N_queries / 50)`` rounds (pinned by a growth simulation in
-``tests/test_rotation.py``), and a refactor that touches an old
-query's code path is re-driver-verified at most one round later.
+``tests/test_rotation.py``), and a refactor that changes an old
+query's computation (plan or oracle fingerprint) is re-driver-verified
+at most one round later via the staleness front-load.
 The rotation is *stated* in README.md and ROUND_NOTES.md so the
 external grader knows which queries carry only local-pytest oracle
 coverage in any given round (the local suite runs the same DuckDB
@@ -115,36 +133,51 @@ def load_state(path: Path = STATE_FILE) -> dict[str, dict]:
     return out
 
 
-def _sort_key(hist: dict[str, dict], name: str) -> tuple[int, bool]:
+def _sort_key(
+    hist: dict[str, dict], name: str, stale: frozenset[str] | set[str] = frozenset()
+) -> tuple[int, bool]:
     row = hist.get(name)
-    if row is None:
+    if row is None or name in stale:
         return (0, False)
     return (row["round"], row["value"])
 
 
-def rotation_order(names: list[str], hist: dict[str, dict]) -> list[str]:
-    """Stable sort: never-verified first, then least-recently-verified;
-    within a round, rows-only (``no_oracle``) rows ahead of green."""
-    return sorted(names, key=lambda n: _sort_key(hist, n))
+def rotation_order(
+    names: list[str],
+    hist: dict[str, dict],
+    stale: frozenset[str] | set[str] = frozenset(),
+) -> list[str]:
+    """Stable sort: never-verified AND fingerprint-stale first, then
+    least-recently-verified; within a round, rows-only (``no_oracle``)
+    rows ahead of green."""
+    return sorted(names, key=lambda n: _sort_key(hist, n, stale))
 
 
-def simulate_max_gap(names: list[str], hist: dict[str, dict], rounds: int = 8) -> int:
+def simulate_max_gap(
+    names: list[str],
+    hist: dict[str, dict],
+    rounds: int = 8,
+    stale: frozenset[str] | set[str] = frozenset(),
+) -> int:
     """Simulate ``rounds`` future driver rounds (each verifies the first
     WINDOW queries of the current rotation, value-checked) and return
     the largest observed gap, in rounds, between consecutive driver
     rows for any query.  Used by tests to pin the coverage invariant
     BEFORE a registration change ships: a planned growth that pushes a
     stale query out of its guaranteed window fails the suite, not the
-    next round's verdict."""
+    next round's verdict.  ``stale`` names sort as never-verified for
+    the FIRST simulated round only (the window visit clears them)."""
     sim = {k: dict(v) for k, v in hist.items()}
     start = max((v["round"] for v in sim.values()), default=0)
     max_gap = 0
+    pending_stale = set(stale)
     for rnd in range(start + 1, start + 1 + rounds):
-        order = rotation_order(names, sim)
+        order = rotation_order(names, sim, pending_stale)
         for n in order[:WINDOW]:
             prev = sim.get(n, {"round": rnd - 1})["round"]
             max_gap = max(max_gap, rnd - prev)
             sim[n] = {"round": rnd, "value": True}
+            pending_stale.discard(n)
     # anything never hit inside the horizon counts as an unbounded gap
     for n in names:
         if n not in sim:
@@ -152,7 +185,148 @@ def simulate_max_gap(names: list[str], hist: dict[str, dict], rounds: int = 8) -
     return max_gap
 
 
+# ---------------------------------------------------------------------------
+# Change-aware fingerprints (query_fingerprints.json)
+# ---------------------------------------------------------------------------
+
+FP_FILE = REPO_ROOT / "query_fingerprints.json"
+FP_SF_DIR = "/root/testdata/sf0.001"
+
+#: sentinel verified_fp for queries force-marked stale (known to have
+#: changed since their last driver row, e.g. the round-5 rewrites that
+#: predate the fingerprint file)
+FP_MARK_STALE = "stale-marked"
+
+
+def normalize_plan(plan: str) -> str:
+    """Strip the session-unique noise out of an analyzed-plan string so
+    the same logical computation fingerprints identically across
+    processes: expression ids (``#123``), lambda-variable counters
+    (``lambda x_6``), absolute paths (testdata dirs, streaming temp
+    sinks), and long hex/UUID tokens.  The path regex requires the
+    ``/`` to start a token so mime literals like ``text/plain``
+    survive as plan content."""
+    s = re.sub(r"#\d+", "#", plan)
+    s = re.sub(r"(?i)\blambda ([a-z]+)_\d+", r"lambda \1", s)
+    s = re.sub(r"(?<![\w.])(file:)?/[^\s,)\]]+", "<path>", s)
+    s = re.sub(
+        r"\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b",
+        "<uuid>",
+        s,
+    )
+    s = re.sub(r"\b[0-9a-f]{16,}\b", "<hex>", s)
+    return s
+
+
+def compute_fingerprint(spark, name: str, sf_dir: str = FP_SF_DIR) -> str:
+    """sha256 (16 hex chars) over the normalized analyzed plan at
+    ``sf_dir`` + the oracle SQL — the driver-visible identity of a
+    query.  Building the DataFrame is cheap for lazy queries; eager
+    ones (streaming, IVF build) pay their build, which the local suite
+    pays anyway."""
+    import hashlib
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import ORACLES, QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    payload = normalize_plan(plan) + "\n--oracle--\n" + ORACLES.get(name, "")
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def load_fingerprints(path: Path = FP_FILE) -> dict[str, dict]:
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if not isinstance(data, dict):
+        return {}
+    return {
+        k: v
+        for k, v in data.items()
+        if isinstance(v, dict) and isinstance(v.get("fp"), str)
+    }
+
+
+def stale_set(fps: dict[str, dict] | None = None) -> set[str]:
+    """Queries whose current fingerprint differs from the one the
+    driver last value-checked — they sort as never-verified.  A query
+    with ``verified_fp: null`` (bootstrap: no known pre-change
+    fingerprint, never force-marked) falls back to plain LRV."""
+    if fps is None:
+        fps = load_fingerprints()
+    return {
+        name
+        for name, row in fps.items()
+        if row.get("verified_fp") is not None and row["verified_fp"] != row["fp"]
+    }
+
+
+def refresh_fingerprints(
+    spark,
+    mark_stale: set[str] | None = None,
+    path: Path = FP_FILE,
+    repo_root: Path = REPO_ROOT,
+    names: list[str] | None = None,
+    fingerprint_fn=None,
+) -> dict[str, dict]:
+    """Recompute every query's fingerprint and roll the verified_fp
+    bookkeeping forward.
+
+    Protocol: the builder refreshes at the END of round N (after all
+    code changes); the driver then runs round-N code, so a driver row
+    at round >= ``as_of_round`` certifies the fingerprint recorded
+    with that ``as_of_round``.  On the next refresh, such entries
+    promote ``fp`` -> ``verified_fp``; entries whose code changed
+    without a newer driver row keep their old ``verified_fp`` and so
+    stay stale until re-verified.  ``mark_stale`` force-stales queries
+    known to have changed before the fingerprint regime existed."""
+    if names is None:
+        from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+        names = sorted(QUERIES)
+    if fingerprint_fn is None:
+        fingerprint_fn = compute_fingerprint
+
+    hist = rebuild_history(repo_root)
+    cur_round = max((v["round"] for v in hist.values()), default=0) + 1
+    prev = load_fingerprints(path)
+    out: dict[str, dict] = {}
+    for name in names:
+        fp = fingerprint_fn(spark, name)
+        p = prev.get(name)
+        if p is None:
+            # bootstrap: assume the last driver row (if any) verified
+            # the current code, unless force-marked below
+            verified = fp if name in hist else None
+        else:
+            verified = p.get("verified_fp")
+            row = hist.get(name)
+            if row is not None and row["round"] >= p.get("as_of_round", 10**9):
+                verified = p["fp"]
+        if mark_stale and name in mark_stale:
+            verified = FP_MARK_STALE
+        out[name] = {"fp": fp, "as_of_round": cur_round, "verified_fp": verified}
+    path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    return out
+
+
 if __name__ == "__main__":  # pragma: no cover - maintenance entry point
+    import sys
+
     state = rebuild_history()
     write_state(state)
     print(f"wrote {STATE_FILE} with {len(state)} entries")
+    if "--fingerprints" in sys.argv:
+        from incubyte_vaccination_data_pipeline_spark.session import get_spark
+
+        marks: set[str] = set()
+        for i, a in enumerate(sys.argv):
+            if a == "--mark-stale":
+                marks = set(sys.argv[i + 1].split(","))
+        spark = get_spark(app_name="ivdp-fingerprints", shuffle_partitions=8)
+        fps = refresh_fingerprints(spark, mark_stale=marks)
+        print(
+            f"wrote {FP_FILE} with {len(fps)} entries; "
+            f"stale: {sorted(stale_set(fps))}"
+        )

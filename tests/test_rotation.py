@@ -57,8 +57,9 @@ def test_state_file_matches_driver_history():
 
 
 def test_catalog_registration_is_lrv_sorted():
-    hist = vr.rebuild_history()  # the ordering source at import
-    keys = [vr._sort_key(hist, n) for n in catalog.QUERIES]
+    hist = vr.rebuild_history()  # the ordering sources at import
+    stale = vr.stale_set()
+    keys = [vr._sort_key(hist, n, stale) for n in catalog.QUERIES]
     assert keys == sorted(keys)
     # oracle dict ordering mirrors the query dict
     oracle_names = list(catalog.ORACLES)
@@ -66,15 +67,29 @@ def test_catalog_registration_is_lrv_sorted():
 
 
 def test_window_covers_least_recently_verified():
-    """Every query whose last driver row is oldest sits inside the
+    """Every query whose effective sort key (never-verified and
+    fingerprint-stale count as round 0) is oldest sits inside the
     50-slot window — i.e. no query is more than ceil(N/50) rounds from
     re-verification."""
     hist = vr.rebuild_history()
+    stale = vr.stale_set()
     names = list(catalog.QUERIES)
-    window = set(names[: vr.WINDOW])
-    max_in_window = max(hist.get(n, _h(0))["round"] for n in names[: vr.WINDOW])
+    max_in_window = max(
+        vr._sort_key(hist, n, stale) for n in names[: vr.WINDOW]
+    )
     for n in names[vr.WINDOW :]:
-        assert hist.get(n, _h(0))["round"] >= max_in_window or n in window
+        assert vr._sort_key(hist, n, stale) >= max_in_window
+
+
+def test_stale_queries_front_load_into_window():
+    """The change-aware contract: every fingerprint-stale query sits
+    inside the 50-slot driver window (so a materially changed query is
+    re-driver-verified the NEXT round, not after an LRU cycle)."""
+    stale = vr.stale_set()
+    assert len(stale) <= vr.WINDOW, "more stale queries than window slots"
+    window = set(list(catalog.QUERIES)[: vr.WINDOW])
+    missing = stale - window
+    assert not missing, f"stale queries outside the driver window: {sorted(missing)}"
 
 
 def test_simulated_growth_keeps_gap_bounded():
@@ -88,7 +103,9 @@ def test_simulated_growth_keeps_gap_bounded():
     names = list(catalog.QUERIES)
     hist = vr.rebuild_history()
     bound = math.ceil(len(names) / vr.WINDOW)
-    gap = vr.simulate_max_gap(names, hist, rounds=2 * bound + 2)
+    gap = vr.simulate_max_gap(
+        names, hist, rounds=2 * bound + 2, stale=vr.stale_set()
+    )
     assert gap <= bound, f"simulated verification gap {gap} > ceil(N/50)={bound}"
 
 
