@@ -191,14 +191,57 @@ def lsh_bucket_expr(
     )
 
 
+def lsh_banded(
+    df: DataFrame,
+    out_id: str,
+    vec_out: str,
+    norm_out: str,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode a vector table into its multi-table LSH band rows:
+    one row per (vector, table) carrying (id, vector, norm, table id,
+    sign-bucket).  This IS the LSH index — build it once per corpus,
+    persist (or write it bucketed by (t, bucket) at warehouse scale),
+    and probe it with many query batches; re-hashing the corpus per
+    search re-pays n_tables x n_planes x dims codegen work per row
+    (the round-5 bench regression on ``ann_lsh_topk``)."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket_expr(vec_col, n_planes, plane_seed=t * n_planes).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(vec_out),
+        norm_expr(vec_col).alias(norm_out),
+        F.explode(buckets).alias("tb"),
+    ).select(
+        out_id,
+        vec_out,
+        norm_out,
+        F.col("tb.t").alias("t"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
 def topk_lsh(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 4,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    banded_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
 
@@ -209,30 +252,24 @@ def topk_lsh(
     of the corpus per query). Candidates dedup BEFORE the exact cosine
     so collisions in several tables are scored once. Equi-join on
     (table, bucket); same output shape as ``topk_bruteforce``.
+
+    Pass a prebuilt ``banded_corpus`` (from :func:`lsh_banded` with the
+    SAME n_planes/n_tables) to amortize the index across query batches
+    — production LSH hashes the corpus once at index-build time, not
+    per search (the catalog caches it per corpus).
     """
     from pyspark.sql import Window
 
-    def banded(df: DataFrame, out_id: str, v: str, n: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket_expr(vec_col, n_planes, plane_seed=t * n_planes).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(n_tables)
-            ]
+    q = lsh_banded(
+        queries, "query_id", "qv", "qn", n_planes, n_tables, id_col, vec_col
+    )
+    c = (
+        banded_corpus
+        if banded_corpus is not None
+        else lsh_banded(
+            corpus, "neighbor_id", "cv", "cn", n_planes, n_tables, id_col, vec_col
         )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(v),
-            norm_expr(vec_col).alias(n),
-            F.explode(buckets).alias("tb"),
-        ).select(out_id, v, n, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-
-    q = banded(queries, "query_id", "qv", "qn")
-    c = banded(corpus, "neighbor_id", "cv", "cn")
+    )
     cand = (
         c.join(F.broadcast(q), on=["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -346,8 +383,29 @@ def ivf_probes_expr(
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
 
 
-def topk_ivf(
+def ivf_assigned(
     corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its IVF cell: one row per vector
+    carrying (id, vector, norm, cell id).  This is the inverted file —
+    build it once per corpus (persist, or write it partitioned by
+    ``cid`` at warehouse scale) and probe it with many query batches;
+    re-assigning per search re-pays n_centroids x dims literal-dot
+    codegen work per row (the round-5 bench regression on
+    ``ann_ivf_topk``)."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col).alias("cn"),
+        ivf_assign_expr(vec_col, centroids).alias("cid"),
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = 16,
@@ -355,6 +413,7 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    assigned_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -369,9 +428,12 @@ def topk_ivf(
     query. Output shape matches ``topk_bruteforce``; recall is
     measured against it in tests.
 
-    Pass a prebuilt ``centroids`` list to amortize the index across
-    query batches — production IVF builds the quantizer once, not per
-    search (the catalog caches it per corpus).
+    Pass a prebuilt ``centroids`` list and/or ``assigned_corpus``
+    frame (from :func:`ivf_assigned` with the same centroids) to
+    amortize the index across query batches — production IVF builds
+    the quantizer AND the inverted file once, not per search (the
+    catalog caches both per corpus).  ``assigned_corpus`` requires
+    ``centroids`` (the probe expressions need the literal vectors).
     """
     from pyspark.sql import Window
 
@@ -379,11 +441,10 @@ def topk_ivf(
         centroids = ivf_centroids(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm_expr(vec_col).alias("cn"),
-        ivf_assign_expr(vec_col, centroids).alias("cid"),
+    c = (
+        assigned_corpus
+        if assigned_corpus is not None
+        else ivf_assigned(corpus, centroids, id_col=id_col, vec_col=vec_col)
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -54,3 +54,24 @@ def test_release_ignores_other_corpora(spark, sf_dir, tmp_path):
     before = sum(len(_entries(c)) for c in sc._ALL_CACHES)
     assert sc.release_shared_state(str(tmp_path)) == 0
     assert sum(len(_entries(c)) for c in sc._ALL_CACHES) == before
+
+
+def test_ann_warm_path_probes_cached_index(spark, sf_dir):
+    """The round-6 ANN fix: warm searches must hit the persisted index
+    frames (LSH band rows / IVF cell assignments), not re-hash the
+    corpus — the optimized plan substitutes InMemoryRelation for the
+    index subtree once the first run materialized it."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        QUERIES[name](spark, sf_dir).count()  # build + materialize index
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "InMemoryRelation" in plan, (
+            f"{name}: warm plan re-hashes the corpus instead of probing "
+            f"the cached index"
+        )
