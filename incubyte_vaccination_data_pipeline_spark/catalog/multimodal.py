@@ -1,23 +1,21 @@
 """Multimodal-column queries: binary payloads + typed metadata, and the
 Arrow-batched decode/feature-extract stage.
 
-``multimodal_features`` runs a mapInPandas decoder whose feature values
-are not SQL-restatable, so the query emits what IS restatable
-(``doc_id``, ``n_bytes = octet_length``, the decoder tag — every
-``documents`` payload is text, hence ``fake-bytehist-v1``) plus a
-``features_ok`` invariant boolean (16 bins, each in [0, 1], summing to
-1 within 6-dp rounding error — except for a ZERO-LENGTH payload, whose
-histogram is defined as all-zero and is exempt from the sum-to-1
-clause; a single empty document must not flip the certificate) the
-oracle states as literal TRUE — the same in-query-assert pattern as
-``agg_approx_count_distinct``. Feature *values* stay pinned by
-determinism tests in ``tests/test_training_ops.py``.
-
-Certificate-independence caveat (stated for the grader): the TRUE
-oracle only independently validates the RESTATABLE columns
-(``doc_id``/``n_bytes``/``decoder``); ``features_ok`` is computed by
-the same Spark job under test, so its real check is the
-operator-level determinism/value tests, not the DuckDB compare."""
+``multimodal_features`` (round 6): the mapInPandas feature vectors ARE
+SQL-restatable in closed form, because every ``documents`` payload is
+text and the text path is a 16-bin low-nibble byte histogram
+(``operators/multimodal.py:_bytehist_features`` — bin = byte & 15,
+value = round(count/total, 6)).  The query reconstructs the exact
+integer bin counts from the emitted features (round(value * total) is
+exact while total < ~1e6 at 6-dp quantization) and folds them into two
+weighted checksums (weights b+1 and (b+1)^2 — two independent linear
+forms, so no single count error or pairwise swap can cancel).  The
+DuckDB oracle recomputes both checksums directly from the payload
+bytes via hex-nibble counting over ``hex(encode(text))`` — a FULL
+value check of the decode->feature path, replacing the former
+``features_ok`` TRUE-certificate (the decode-roundtrip recipe applied
+to the feature stage).  Feature determinism stays pinned by
+``tests/test_training_ops.py``."""
 
 from __future__ import annotations
 
@@ -60,43 +58,69 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_features",
     oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
+    WITH h AS (
+        SELECT doc_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    nib AS (
+        -- low nibble of byte i is hex char 2i+2 (1-based, uppercase);
+        -- its strpos in the hex alphabet is (bin + 1), the checksum
+        -- weight
+        SELECT doc_id,
+               strpos('0123456789ABCDEF', substr(hx, 2 * i.i + 2, 1)) AS w
+        FROM h, UNNEST(range(n)) AS i(i)
+    ),
+    s AS (
+        SELECT doc_id,
+               SUM(w)::BIGINT AS cks1,
+               SUM(w * w)::BIGINT AS cks2
+        FROM nib GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           h.n AS n_bytes,
            'fake-bytehist-v1' AS decoder,
-           TRUE AS features_ok
-    FROM documents
+           COALESCE(s.cks1, 0) AS hist_checksum,
+           COALESCE(s.cks2, 0) AS hist_checksum_sq
+    FROM h LEFT JOIN s USING (doc_id)
     """,
 )
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> feature extraction over binary payloads via
-    Arrow-batched mapInPandas (PNG/WAV decode real; text payloads take
-    the deterministic 16-bin byte-histogram path). Emits the
-    restatable columns plus a ``features_ok`` histogram invariant (see
-    module docstring)."""
+    Arrow-batched mapInPandas (PNG/JPEG/WAV decode real; text payloads
+    take the deterministic 16-bin byte-histogram path). The exact bin
+    counts are reconstructed from the 6-dp features and folded into
+    two weighted integer checksums the oracle recomputes from the raw
+    payload bytes — a full value check (see module docstring)."""
     docs = read_table(spark, sf_dir, "documents")
     feats = extract_features(to_binary_table(docs))
-    # 16 bins rounded to 6 dp each -> |sum - 1| <= 16 * 5e-7
-    hist_sum = F.aggregate(
-        "features", F.lit(0.0), lambda acc, v: acc + v
+    total = F.greatest(F.col("n_bytes"), F.lit(1))
+    # counts[b] = round(features[b] * total): exact integer recovery of
+    # the histogram numerator (6-dp quantization error < 0.5 for any
+    # payload under ~1e6 bytes; testdata documents are << that)
+    counts = F.transform(
+        "features", lambda v: F.round(v * total).cast("bigint")
     )
-    in_range = F.forall(
-        "features", lambda v: (v >= F.lit(0.0)) & (v <= F.lit(1.0))
-    )
+    weights = F.sequence(F.lit(1), F.lit(16))
+
+    def _weighted(power: int):
+        return F.aggregate(
+            F.zip_with(
+                counts,
+                weights,
+                lambda c, w: c * (w if power == 1 else w * w),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
     return feats.select(
         "doc_id",
         "n_bytes",
         "decoder",
-        (
-            (F.size("features") == F.lit(16))
-            & in_range
-            # empty payload: all-zero histogram by definition (nothing
-            # to normalize), so exempt n_bytes = 0 from sum-to-1
-            & (
-                F.when(F.col("n_bytes") == 0, hist_sum == F.lit(0.0)).otherwise(
-                    F.abs(hist_sum - F.lit(1.0)) <= F.lit(1e-5)
-                )
-            )
-        ).alias("features_ok"),
+        _weighted(1).alias("hist_checksum"),
+        _weighted(2).alias("hist_checksum_sq"),
     )
 
 

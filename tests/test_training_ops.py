@@ -859,10 +859,12 @@ def test_duplicate_clusters_leaves_session_conf_untouched(spark):
 
 
 def test_multimodal_features_ok_for_empty_payload(spark):
-    """ADVICE r3: a zero-length payload has an all-zero histogram by
-    definition and must still certify features_ok = TRUE (a single
-    empty document in a future testdata generation must not flip the
-    driver certificate)."""
+    """ADVICE r3 (restated for the round-6 checksum oracle): a
+    zero-length payload has an all-zero histogram by definition, so
+    both weighted checksums are 0 and must hash-match the oracle's
+    COALESCE(…, 0) — a single empty document in a future testdata
+    generation must not flip the driver row.  'hello world' pins a
+    non-trivial checksum pair computed by hand from the low nibbles."""
     from incubyte_vaccination_data_pipeline_spark.catalog.multimodal import (
         multimodal_features_q,
     )
@@ -884,8 +886,11 @@ def test_multimodal_features_ok_for_empty_payload(spark):
         rows = {
             r["doc_id"]: r for r in multimodal_features_q(spark, d).collect()
         }
-    assert rows[0]["n_bytes"] == 0 and rows[0]["features_ok"] is True
-    assert rows[1]["features_ok"] is True
+    assert rows[0]["n_bytes"] == 0
+    assert rows[0]["hist_checksum"] == 0 and rows[0]["hist_checksum_sq"] == 0
+    # b"hello world": sum of (low_nibble + 1) = 103, squares = 1235
+    assert rows[1]["hist_checksum"] == 103
+    assert rows[1]["hist_checksum_sq"] == 1235
 
 
 def test_jpeg_randomized_geometry_sweep():
