@@ -204,6 +204,55 @@ def multimodal_decode_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_decode_progressive",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               (2 + doc_id % 3)::INT AS jbw,
+               (1 + doc_id % 4)::INT AS jbh
+        FROM documents
+        WHERE doc_id < 48
+    ),
+    jp AS (
+        SELECT d.doc_id,
+               (64 * SUM((d.doc_id + 11 * bx.bx + 17 * by.by) % 256))
+                   ::BIGINT AS jpeg_checksum
+        FROM docs d,
+             UNNEST(range(d.jbh)) AS by(by),
+             UNNEST(range(d.jbw)) AS bx(bx)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, d.jbw AS jpeg_blocks_w, d.jbh AS jpeg_blocks_h,
+           'jpeg-progressive-v1' AS decoder, jp.jpeg_checksum
+    FROM docs d JOIN jp USING (doc_id)
+    """,
+)
+def multimodal_decode_progressive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG (SOF2) driver leg: the round-5 roundtrip query
+    value-checked the BASELINE (SOF0) decode path; this sibling pushes
+    a real three-scan progressive stream (DC first with successive
+    approximation Al=1, DC refinement, AC first as EOB runs) through
+    ``decode_jpeg`` per document row and emits the decoded pixel
+    checksum plus the decoder-reported mode tag.  The oracle restates
+    the checksum in closed form and pins the tag to
+    'jpeg-progressive-v1', so a silent fall-through to the baseline
+    path (or any scan mis-application) hash-mismatches.  Same
+    Arrow-batched exchange-free mapInPandas shape as
+    ``multimodal_decode_roundtrip``."""
+    from incubyte_vaccination_data_pipeline_spark.operators.multimodal import (
+        PROGRESSIVE_SCHEMA,
+        decode_progressive_batch,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(decode_progressive_batch, schema=PROGRESSIVE_SCHEMA)
+
+
+@query(
     "multimodal_resize_thumbnail",
     oracle="""
     WITH docs AS (

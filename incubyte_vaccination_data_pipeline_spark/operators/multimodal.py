@@ -1175,6 +1175,154 @@ def encode_jpeg_gray_blocks(block_vals: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_gray_blocks_progressive(block_vals: np.ndarray) -> bytes:
+    """Progressive (SOF2) twin of :func:`encode_jpeg_gray_blocks`:
+    the same 8x8-block-constant grayscale content, all-ones quant
+    table, but a REAL three-scan progressive script —
+
+    1. DC first scan (Ah=0, Al=1): differential Huffman coding of
+       ``dc >> 1`` (successive-approximation point transform),
+    2. DC refinement scan (Ah=1, Al=0): one raw bit per block
+       restoring bit 0 (always 0 here — dc is a multiple of 8 — but
+       the decoder must still consume and apply it),
+    3. AC first scan (Ss=1..63, Al=0): the all-zero spectrum as one
+       EOB symbol per block.
+
+    Every DC coefficient is 8 * (v - 128), even, so
+    ``(dc >> 1) << 1 | 0`` reconstructs it exactly and the decoded
+    image equals the baseline twin bit-for-bit — which lets the same
+    closed-form SQL oracle value-check the SOF2 scan machinery
+    (multi-scan marker walk, successive approximation, EOB handling)
+    end-to-end."""
+    bh, bw = block_vals.shape
+    h, w = 8 * bh, 8 * bw
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([1, 1, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 19 + len(_JPEG_DC_SYMS))
+        + bytes([0x00])
+        + bytes(_JPEG_DC_COUNTS)
+        + _JPEG_DC_SYMS
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 19 + len(_JPEG_AC_SYMS))
+        + bytes([0x10])
+        + bytes(_JPEG_AC_COUNTS)
+        + _JPEG_AC_SYMS
+    )
+    dc_codes = _canonical_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_codes = _canonical_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    dcs = [
+        [8 * (int(block_vals[by, bx]) - 128) for bx in range(bw)]
+        for by in range(bh)
+    ]
+    # scan 1: DC first, Al=1 — diffs of (dc >> 1)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0x01])
+    wtr = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            v = dcs[by][bx] >> 1
+            diff = v - pred
+            pred = v
+            t = abs(diff).bit_length()
+            code, length = dc_codes[t]
+            wtr.put(code, length)
+            if t:
+                amp = diff if diff >= 0 else diff + (1 << t) - 1
+                wtr.put(amp, t)
+    out += wtr.flush()
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0x10])
+    wtr = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            wtr.put(dcs[by][bx] & 1, 1)
+    out += wtr.flush()
+    # scan 3: AC first, Ss=1..63 — all-zero spectrum, one EOB per block
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 1, 63, 0x00])
+    eob_code, eob_len = ac_codes[0x00]
+    wtr = _BitWriter()
+    for _ in range(bh * bw):
+        wtr.put(eob_code, eob_len)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+PROGRESSIVE_SCHEMA = (
+    "doc_id bigint, jpeg_blocks_w int, jpeg_blocks_h int,"
+    " decoder string, jpeg_checksum bigint"
+)
+
+
+def decode_progressive_batch(
+    batch_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Progressive-JPEG roundtrip stage: per row, synthesize the SAME
+    block-constant gray content as ``decode_roundtrip_batch``'s
+    baseline JPEG leg but encoded as a three-scan SOF2 progressive
+    stream, decode it through ``decode_jpeg``, and emit the decoded
+    pixel checksum plus the decoder-reported mode tag.  The oracle
+    restates the checksum in closed form and the tag as the literal
+    'jpeg-progressive-v1' — if the baseline path ran instead, or any
+    progressive scan was mis-applied, the row hash-mismatches.
+    Decode failure or geometry disagreement emits -1 / 'error'."""
+    for pdf in batch_iter:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            jbw, jbh = 2 + doc_id % 3, 1 + doc_id % 4
+            by_idx = np.arange(jbh, dtype=np.int64)[:, None]
+            bx_idx = np.arange(jbw, dtype=np.int64)[None, :]
+            blocks = ((doc_id + 11 * bx_idx + 17 * by_idx) % 256).astype(
+                np.uint8
+            )
+            try:
+                jim = decode_jpeg(encode_jpeg_gray_blocks_progressive(blocks))
+                jok = (
+                    jim["width"],
+                    jim["height"],
+                    jim["channels"],
+                ) == (8 * jbw, 8 * jbh, 1)
+                tag = (
+                    "jpeg-progressive-v1" if jim.get("progressive") else
+                    "jpeg-baseline-v1"
+                )
+                checksum = (
+                    int(np.frombuffer(jim["pixels"], dtype=np.uint8).sum())
+                    if jok
+                    else -1
+                )
+            except Exception:
+                tag, checksum = "error", -1
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "jpeg_blocks_w": jbw,
+                    "jpeg_blocks_h": jbh,
+                    "decoder": tag,
+                    "jpeg_checksum": checksum,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "jpeg_blocks_w", "jpeg_blocks_h",
+                "decoder", "jpeg_checksum",
+            ],
+        )
+
+
 def resize_nearest(img: dict, out_w: int, out_h: int) -> dict:
     """Nearest-neighbor resize of a decoded image dict (the thumbnail /
     model-input-normalization stage of an image curation pipeline).
