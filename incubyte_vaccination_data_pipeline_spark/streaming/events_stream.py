@@ -220,6 +220,14 @@ def dedup_events_stream(
 #: handful keeps per-batch file churn low
 UPSERT_KEY_BUCKETS = 16
 
+#: hard ceiling on ``n_buckets``: the per-batch touched-bucket collect
+#: is bounded by the bucket count, so the bucket count itself must be
+#: metadata-scale. 1M buckets x ~8 bytes is still a trivial driver
+#: list, while any real deployment sizes buckets to file targets
+#: (ORDERS of magnitude fewer); a caller asking for more is almost
+#: certainly passing a key cardinality by mistake.
+UPSERT_MAX_BUCKETS = 1_000_000
+
 
 def run_foreach_batch_upsert(
     df: DataFrame,
@@ -245,7 +253,20 @@ def run_foreach_batch_upsert(
     same state). ``shuffle_partitions`` is pinned at query START, like
     ``run_to_memory``: streaming state partitioning is fixed for the
     query's life and every state partition costs a state-store
-    instance; production sizes this to the cluster instead."""
+    instance; production sizes this to the cluster instead.
+
+    Constraint: ``n_buckets <= UPSERT_MAX_BUCKETS``.  The touched-
+    bucket collect is bounded BY CONSTRUCTION (``__kh`` is
+    ``pmod(hash(keys), n_buckets)``, never a raw data column), so the
+    bucket count is the collect's hard bound and must stay
+    metadata-scale; the guard turns a mistaken key-cardinality
+    argument into a loud error instead of a driver-OOM at batch 1."""
+    if not 1 <= n_buckets <= UPSERT_MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets={n_buckets} outside [1, {UPSERT_MAX_BUCKETS}]: "
+            "the per-batch touched-bucket collect is bounded by the "
+            "bucket count, which must stay metadata-scale"
+        )
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -266,6 +287,13 @@ def run_foreach_batch_upsert(
         touched = [
             r["__kh"] for r in batch_df.select("__kh").distinct().collect()
         ]
+        # by construction |touched| <= n_buckets; a refactor that
+        # derives __kh from a raw data column would break this and
+        # must fail here, not silently collect at data scale
+        assert len(touched) <= n_buckets, (
+            f"touched-bucket collect returned {len(touched)} values for "
+            f"{n_buckets} buckets — __kh is no longer a bounded hash bucket"
+        )
         survivors = existing.filter(F.col("__kh").isin(touched)).join(
             batch_df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
         )

@@ -634,3 +634,22 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         r["user_id"]: r["total"] for r in spark.read.parquet(target).collect()
     }
     assert final == {k1: 5.0, k2: 2.0}
+
+
+def test_upsert_bucket_count_guard(spark):
+    """The touched-bucket collect is bounded by n_buckets, so
+    n_buckets itself must stay metadata-scale: a caller passing a key
+    cardinality by mistake fails loudly at call time, before any
+    micro-batch runs."""
+    import pytest
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        UPSERT_MAX_BUCKETS,
+        run_foreach_batch_upsert,
+    )
+
+    df = spark.readStream.format("rate").load()
+    for bad in (0, -1, UPSERT_MAX_BUCKETS + 1):
+        with pytest.raises(ValueError, match="n_buckets"):
+            run_foreach_batch_upsert(df, "/tmp/never-written", ["value"],
+                                     n_buckets=bad)
