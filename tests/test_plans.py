@@ -834,3 +834,21 @@ def test_pack_sequences_no_single_partition_window(spark, sf_dir):
     assert "windowspecdefinition(__pid" in plan
     assert "BroadcastExchange" in plan  # the tiny offset table
     assert "CartesianProduct" not in plan
+
+
+def test_q3_predicates_pushed_and_topk_take_ordered(spark, sf_dir):
+    """Round-6 pin for the worst non-ANN bench ratio (q3 at 1.72x on
+    the round-5 driver artifact — isolation re-timing shows ~1.1x, so
+    the growth was session noise, not plan drift): all three scan
+    predicates reach parquet, the 3-way join stays broadcast-shaped
+    with no cartesian, and the top-10 is TakeOrderedAndProject, not a
+    global sort."""
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,BUILDING\)", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+    assert plan.count("Scan parquet") == 3, "exactly one scan per table"
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, (
+        "top-10 must be TakeOrderedAndProject, not a global sort"
+    )
