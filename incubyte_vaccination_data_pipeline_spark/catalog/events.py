@@ -385,6 +385,96 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_gap_stateful",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+                       THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_gap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization: ``applyInPandasWithState`` with
+    EVENT-TIME timeout (the one stateful-streaming surface the batch
+    catalog lacked through round 5).  Each user's open session lives
+    in explicit group state and is emitted when a later event breaks
+    the 30-minute gap OR when the watermark passes ``last + gap``
+    (timeout) — so the output is every session with its exact
+    integer-cent value total, and the batch lag-based sessionizer
+    restates all five columns in DuckDB: a FULL value check, no TRUE
+    certificate.
+
+    Flush sentinel: a single far-future event for user -1 (streamed
+    from a scratch dir, unioned in) pushes the final watermark past
+    every real session's ``last + gap`` so the event-time timeouts
+    fire inside the drive-to-completion run (``no_data_batches=True``
+    supplies the trailing empty micro-batch that delivers them);
+    the sentinel user is filtered from the result."""
+    import os
+    import tempfile
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        stateful_session_gap,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+
+    max_ts = read_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    flush_dir = os.path.join(
+        tempfile.mkdtemp(prefix="ivdp-session-flush-"), "flush"
+    )
+    (
+        spark.createDataFrame(
+            [(-1,)], "user_id bigint"
+        )
+        .select(
+            "user_id",
+            (
+                F.lit(max_ts).cast("timestamp")
+                + F.expr("INTERVAL 24 HOURS")
+            ).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(flush_dir)
+    )
+    sentinel = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .parquet(flush_dir)
+    )
+    sessions = run_to_memory(
+        stateful_session_gap(stream.unionByName(sentinel)),
+        "ivdp_stream_session_gap",
+        "append",
+        no_data_batches=True,
+    )
+    return sessions.filter(F.col("user_id") >= 0)
+
+
+@query(
     "stream_dedup_events",
     oracle="""
     SELECT event_id, user_id, event_type, ts

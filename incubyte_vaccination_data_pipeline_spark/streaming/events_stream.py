@@ -164,6 +164,109 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp,"
+    " n_events bigint, session_value double"
+)
+_SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, cents bigint"
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # == SESSION_GAP, microseconds
+
+
+def _session_gap_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionizer over explicit group state.
+
+    State = the one OPEN session (start_us, last_event_us, n, cents)
+    — event-time in MICROSECONDS (the parquet timestamps' native
+    precision; a millisecond state would truncate session bounds).
+    New events either extend it (gap <= 30 min from the last event) or
+    close it and open a new one; closed sessions are the ONLY output
+    (append mode).  The open session arms an EVENT-TIME timeout at
+    ``last_event_ms + gap``: when the watermark passes that instant
+    with no new events, the function is re-invoked with
+    ``state.hasTimedOut`` and an empty batch iterator, emits the final
+    session, and removes the state — so state size tracks ACTIVE
+    users, not all users ever seen.  Split rule is ``> gap`` (an event
+    at exactly ``last + gap`` continues the session), matching the
+    batch lag-based sessionizer and its DuckDB oracle, NOT the
+    built-in ``session_window`` half-open boundary."""
+    (user_id,) = key
+    closed: list[tuple] = []
+    if state.hasTimedOut:
+        closed.append(tuple(state.get))
+        state.remove()
+    else:
+        cur = list(state.get) if state.exists else None
+        rows: list[tuple[int, int]] = []
+        for pdf in batches:
+            us = pd.to_datetime(pdf["ts"], utc=True).astype("int64") // 1_000
+            cents = (pdf["value"] * 100).round().astype("int64")
+            rows.extend(zip(us.tolist(), cents.tolist()))
+        rows.sort(key=lambda r: r[0])
+        for ts_us, c in rows:
+            if cur is None:
+                cur = [ts_us, ts_us, 1, int(c)]
+            elif ts_us - cur[1] > _SESSION_GAP_US:
+                closed.append(tuple(cur))
+                cur = [ts_us, ts_us, 1, int(c)]
+            else:
+                cur[1] = ts_us
+                cur[2] += 1
+                cur[3] += int(c)
+        if cur is not None:
+            state.update(tuple(cur))
+            # timeout API is millisecond-granular: round UP so the
+            # timeout never fires before last + gap
+            state.setTimeoutTimestamp(-(-(cur[1] + _SESSION_GAP_US) // 1000))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "session_start": pd.Timestamp(s, unit="us"),
+                "session_end": pd.Timestamp(e, unit="us"),
+                "n_events": n,
+                # integer-cent state -> exact, order-independent totals
+                # (same convention as the running-totals operator)
+                "session_value": cents / 100.0,
+            }
+            for (s, e, n, cents) in closed
+        ],
+        columns=[
+            "user_id", "session_start", "session_end",
+            "n_events", "session_value",
+        ],
+    )
+
+
+def stateful_session_gap(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom gap-based sessionization via ``applyInPandasWithState``
+    with EVENT-TIME timeout — the hand-rolled twin of the built-in
+    ``session_window``, for session semantics the built-in cannot
+    express (emit-on-close with per-session custom state, the
+    ``> gap`` boundary rule, exact integer-cent totals).  Emits one
+    row per CLOSED session; ``session_end`` is the last event's
+    timestamp (not last + gap).  The caller must advance the final
+    watermark past every open session's ``last + gap`` (e.g. a flush
+    sentinel) for the tail sessions to emit."""
+    return (
+        stream.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_gap_fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_stream_click_purchase_join(
     stream: DataFrame, window: str = "30 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

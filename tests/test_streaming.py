@@ -653,3 +653,83 @@ def test_upsert_bucket_count_guard(spark):
         with pytest.raises(ValueError, match="n_buckets"):
             run_foreach_batch_upsert(df, "/tmp/never-written", ["value"],
                                      n_buckets=bad)
+
+
+def test_session_gap_stateful_closes_on_gap_and_timeout(spark, tmp_path):
+    """applyInPandasWithState session-gap operator, pinned cross-batch:
+    (a) group state carries the open session between micro-batches,
+    (b) an arriving event past the 30-min gap closes it in-stream,
+    (c) the EVENT-TIME timeout closes idle sessions once the watermark
+    passes last + gap (fired by the trailing no-data micro-batch), and
+    (d) a session still inside the gap horizon is NOT emitted."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_to_memory,
+        stateful_session_gap,
+    )
+
+    def mk(rows, path, mtime):
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, value double"
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    T = dt.datetime
+    base = _time.time() - 1000
+    src = tmp_path / "session_arrivals"
+    mk(
+        [
+            (1, T(2024, 1, 1, 10, 0), 1.0),
+            (1, T(2024, 1, 1, 10, 10), 2.0),
+            (2, T(2024, 1, 1, 10, 5), 3.0),
+        ],
+        str(src / "f1"),
+        base + 10,
+    )
+    mk(
+        [
+            # 50 min after user 1's last event: closes session 1 on arrival
+            (1, T(2024, 1, 1, 11, 0), 4.0),
+            # watermark clock: advances wm to 12:20, so user 1's second
+            # session (last 11:00) and user 2's (last 10:05) time out;
+            # user 99's own session (12:30) stays open and unemitted
+            (99, T(2024, 1, 1, 12, 30), 0.0),
+        ],
+        str(src / "f2"),
+        base + 20,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(src))
+    )
+    out = run_to_memory(
+        stateful_session_gap(stream),
+        "session_gap_cross_batch",
+        output_mode="append",
+        no_data_batches=True,
+    )
+    rows = sorted(
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 10), 2, 3.0),
+        (1, T(2024, 1, 1, 11, 0), T(2024, 1, 1, 11, 0), 1, 4.0),
+        (2, T(2024, 1, 1, 10, 5), T(2024, 1, 1, 10, 5), 1, 3.0),
+    ], rows
