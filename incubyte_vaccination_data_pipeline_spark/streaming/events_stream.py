@@ -193,51 +193,90 @@ def _session_gap_fn(
     at exactly ``last + gap`` continues the session), matching the
     batch lag-based sessionizer and its DuckDB oracle, NOT the
     built-in ``session_window`` half-open boundary."""
+    import numpy as np
+
     (user_id,) = key
-    closed: list[tuple] = []
+    # closed sessions accumulate as parallel numpy-able lists; the
+    # per-row Python loop this replaces cost ~4 s/100k rows per batch
+    c_start: list[int] = []
+    c_end: list[int] = []
+    c_n: list[int] = []
+    c_cents: list[int] = []
+
+    def close(s: int, e: int, n: int, c: int) -> None:
+        c_start.append(s)
+        c_end.append(e)
+        c_n.append(n)
+        c_cents.append(c)
+
     if state.hasTimedOut:
-        closed.append(tuple(state.get))
+        close(*state.get)
         state.remove()
     else:
-        cur = list(state.get) if state.exists else None
-        rows: list[tuple[int, int]] = []
-        for pdf in batches:
-            us = pd.to_datetime(pdf["ts"], utc=True).astype("int64") // 1_000
-            cents = (pdf["value"] * 100).round().astype("int64")
-            rows.extend(zip(us.tolist(), cents.tolist()))
-        rows.sort(key=lambda r: r[0])
-        for ts_us, c in rows:
-            if cur is None:
-                cur = [ts_us, ts_us, 1, int(c)]
-            elif ts_us - cur[1] > _SESSION_GAP_US:
-                closed.append(tuple(cur))
-                cur = [ts_us, ts_us, 1, int(c)]
-            else:
-                cur[1] = ts_us
-                cur[2] += 1
-                cur[3] += int(c)
-        if cur is not None:
-            state.update(tuple(cur))
+        parts = [p for p in batches if len(p)]
+        if parts:
+            ts = np.concatenate(
+                [
+                    p["ts"].values.astype("datetime64[us]").astype("int64")
+                    for p in parts
+                ]
+            )
+            cents = np.concatenate(
+                [
+                    (p["value"].values * 100).round().astype("int64")
+                    for p in parts
+                ]
+            )
+            order = np.argsort(ts, kind="stable")
+            ts, cents = ts[order], cents[order]
+            # vectorized gap split: segment boundaries where the
+            # inter-event gap exceeds the session gap
+            seg_starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(ts) > _SESSION_GAP_US) + 1)
+            )
+            seg_counts = np.diff(np.concatenate((seg_starts, [len(ts)])))
+            seg_cents = np.add.reduceat(cents, seg_starts)
+            seg_first = ts[seg_starts]
+            seg_last = ts[seg_starts + seg_counts - 1]
+            if state.exists:
+                s, last, n, c = state.get
+                if int(seg_first[0]) - last <= _SESSION_GAP_US:
+                    # first segment extends the open session
+                    seg_first[0] = s
+                    seg_counts[0] += n
+                    seg_cents[0] += c
+                else:
+                    close(s, last, n, c)
+            # every segment but the last closes now; the last becomes
+            # the open session
+            c_start.extend(seg_first[:-1].tolist())
+            c_end.extend(seg_last[:-1].tolist())
+            c_n.extend(seg_counts[:-1].tolist())
+            c_cents.extend(seg_cents[:-1].tolist())
+            cur = (
+                int(seg_first[-1]),
+                int(seg_last[-1]),
+                int(seg_counts[-1]),
+                int(seg_cents[-1]),
+            )
+            state.update(cur)
             # timeout API is millisecond-granular: round UP so the
             # timeout never fires before last + gap
             state.setTimeoutTimestamp(-(-(cur[1] + _SESSION_GAP_US) // 1000))
     yield pd.DataFrame(
-        [
-            {
-                "user_id": user_id,
-                "session_start": pd.Timestamp(s, unit="us"),
-                "session_end": pd.Timestamp(e, unit="us"),
-                "n_events": n,
-                # integer-cent state -> exact, order-independent totals
-                # (same convention as the running-totals operator)
-                "session_value": cents / 100.0,
-            }
-            for (s, e, n, cents) in closed
-        ],
-        columns=[
-            "user_id", "session_start", "session_end",
-            "n_events", "session_value",
-        ],
+        {
+            "user_id": np.full(len(c_start), user_id, dtype="int64"),
+            "session_start": np.asarray(c_start, dtype="int64").astype(
+                "datetime64[us]"
+            ),
+            "session_end": np.asarray(c_end, dtype="int64").astype(
+                "datetime64[us]"
+            ),
+            "n_events": np.asarray(c_n, dtype="int64"),
+            # integer-cent state -> exact, order-independent totals
+            # (same convention as the running-totals operator)
+            "session_value": np.asarray(c_cents, dtype="int64") / 100.0,
+        }
     )
 
 
