@@ -379,6 +379,95 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(shared_minhash_pairs(spark, sf_dir))
 
 
+#: the curation quality expression, shared verbatim with
+#: catalog/text.py so the keep-best oracle can never drift from the
+#: text_quality_score definition (bare ``text`` column reference —
+#: resolves against the joined aug side below)
+from incubyte_vaccination_data_pipeline_spark.catalog.text import (  # noqa: E402
+    _QUALITY_SQL as _KB_QUALITY_SQL,
+)
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs5 AS (
+        SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs5
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs5
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    scored AS (
+        SELECT c.cluster_id, c.doc_id, {_KB_QUALITY_SQL} AS quality
+        FROM clusters c JOIN aug a ON a.doc_id = c.doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM scored
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, quality, n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware retention policy over near-duplicate clusters:
+    instead of keeping each cluster's arbitrary min-id member
+    (``dedup_cleaned_corpus``), keep its HIGHEST-QUALITY document
+    (composite quality score; ties break to the lowest doc id) — the
+    policy real curation pipelines apply, since duplicates routinely
+    differ in boilerplate, truncation, or OCR noise.  One row per
+    cluster: (cluster_id, kept_doc_id, quality, n_members).
+
+    Composition: reuses the shared MinHash candidate-pair cache and
+    the min-label connected components, then ONE shuffle on
+    cluster_id serves both the argmax window and the member count.
+    The oracle restates the full chain — banding arithmetic,
+    recursive-CTE closure, quality expression, explicit-tie-break
+    argmax — independently in DuckDB: an end-to-end value check."""
+    from pyspark.sql import Window
+
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.text import quality_score
+
+    clusters = duplicate_clusters(shared_minhash_pairs(spark, sf_dir))
+    docs = augmented_documents(spark, sf_dir).select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    scored = clusters.join(docs, "doc_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+            "n_members",
+        )
+    )
+
+
 @query(
     "dedup_cleaned_corpus",
     oracle=f"""

@@ -119,6 +119,72 @@ def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
+#: the same 6-dp composite quality expression text_quality_score's
+#: oracle states inline (kept as one constant so the weighted-sampler
+#: oracle can never drift from the score definition)
+_QUALITY_SQL = f"""round(0.4 * least(length(text) / 400.0, 1.0)
+                 + 0.3 * least((CAST({_EN_HITS} AS DOUBLE)
+                                / len({_WORDS_SQL})) * 4.0, 1.0)
+                 + 0.2 * (CASE WHEN length(text) * 1.0 / len({_WORDS_SQL})
+                                    BETWEEN 3.0 AND 9.0
+                               THEN 1.0 ELSE 0.5 END)
+                 + 0.1 * (1.0 - least((length(text)
+                                       - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                      * 1.0 / length(text) * 10.0, 1.0)), 6)"""
+
+#: first 4 hex chars of md5('qsample-v1' || doc_id) as an int in
+#: [0, 65536) — the strpos positional arithmetic mirrors Spark's
+#: conv(hex, 16, 10) (same idiom as the split/sample family)
+_QSAMPLE_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substring(md5('qsample-v1' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substring(md5('qsample-v1' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substring(md5('qsample-v1' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(md5('qsample-v1' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"
+)
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_QSAMPLE_BUCKET_SQL} AS accept_bucket,
+               {_QUALITY_SQL} AS quality
+        FROM documents
+    )
+    SELECT doc_id, accept_bucket, quality
+    FROM scored
+    WHERE accept_bucket / 65536.0 < quality
+    """,
+)
+def sample_quality_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted rejection sampling: keep a document with
+    probability equal to its composite quality score — the standard
+    corpus-curation downsampler (high-quality docs survive, low-quality
+    docs are thinned proportionally) made DETERMINISTIC and
+    content-addressed: accept iff u01(doc_id) < quality, where u01 is
+    the md5-bucket arithmetic of the split/sample family under its own
+    salt.  A document keeps its fate across runs, engines, and corpus
+    growth; the acceptance predicate is a scan-side filter (no
+    shuffle, no sample(), no RNG state), so at 100 TB the sampler is
+    free.  The oracle restates bucket and score exactly and re-applies
+    the same inequality — a full value check over the kept rows."""
+    from incubyte_vaccination_data_pipeline_spark.operators.sampling import (
+        split_bucket_expr,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = split_bucket_expr("doc_id", salt="qsample-v1")
+    return (
+        docs.select(
+            "doc_id",
+            bucket.alias("accept_bucket"),
+            quality_score("text").alias("quality"),
+        )
+        .filter(F.col("accept_bucket") / F.lit(65536.0) < F.col("quality"))
+    )
+
+
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
     " ' +', ' ', 'g'))"
