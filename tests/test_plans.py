@@ -852,3 +852,30 @@ def test_q3_predicates_pushed_and_topk_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, (
         "top-10 must be TakeOrderedAndProject, not a global sort"
     )
+
+
+def test_quality_weighted_sample_is_shuffle_free_scan_filter(spark, sf_dir):
+    """The rejection sampler must stay a pure scan-side filter — no
+    Exchange, no sample() RNG, one parquet scan (the 100 TB posture:
+    the sampler is free)."""
+    plan = _plan(QUERIES["sample_quality_weighted"](spark, sf_dir))
+    assert "Exchange" not in plan, "quality-weighted sampling must not shuffle"
+    assert plan.count("Scan parquet") == 1
+    assert "Sample" not in plan, "must be hash-deterministic, not sample()"
+
+
+def test_keep_best_single_shuffle_past_pair_cache(spark, sf_dir):
+    """Beyond the shared candidate-pair/cluster work, the keep-best
+    retention adds ONE cluster_id exchange serving both the argmax
+    window and the member count (the two windows share partitioning)."""
+    QUERIES["dedup_clusters"](spark, sf_dir).count()  # warm shared pairs
+    plan = _plan(QUERIES["dedup_keep_best"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # both window functions evaluate inside the same cluster_id
+    # partitioning: exactly one exchange whose key is cluster_id
+    import re as _re
+
+    cluster_exchanges = _re.findall(
+        r"Exchange hashpartitioning\(cluster_id", plan
+    )
+    assert len(cluster_exchanges) == 1, plan.count("Exchange")
