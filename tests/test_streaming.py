@@ -733,3 +733,110 @@ def test_session_gap_stateful_closes_on_gap_and_timeout(spark, tmp_path):
         (1, T(2024, 1, 1, 11, 0), T(2024, 1, 1, 11, 0), 1, 4.0),
         (2, T(2024, 1, 1, 10, 5), T(2024, 1, 1, 10, 5), 1, 3.0),
     ], rows
+
+
+def test_session_gap_stateful_fuzz_vs_reference(spark, tmp_path):
+    """Randomized multi-batch fuzz for the session-gap operator: random
+    users/timestamps/values split into time-ordered arrival files must
+    reproduce a pure-Python gap sessionizer exactly (bounds, counts,
+    cent-exact totals) once a far-future flush event closes the tail.
+    Batches are contiguous time slices, so nothing is watermark-late;
+    within-batch order is shuffled to exercise the operator's sort."""
+    import datetime as dt
+    import os
+    import random
+    import time as _time
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_to_memory,
+        stateful_session_gap,
+    )
+
+    GAP_US = 30 * 60 * 1_000_000
+    T0 = dt.datetime(2024, 3, 1)
+
+    for seed in (11, 42, 1999):
+        rng = random.Random(seed)
+        events = []  # (user_id, ts_us_offset, cents)
+        for user in range(1, 1 + rng.randrange(3, 7)):
+            t_us = rng.randrange(0, 3_600_000_000)
+            for _ in range(rng.randrange(1, 40)):
+                events.append((user, t_us, rng.randrange(0, 100_000)))
+                # mixture of intra-session steps and gap-breaking jumps
+                t_us += (
+                    rng.randrange(1, GAP_US)
+                    if rng.random() < 0.8
+                    else GAP_US + rng.randrange(1, 3 * GAP_US)
+                )
+        # python reference sessionizer (split on > gap)
+        expected = set()
+        by_user: dict[int, list] = {}
+        for u, t, c in sorted(events, key=lambda e: (e[0], e[1])):
+            by_user.setdefault(u, []).append((t, c))
+        for u, evs in by_user.items():
+            start, last, n, cents = evs[0][0], evs[0][0], 1, evs[0][1]
+            for t, c in evs[1:]:
+                if t - last > GAP_US:
+                    expected.add((u, start, last, n, cents))
+                    start, last, n, cents = t, t, 1, c
+                else:
+                    last, n, cents = t, n + 1, cents + c
+            expected.add((u, start, last, n, cents))
+
+        # arrival files: contiguous time slices + a final flush event
+        events.sort(key=lambda e: e[1])
+        n_files = rng.randrange(2, 5)
+        bounds = sorted(rng.sample(range(1, len(events)), n_files - 1))
+        chunks = [
+            events[a:b]
+            for a, b in zip([0] + bounds, bounds + [len(events)])
+            if a != b
+        ]
+        max_us = events[-1][1]
+        chunks.append([(999, max_us + 48 * 3_600_000_000, 0)])
+
+        src = tmp_path / f"fuzz_{seed}"
+        base = _time.time() - 1000
+        for i, chunk in enumerate(chunks):
+            chunk = chunk[:]
+            rng.shuffle(chunk)  # within-batch disorder
+            df = spark.createDataFrame(
+                [
+                    (u, T0 + dt.timedelta(microseconds=t), c / 100.0)
+                    for u, t, c in chunk
+                ],
+                "user_id bigint, ts timestamp, value double",
+            ).coalesce(1)
+            path = str(src / f"f{i}")
+            df.write.mode("overwrite").parquet(path)
+            for root, _d, files in os.walk(path):
+                for f in files:
+                    os.utime(os.path.join(root, f), (base + i, base + i))
+
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .load(str(src))
+        )
+        out = run_to_memory(
+            stateful_session_gap(stream),
+            f"session_fuzz_{seed}",
+            output_mode="append",
+            no_data_batches=True,
+        )
+        got = {
+            (
+                r["user_id"],
+                round((r["session_start"] - T0).total_seconds() * 1e6),
+                round((r["session_end"] - T0).total_seconds() * 1e6),
+                r["n_events"],
+                int(round(r["session_value"] * 100)),
+            )
+            for r in out.collect()
+            if r["user_id"] != 999
+        }
+        assert got == expected, (
+            f"seed {seed}: {len(got ^ expected)} differing sessions"
+        )
