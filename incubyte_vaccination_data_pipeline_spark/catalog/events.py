@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.shared_cache import register_dict_cache
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
 
 _DEC = "decimal(18,2)"
@@ -350,6 +351,103 @@ def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: full-schema flush sentinels per (app, corpus) for the OUTER
+#: stream-stream join: one far-future purchase + click for user -1,
+#: so BOTH sides' watermarks advance past every real purchase's join
+#: window and the unmatched-left nulls flush before the stream ends
+_SS_FLUSH_DIRS: dict[tuple[str, str], str] = register_dict_cache({})
+
+
+def _ss_flush_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SS_FLUSH_DIRS.get(key)
+    if path is None:
+        import os
+        import tempfile
+
+        max_ts = read_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+        path = os.path.join(tempfile.mkdtemp(prefix="ivdp-ss-flush-"), "flush")
+        far = (F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 24 HOURS"))
+        (
+            spark.createDataFrame(
+                [(-1, "purchase"), (-2, "click")],
+                "event_id bigint, event_type string",
+            )
+            .select(
+                "event_id",
+                far.alias("ts"),
+                F.lit(-1).cast("bigint").alias("user_id"),
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _SS_FLUSH_DIRS[key] = path
+    return path
+
+
+@query(
+    "stream_stream_left_outer_counts",
+    oracle="""
+    SELECT a.user_id, a.event_id,
+           COUNT(b.event_id) AS n_clicks,
+           CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))),
+                         0) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts < a.ts
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def stream_stream_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join — the hard mode of
+    the streaming join family: an unmatched purchase may only emit its
+    null-click row once the watermark PROVES no matching click can
+    still arrive (join-state eviction), so the run unions a far-future
+    purchase+click sentinel (advancing both sides' watermarks past
+    every real purchase's window) and enables no-data batches to flush
+    the tail. Aggregated per purchase, every purchase appears exactly
+    once — zero-click purchases with n_clicks = 0 — and the batch
+    LEFT JOIN restates all four columns: a full value check."""
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_click_purchase_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sentinel = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(_ss_flush_dir(spark, sf_dir))
+    )
+    unioned = stream.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(sentinel)
+    joined = run_to_memory(
+        stream_stream_click_purchase_join(unioned, how="left_outer"),
+        "ivdp_ss_left_outer",
+        "append",
+        no_data_batches=True,
+    )
+    return (
+        joined.filter(F.col("user_id") >= 0)
+        .groupBy("user_id", F.col("purchase_id").alias("event_id"))
+        .agg(
+            F.count("click_id").alias("n_clicks"),
+            F.coalesce(F.sum(F.col("value").cast(_DEC)), F.lit(0).cast(_DEC))
+            .cast("double")
+            .alias("click_value"),
+        )
+    )
+
+
 @query(
     "stream_running_totals",
     oracle="""
@@ -383,8 +481,6 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(total_value, n_events)").alias("total_value"),
     )
 
-
-from incubyte_vaccination_data_pipeline_spark.shared_cache import register_dict_cache
 
 #: flush-sentinel scratch dirs per (app, corpus): the sentinel depends
 #: only on max(ts) of the immutable corpus, so warm runs re-stream the

@@ -307,15 +307,26 @@ def stateful_session_gap(
 
 
 def stream_stream_click_purchase_join(
-    stream: DataFrame, window: str = "30 minutes", watermark: str = "10 minutes"
+    stream: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each purchase matched to
-    the same user's clicks in the preceding ``window``.
+    """Watermarked stream-stream join: each purchase matched to the
+    same user's clicks in the preceding ``window``.
 
     Both sides carry watermarks and the join condition bounds event
     time, so Spark can expire join state — the streaming twin of the
     batch ``events_range_join``. Output: one row per (purchase, click)
     match.
+
+    ``how='left_outer'`` additionally emits each UNMATCHED purchase
+    once, with null click columns — but only after the watermark
+    passes the purchase's join window (that is when Spark can prove no
+    matching click can still arrive), so a drive-to-completion caller
+    must advance the final watermark past the last purchase's window
+    (flush sentinel) and enable no-data batches for the tail nulls to
+    flush.
     """
     purchases = (
         stream.filter(F.col("event_type") == "purchase")
@@ -337,7 +348,7 @@ def stream_stream_click_purchase_join(
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") >= F.expr(f"ts - INTERVAL {window}"))
         & (F.col("c_ts") < F.col("ts")),
-        "inner",
+        how,
     ).select("user_id", "purchase_id", "click_id", "ts", "c_ts", "value")
 
 

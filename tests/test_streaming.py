@@ -840,3 +840,71 @@ def test_session_gap_stateful_fuzz_vs_reference(spark, tmp_path):
         assert got == expected, (
             f"seed {seed}: {len(got ^ expected)} differing sessions"
         )
+
+
+def test_stream_stream_left_outer_emits_null_after_eviction(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched purchase emits its
+    null-click row only after the watermark proves no matching click
+    can arrive (join-state eviction via the far-future clock events),
+    while matched purchases emit normally; the far-future clock
+    purchase itself stays unemitted (its window is still open)."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        run_to_memory,
+        stream_stream_click_purchase_join,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+
+    def mk(rows, path, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        df.write.mode("overwrite").parquet(path)
+        for root, _d, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    T = dt.datetime
+    base = _time.time() - 1000
+    src = tmp_path / "lo_arrivals"
+    mk(
+        [
+            (1, T(2024, 1, 1, 10, 0), 1, "purchase", 5.0, "{}"),   # no clicks
+            (2, T(2024, 1, 1, 10, 5), 2, "click", 1.0, "{}"),
+            (3, T(2024, 1, 1, 10, 20), 2, "purchase", 7.0, "{}"),  # matches 2
+        ],
+        str(src / "f1"),
+        base + 10,
+    )
+    mk(
+        [
+            (90, T(2024, 1, 1, 12, 0), 99, "click", 0.0, "{}"),
+            (91, T(2024, 1, 1, 12, 0), 99, "purchase", 0.0, "{}"),
+        ],
+        str(src / "f2"),
+        base + 20,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(str(src))
+    )
+    out = run_to_memory(
+        stream_stream_click_purchase_join(stream, how="left_outer"),
+        "lo_cross_batch",
+        output_mode="append",
+        no_data_batches=True,
+    )
+    rows = sorted(
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in out.collect()
+        if r["user_id"] != 99
+    )
+    assert rows == [(1, 1, None), (2, 3, 2)], rows
