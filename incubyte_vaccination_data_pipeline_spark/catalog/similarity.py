@@ -5,25 +5,29 @@ the Spark expression (``list_reduce`` over index-ordered products), so
 scores match bit-for-bit before the 6-dp round — no reliance on
 DuckDB's SIMD ``list_cosine_similarity`` evaluation order.
 
-``ann_lsh_topk`` / ``ann_ivf_topk`` are approximations, so their
-neighbor sets cannot be restated in SQL; instead each query computes
-its own recall against an in-frame brute-force twin and emits a
-``recall_ok`` boolean the oracle states as literal TRUE (the same
-in-query-assert pattern as ``agg_approx_count_distinct``). Floors are
-set from measured deterministic recall at sf0.001/0.01/0.1
-(LSH 0.38-0.52 aggregate, IVF 0.48-0.62) with margin; the raw
-neighbor-set recall behavior stays pinned in
-``tests/test_training_ops.py`` against the operator functions.
+``ann_lsh_topk`` / ``ann_ivf_topk`` are approximate w.r.t. the TRUE
+top-k, but the approximation algorithms themselves are fully
+deterministic — the LSH planes are ±1 by md5 parity and the IVF
+quantizer is content-addressed seeds + one quantized-integer Lloyd
+step — so since round 6 both carry FULL value-check oracles that
+restate the entire index-build + probe + exact-rerank pipeline in
+DuckDB (plane signs recomputed from ``md5`` *in SQL*, not pasted
+literals, so the oracle does not share the driver-side plane
+codepath).  Cross-engine bit-reproducibility rests on three
+invariants, each pinned where stated:
 
-Certificate-independence caveat (stated for the grader): a
-TRUE-stating oracle only independently validates the RESTATABLE
-columns (query ids, k, floor constants); ``recall_ok`` itself is
-computed against an ``_exact_topk`` twin built by this same repo, so
-a bug shared by twin and certificate would pass both engines. The
-REAL check for these queries is therefore the mandatory
-operator-level neighbor/recall parity tests in
-``tests/test_training_ops.py`` (exact sets vs a numpy reference),
-which this module's floors are calibrated against.
+* every float reduction is an in-order left fold (``_dot_sql`` here,
+  ``aggregate``/``zip_with`` on the Spark side) — never a
+  SIMD/groupBy float sum;
+* the Lloyd mean uses exact BIGINT arithmetic
+  (``sum(floor(val * 2^20)) / (count * 2^20)``,
+  ``operators/similarity.py::ivf_centroids``) so centroid bits do
+  not depend on summation order;
+* every argmax / top-n tie resolves on an explicit integer key
+  (lowest centroid id, lowest neighbor id).
+
+Recall floors vs brute force stay pinned in
+``tests/test_training_ops.py`` against the operator functions.
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ from pyspark.sql import functions as F
 
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
 from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+    MEAN_SCALE,
     cosine_near_dup_pairs,
     topk_bruteforce,
     topk_ivf,
@@ -90,8 +95,7 @@ def ann_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_topk(spark, sf_dir)
 
 
-LSH_RECALL_FLOOR = 0.30  # measured 0.38-0.52 aggregate across sfs
-IVF_RECALL_FLOOR = 0.35  # measured 0.48-0.62 aggregate across sfs
+EMBEDDING_DIMS = 64  # testdata embedding width (mirrors lsh_bucket_expr's default)
 
 #: amortized per (Spark app, sf_dir), mirroring shared_minhash_pairs in
 #: catalog/dedup.py: the exact top-k twin feeds ann_bruteforce_topk AND
@@ -170,51 +174,178 @@ def _ivf_assigned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (spark.sparkContext.applicationId, sf_dir), build
     )
 
-_RECALL_ORACLE = """
-    SELECT count(DISTINCT vec_id) AS n_queries,
-           {k} AS k,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < {nq}
-"""
+def _lsh_oracle() -> str:
+    """Full SQL restatement of the multi-table sign-LSH pipeline.
 
-
-def _recall_certified(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
-    """One-row recall certificate: |approx ∩ exact| / |exact| >= floor.
-
-    Left-joining the exact top-k (the recall denominator) against the
-    approximate neighbor set keeps everything in one frame, so the
-    driver's hash compare fails loudly if a refactor degrades the index
-    below the floor — the oracle states the boolean as literal TRUE.
+    The plane matrix is RECOMPUTED from ``md5(j || '|' || d)`` first-
+    hex-digit parity inside the SQL (``plane`` CTE) — deliberately not
+    pasted from the driver-side ``_plane`` helper, so a bug in the
+    Python plane generator cannot silently agree with the oracle.
+    Bucket bits use the same in-order double fold as the Spark
+    ``aggregate``/``zip_with`` expression, the per-table bucket id is
+    an exact integer sum of shifted bits, candidates are the
+    DISTINCT any-table collisions, and the exact cosine re-rank
+    reuses ``_cos_sql`` with the (cosine DESC, neighbor_id) tie-break.
     """
-    ex = exact.select("query_id", "neighbor_id")
-    ap = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
-    return (
-        ex.join(ap, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.countDistinct("query_id").alias("n_queries"),
-            (
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
-                >= F.lit(floor)
-            ).alias("recall_ok"),
-        )
-        .select("n_queries", F.lit(TOP_K).alias("k"), "recall_ok")
+    np, nt = LSH_N_PLANES, LSH_N_TABLES
+    return f"""
+    WITH plane AS (
+        SELECT j, list(CASE WHEN substr(md5(j::VARCHAR || '|' || d::VARCHAR), 1, 1)
+                            IN ('0','2','4','6','8','a','c','e')
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+                      ORDER BY d) AS pv
+        FROM range(0, {np * nt}) r1(j), range(0, {EMBEDDING_DIMS}) r2(d)
+        GROUP BY j
+    ),
+    bits AS (
+        SELECT e.vec_id, p.j,
+               CASE WHEN {_dot_sql('e.embedding', 'p.pv')} > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, plane p
+    ),
+    buckets AS (
+        SELECT vec_id, j // {np} AS t,
+               CAST(SUM(bit * (1 << ({np} - 1 - (j % {np})))) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, j // {np}
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        WHERE qb.vec_id < {N_QUERY_VECTORS} AND cb.vec_id <> qb.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round({_cos_sql('q.embedding', 'n.embedding')}, 6) AS cosine
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
     )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """
 
 
-@query(
-    "ann_lsh_topk",
-    oracle=_RECALL_ORACLE.format(k=TOP_K, nq=N_QUERY_VECTORS),
-)
+def _ivf_oracle() -> str:
+    """Full SQL restatement of the IVF pipeline: content-addressed
+    seeds (smallest ``md5(vec_id)``), unit-normalization, one Lloyd
+    step with the exact quantized-integer mean
+    (``sum(floor(val * 2^20)) / (count * 2^20)`` — identical BIGINT
+    arithmetic to ``ivf_centroids``), empty-cell fallback to the
+    seed, nearest-cell assignment and n_probe probes with the
+    (score DESC, cid ASC) tie-break, then exact cosine re-rank.
+    """
+    nc, nprobe, scale = IVF_N_CENTROIDS, IVF_N_PROBE, MEAN_SCALE
+    return f"""
+    WITH seed_raw AS (
+        SELECT sid, embedding FROM (
+            SELECT embedding,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sid
+            FROM embeddings)
+        WHERE sid < {nc}
+    ),
+    seed AS (
+        SELECT sid,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) /
+                        CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS sv
+        FROM (SELECT sid, embedding,
+                     sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+              FROM seed_raw)
+    ),
+    a0 AS (
+        SELECT e.vec_id, s.sid, {_dot_sql('e.embedding', 's.sv')} AS score
+        FROM embeddings e CROSS JOIN seed s
+    ),
+    cid0 AS (
+        SELECT vec_id, sid AS cid FROM (
+            SELECT vec_id, sid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, sid) AS rn
+            FROM a0)
+        WHERE rn = 1
+    ),
+    expl AS (
+        SELECT c.cid,
+               unnest(e.embedding) AS val,
+               unnest(range(len(e.embedding))) AS pos
+        FROM cid0 c JOIN embeddings e USING (vec_id)
+    ),
+    mean AS (
+        SELECT cid, pos,
+               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {scale}) AS BIGINT))
+                    AS DOUBLE) / (COUNT(*) * {scale}.0) AS mv
+        FROM expl GROUP BY cid, pos
+    ),
+    meanvec AS (
+        SELECT cid, list(mv ORDER BY pos) AS mvec FROM mean GROUP BY cid
+    ),
+    meannorm AS (
+        SELECT cid, mvec, sqrt({_dot_sql('mvec', 'mvec')}) AS nrm FROM meanvec
+    ),
+    cent AS (
+        SELECT s.sid AS cid,
+               COALESCE(
+                   list_transform(m.mvec,
+                       x -> x / CASE WHEN m.nrm = 0 THEN 1.0 ELSE m.nrm END),
+                   s.sv) AS cv
+        FROM seed s LEFT JOIN meannorm m ON m.cid = s.sid
+    ),
+    a1 AS (
+        SELECT e.vec_id, c.cid, {_dot_sql('e.embedding', 'c.cv')} AS score
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, cid FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+            FROM a1)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+            FROM a1 WHERE vec_id < {N_QUERY_VECTORS})
+        WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM probes p JOIN assigned a USING (cid)
+        WHERE a.neighbor_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round({_cos_sql('q.embedding', 'n.embedding')}, 6) AS cosine
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("ann_lsh_topk", oracle=_lsh_oracle())
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH approximate top-10 (4 tables x 4 hyperplanes):
     the 100 TB scale path — per query, candidates shrink to
     ~n_tables/2^n_planes of the corpus while any-table collision keeps
-    recall. Emits a one-row recall certificate vs an in-frame
-    brute-force twin (see module docstring); neighbor-level behavior
-    is pinned in tests against ``topk_lsh`` directly."""
+    recall. Full value check since round 6: the deterministic planes
+    make the whole pipeline restatable, so the oracle recomputes the
+    plane signs from md5 in SQL and replays banding, candidate join,
+    and exact re-rank (module docstring).  Recall vs brute force
+    stays pinned in tests against ``topk_lsh``."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
-    approx = topk_lsh(
+    return topk_lsh(
         None,
         queries,
         k=TOP_K,
@@ -222,24 +353,22 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=LSH_N_TABLES,
         banded_corpus=_lsh_index(spark, sf_dir),
     )
-    return _recall_certified(_exact_topk(spark, sf_dir), approx, LSH_RECALL_FLOOR)
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=_RECALL_ORACLE.format(k=TOP_K, nq=N_QUERY_VECTORS),
-)
+@query("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (16-cell coarse quantizer, probe 4):
     the data-adapted ANN path alongside LSH — cells follow the actual
     embedding distribution, so candidate lists concentrate where the
     data does. Per query only ~n_probe/n_centroids of the corpus is
-    scored. Emits a one-row recall certificate vs an in-frame
-    brute-force twin (see module docstring); neighbor-level behavior
-    is pinned in tests against ``topk_ivf`` directly."""
+    scored. Full value check since round 6: content-addressed seeds +
+    the quantized-integer Lloyd mean make the quantizer bit-
+    reproducible, so the oracle rebuilds centroids and replays
+    assignment, probing, and exact re-rank (module docstring).
+    Recall vs brute force stays pinned in tests against ``topk_ivf``."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
-    approx = topk_ivf(
+    return topk_ivf(
         None,
         queries,
         k=TOP_K,
@@ -248,7 +377,6 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=_ivf_index(spark, sf_dir),
         assigned_corpus=_ivf_assigned_index(spark, sf_dir),
     )
-    return _recall_certified(_exact_topk(spark, sf_dir), approx, IVF_RECALL_FLOOR)
 
 
 @query(

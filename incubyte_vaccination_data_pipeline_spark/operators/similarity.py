@@ -289,6 +289,13 @@ def topk_lsh(
     )
 
 
+#: Lloyd-mean quantization scale (2^20): float32 * 2^20 is exact in
+#: double, so the per-(cell, dim) sum is an exact BIGINT aggregate —
+#: order-independent and engine-independent.  Shared with the
+#: centroid oracle restatement in catalog/similarity.py.
+MEAN_SCALE = 1 << 20
+
+
 def _unit(vec: list[float]) -> list[float]:
     n = sum(x * x for x in vec) ** 0.5 or 1.0
     return [x / n for x in vec]
@@ -323,6 +330,17 @@ def ivf_centroids(
     build would run on a hash-sampled fraction — the assign/search
     path is unchanged). Only ``n_centroids x dims`` floats are ever
     collected to the driver.
+
+    The Lloyd mean is computed in *quantized integer* arithmetic:
+    ``sum(floor(val * 2^20)) / (count * 2^20)``.  float32 x 2^20 is
+    exact in double (24 + 20 bits < 53), the BIGINT sum is exact and
+    order-independent, and the single final division is correctly
+    rounded — so the centroids are bit-identical regardless of
+    partitioning, task order, or engine.  A plain float ``avg`` is
+    summation-order-dependent, which would make the quantizer (and
+    hence every IVF candidate set) irreproducible across engines —
+    this is what lets ``ann_ivf_topk`` carry a full value-check
+    DuckDB oracle instead of a recall certificate.
     """
     seeds = [
         _unit([float(x) for x in r[0]])
@@ -342,12 +360,21 @@ def ivf_centroids(
         means = (
             assigned.select("__cid", F.posexplode("__v").alias("__pos", "__val"))
             .groupBy("__cid", "__pos")
-            .agg(F.avg(F.col("__val").cast("double")).alias("__m"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("__val").cast("double") * F.lit(float(MEAN_SCALE))
+                    ).cast("long")
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
             .collect()
         )
         by_cid: dict[int, list[float]] = {}
         for r in means:
-            by_cid.setdefault(r["__cid"], [0.0] * dims)[r["__pos"]] = r["__m"]
+            by_cid.setdefault(r["__cid"], [0.0] * dims)[r["__pos"]] = r["__s"] / (
+                r["__n"] * MEAN_SCALE
+            )
         seeds = [
             _unit(by_cid[c]) if c in by_cid else seeds[c]
             for c in range(len(seeds))
