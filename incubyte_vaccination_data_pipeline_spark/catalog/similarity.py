@@ -38,10 +38,14 @@ from pyspark.sql import functions as F
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
 from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
     MEAN_SCALE,
+    PQ_K,
+    PQ_M,
+    PQ_SHORTLIST,
     cosine_near_dup_pairs,
     topk_bruteforce,
     topk_ivf,
     topk_lsh,
+    topk_pq,
 )
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
 
@@ -115,6 +119,8 @@ _SHARED_EXACT = BoundedCache()
 _SHARED_CENTROIDS = BoundedCache()
 _SHARED_LSH_INDEX = BoundedCache()
 _SHARED_IVF_INDEX = BoundedCache()
+_SHARED_PQ_CODEBOOKS = BoundedCache()
+_SHARED_PQ_INDEX = BoundedCache()
 
 LSH_N_PLANES = 4
 LSH_N_TABLES = 4
@@ -376,6 +382,181 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=IVF_N_PROBE,
         centroids=_ivf_index(spark, sf_dir),
         assigned_corpus=_ivf_assigned_index(spark, sf_dir),
+    )
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """The trained PQ codebooks (PQ_M x PQ_K x sub_dim floats), built
+    once per (app, corpus) — the quantizer half of the PQ index."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import pq_codebooks
+
+    return _SHARED_PQ_CODEBOOKS.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: pq_codebooks(read_table(spark, sf_dir, "embeddings")),
+    )
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted PQ index: (neighbor_id, codes) — PQ_M small ints
+    per vector instead of 4 x dims bytes of float; at warehouse scale
+    this is the table the hot search path scans INSTEAD of the raw
+    embedding column (32x less I/O per probe)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import pq_encoded
+
+    def build() -> DataFrame:
+        emb = read_table(spark, sf_dir, "embeddings")
+        return pq_encoded(emb, _pq_codebooks(spark, sf_dir)).persist()
+
+    return _SHARED_PQ_INDEX.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+PQ_SUB_DIM = EMBEDDING_DIMS // PQ_M
+
+
+def _pq_d2_sql(emb: str, moff: str, cw: str) -> str:
+    """In-order squared-L2 of a subvector (element-indexed from the
+    full array at offset ``moff``) to a codeword list — the SQL twin
+    of ``operators.similarity._dist2_lit``'s fold."""
+    sd = PQ_SUB_DIM
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, {sd} + 1),"
+        f" i -> (CAST({emb}[{moff} + i] AS DOUBLE) - {cw}[i])"
+        f"      * (CAST({emb}[{moff} + i] AS DOUBLE) - {cw}[i]))),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _pq_oracle() -> str:
+    """Full SQL restatement of the PQ pipeline: content-addressed
+    seed codewords (m-th subvector of the PQ_K smallest-md5 vectors),
+    one Lloyd step with the exact quantized-integer mean and
+    empty-cell fallback, nearest-codeword encoding (d2 ASC, cid ASC
+    tie-break), then the ADC score — per (query, neighbor) the PQ_M
+    lookup terms are folded in subspace order (``list(t ORDER BY m)``
+    + in-order ``list_reduce``), matching the Spark-side LUT fold
+    bit-for-bit."""
+    m, nc, sd, scale = PQ_M, PQ_K, PQ_SUB_DIM, MEAN_SCALE
+    return f"""
+    WITH seed_raw AS (
+        SELECT sid, embedding FROM (
+            SELECT embedding, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sid
+            FROM embeddings) WHERE sid < {nc}
+    ),
+    subseed AS (
+        SELECT r1.m, s.sid AS cid,
+               list_transform(s.embedding[r1.m*{sd}+1 : r1.m*{sd}+{sd}],
+                              x -> CAST(x AS DOUBLE)) AS cw
+        FROM range(0, {m}) r1(m), seed_raw s
+    ),
+    e0 AS (
+        SELECT e.vec_id, ss.m, ss.cid,
+               {_pq_d2_sql('e.embedding', f'ss.m*{sd}', 'ss.cw')} AS d2
+        FROM embeddings e, subseed ss
+    ),
+    code0 AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn FROM e0)
+        WHERE rn = 1
+    ),
+    mstats AS (
+        SELECT c.m, c.cid, r2.d,
+               CAST(SUM(CAST(floor(CAST(e.embedding[c.m*{sd} + r2.d + 1] AS DOUBLE)
+                                    * {scale}) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * {scale}.0) AS mv
+        FROM code0 c JOIN embeddings e USING (vec_id), range(0, {sd}) r2(d)
+        GROUP BY c.m, c.cid, r2.d
+    ),
+    refined AS (
+        SELECT m, cid, list(mv ORDER BY d) AS cw2 FROM mstats GROUP BY m, cid
+    ),
+    cb AS (
+        SELECT ss.m, ss.cid, COALESCE(r.cw2, ss.cw) AS cw
+        FROM subseed ss LEFT JOIN refined r ON r.m = ss.m AND r.cid = ss.cid
+    ),
+    e1 AS (
+        SELECT e.vec_id, b.m, b.cid,
+               {_pq_d2_sql('e.embedding', f'b.m*{sd}', 'b.cw')} AS d2
+        FROM embeddings e, cb b
+    ),
+    codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn FROM e1)
+        WHERE rn = 1
+    ),
+    term AS (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.m,
+               {_pq_d2_sql('q.embedding', f'x.m*{sd}', 'b.cw')} AS t
+        FROM codes x
+        JOIN cb b ON b.m = x.m AND b.cid = x.cid
+        JOIN embeddings q ON q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> x.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(t ORDER BY m)), (x, y) -> x + y), 6) AS adc_dist
+        FROM term GROUP BY query_id, neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
+            FROM scored)
+        WHERE rn <= {PQ_SHORTLIST}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, len(x.embedding) + 1),
+                       i -> (CAST(x.embedding[i] AS DOUBLE)
+                             - CAST(q.embedding[i] AS DOUBLE))
+                            * (CAST(x.embedding[i] AS DOUBLE)
+                               - CAST(q.embedding[i] AS DOUBLE)))),
+                   (a, b) -> a + b), 6) AS dist2
+        FROM short s
+        JOIN embeddings x ON x.vec_id = s.neighbor_id
+        JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id) AS rank
+        FROM rer
+    )
+    SELECT query_id, neighbor_id, dist2, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-10 (16 subspaces x 16
+    codewords + exact re-rank of the ADC top-50): the memory-
+    compression ANN path — a 64-dim float32 vector (256 B) stores as
+    16 nibble codes (8 B, 32x), so a 100 TB corpus' search structure
+    fits in RAM and the hot scan reads codes, not floats
+    (Jegou/Douze/Schmid, TPAMI 2011, incl. the +R shortlist
+    refinement).  Scoring is asymmetric distance (ADC): a per-query
+    PQ_M x PQ_K lookup table of exact subvector distances is built
+    driver-side (bounded: 5 queries) and folded in subspace order
+    over each vector's codes; the top-50 ADC candidates then re-rank
+    by exact squared L2 (a point-lookup join against the raw table).
+    Everything is deterministic (content-addressed seeds, quantized-
+    integer Lloyd mean, lowest-id tie-breaks), so the oracle restates
+    the complete train + encode + ADC + re-rank pipeline in SQL;
+    recall vs exact L2 is pinned in tests against ``topk_pq``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return topk_pq(
+        None,
+        queries,
+        k=TOP_K,
+        codebooks=_pq_codebooks(spark, sf_dir),
+        encoded_corpus=_pq_index(spark, sf_dir),
+        rerank_corpus=emb,
     )
 
 

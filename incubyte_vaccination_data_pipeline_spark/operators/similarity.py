@@ -555,3 +555,261 @@ def cosine_near_dup_pairs(
         .filter((F.col("cosine") >= threshold) | (F.col("__fence") < -1))
         .drop("__fence")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression ANN path.
+#
+# A 64-dim float32 vector is 256 bytes; its PQ code (PQ_M subspaces x
+# one 4-bit codeword each) stores in PQ_M/2 bytes nibble-packed, a
+# 32x shrink — the design that lets a 100 TB embedding corpus fit an
+# in-memory index (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public literature, cited for
+# the algorithm shape only).  Search is ADC over the codes followed
+# by an exact re-rank of the top-``shortlist`` candidates (the
+# paper's IVFADC+R refinement — on near-uniform vectors 4-bit raw
+# ADC ranking alone has large quantization error; the shortlist
+# re-rank restores recall while still scanning only codes).
+# Everything is deterministic so the whole pipeline is restatable as
+# a DuckDB oracle: codebook seeds are content-addressed (smallest
+# md5(vec_id), the ivf_centroids recipe), the one Lloyd refinement
+# uses the exact quantized-integer mean, every argmin breaks ties on
+# the lowest code id, and the ADC score folds its PQ_M lookup terms
+# in subspace order.
+# ---------------------------------------------------------------------------
+
+PQ_M = 16         # subspaces (64 dims / 16 = 4-dim subvectors)
+PQ_K = 16         # codewords per subspace (4-bit codes)
+PQ_SHORTLIST = 50  # ADC candidates kept per query for exact re-rank
+
+
+def _sub_sql(vec_col: str, m: int, sub_dim: int) -> str:
+    """1-based slice of subspace ``m`` from an array column."""
+    return f"slice({vec_col}, {m * sub_dim + 1}, {sub_dim})"
+
+
+def _dist2_lit(vec_sql: str, centroid: list[float]) -> str:
+    """In-order squared-L2 distance of a (sub)vector expression to a
+    literal centroid — the same left-fold shape as ``_dot_lit`` so the
+    oracle's ``list_reduce`` restatement is bit-identical."""
+    arr = "array(" + ", ".join(f"{w!r}D" for w in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr},"
+        f" (x, w) -> (cast(x as double) - w) * (cast(x as double) - w)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def pq_encode_expr(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """PQ code array (one int per subspace) as a pure per-row
+    expression: per subspace, the index of the nearest codeword by
+    squared L2, ties to the lowest code id (``array_position`` finds
+    the FIRST minimum)."""
+    sub_dim = len(codebooks[0][0])
+    per_m = []
+    for m, cb in enumerate(codebooks):
+        sub = _sub_sql(vec_col, m, sub_dim)
+        scores = "array(" + ", ".join(_dist2_lit(sub, c) for c in cb) + ")"
+        per_m.append(
+            f"cast(array_position({scores}, array_min({scores})) - 1 as int)"
+        )
+    return F.expr("array(" + ", ".join(per_m) + ")")
+
+
+def pq_codebooks(
+    df: DataFrame,
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the PQ codebooks: ``n_sub`` independent ``n_codes``-way
+    quantizers over the corpus' subvectors.
+
+    Seeds are the ``n_codes`` vectors with the smallest ``md5(id)``
+    (each contributes its m-th subvector to subspace m — the same
+    content-addressed sample as ``ivf_centroids``, so seeds are
+    engine- and run-independent), refined by ONE distributed Lloyd
+    step whose per-(subspace, code, dimension) mean uses the exact
+    quantized-integer arithmetic (``sum(floor(val * 2^20)) /
+    (count * 2^20)``) — order-independent, hence bit-reproducible in
+    the DuckDB oracle restatement.  Unlike IVF coarse centroids, PQ
+    codewords are NOT unit-normalized: they quantize raw subvectors
+    under squared L2.  Only ``n_sub x n_codes x sub_dim`` floats ever
+    reach the driver."""
+    seed_rows = (
+        df.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h", F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    dims = len(seed_rows[0][0])
+    sub_dim = dims // n_sub
+    seeds = [
+        [
+            [float(x) for x in r[0][m * sub_dim : (m + 1) * sub_dim]]
+            for r in seed_rows
+        ]
+        for m in range(n_sub)
+    ]
+    enc = df.select(
+        F.col(vec_col).alias("__v"),
+        pq_encode_expr(vec_col, seeds).alias("__codes"),
+    )
+    stats = (
+        enc.select(F.posexplode("__v").alias("__pos", "__val"), "__codes")
+        .select(
+            F.expr(f"__pos div {sub_dim}").alias("__m"),
+            F.expr(f"element_at(__codes, cast(__pos div {sub_dim} as int) + 1)")
+            .alias("__cid"),
+            F.expr(f"__pos % {sub_dim}").alias("__d"),
+            F.col("__val"),
+        )
+        .groupBy("__m", "__cid", "__d")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("__val").cast("double") * F.lit(float(MEAN_SCALE))
+                ).cast("long")
+            ).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .collect()
+    )
+    by_mc: dict[tuple[int, int], list[float]] = {}
+    for r in stats:
+        by_mc.setdefault((r["__m"], r["__cid"]), [0.0] * sub_dim)[r["__d"]] = r[
+            "__s"
+        ] / (r["__n"] * MEAN_SCALE)
+    return [
+        [
+            by_mc.get((m, c), seeds[m][c])
+            for c in range(n_codes)
+        ]
+        for m in range(n_sub)
+    ]
+
+
+def pq_encoded(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ index: one row per corpus vector carrying only (id,
+    codes) — at warehouse scale this is the table that replaces the
+    raw float column in the hot search path (PQ_M bytes per vector
+    instead of 4 x dims)."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_expr(vec_col, codebooks).alias("codes"),
+    )
+
+
+def topk_pq(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    encoded_corpus: DataFrame | None = None,
+    rerank_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance + exact re-rank.
+
+    Stage 1 (ADC): per query the ``n_sub x n_codes`` lookup table of
+    exact squared-L2 distances from the query's subvectors to every
+    codeword is built driver-side (queries are a bounded batch — the
+    same metadata-scale collect as the IVF centroid build) and
+    embedded as a literal array; scoring a corpus vector is then
+    ``n_sub`` table lookups folded in subspace order — no float
+    arithmetic against raw corpus vectors, which is the point of PQ:
+    the hot scan reads nibble-codes, not 4x64-byte floats.  The top
+    ``shortlist`` candidates per query survive (adc ASC, id tie).
+
+    Stage 2 (re-rank): the shortlist (|queries| x shortlist rows,
+    broadcast) joins back to the raw vector table by id — at
+    warehouse scale a point-lookup against the id-sorted parquet,
+    here a broadcast hash join probe of the scan — and exact squared
+    L2 re-ranks to the final k.  Returns (query_id, neighbor_id,
+    dist2, rank): dist2 is the EXACT squared L2 (6 dp), lower is
+    better, ties break on neighbor id.  Recall vs exact search is
+    pinned in tests."""
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, n_sub=n_sub, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    c = (
+        encoded_corpus
+        if encoded_corpus is not None
+        else pq_encoded(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    )
+    raw = rerank_corpus if rerank_corpus is not None else corpus
+    sub_dim = len(codebooks[0][0])
+    q_rows = queries.select(id_col, vec_col).collect()
+    lut_rows = []
+    for r in q_rows:
+        vec = [float(x) for x in r[1]]
+        lut: list[float] = []
+        for m in range(n_sub):
+            sub = vec[m * sub_dim : (m + 1) * sub_dim]
+            for cw in codebooks[m]:
+                acc = 0.0
+                for x, w in zip(sub, cw):
+                    d = x - w
+                    acc += d * d
+                lut.append(acc)
+        lut_rows.append((int(r[0]), lut, vec))
+    spark = queries.sparkSession
+    q = spark.createDataFrame(
+        lut_rows, schema="query_id bigint, lut array<double>, qv array<double>"
+    )
+    adc = F.expr(
+        f"""
+        aggregate(transform(sequence(0, {n_sub - 1}),
+                  m -> element_at(lut, m * {n_codes} + element_at(codes, m + 1) + 1)),
+                  cast(0.0 as double), (acc, v) -> acc + v)
+        """
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    short = (
+        c.crossJoin(F.broadcast(q.select("query_id", "lut")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(adc, 6).alias("adc_dist"))
+        .withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    exact_d2 = F.expr(
+        """
+        aggregate(zip_with(cv, qv, (x, q) -> (cast(x as double) - q)
+                                             * (cast(x as double) - q)),
+                  cast(0.0 as double), (acc, v) -> acc + v)
+        """
+    )
+    reranked = (
+        raw.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .join(F.broadcast(short), on="neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), on="query_id")
+        .select(
+            "query_id", "neighbor_id", F.round(exact_d2, 6).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id")
+    )
+    return reranked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -63,7 +63,7 @@ def test_ann_warm_path_probes_cached_index(spark, sf_dir):
     index subtree once the first run materialized it."""
     from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
 
-    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk"):
         QUERIES[name](spark, sf_dir).count()  # build + materialize index
         plan = (
             QUERIES[name](spark, sf_dir)

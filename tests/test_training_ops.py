@@ -122,6 +122,60 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert hit / total >= 0.35
 
 
+def test_pq_recall_vs_exact_l2(spark, sf_dir):
+    """PQ ADC + exact-re-rank top-10 against an independent numpy
+    exact squared-L2 reference (not the repo's own brute force).
+    Measured recall: 0.84 / 0.72 / 0.56 at sf0.001/0.01/0.1 — it
+    shrinks with corpus size because the ADC shortlist is fixed at 50
+    while the true top-10 gets more crowded; production scales the
+    shortlist with the corpus. Floor set with margin under the
+    weakest (largest) measured point."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import topk_pq
+
+    emb, queries = _ann_inputs(spark, sf_dir)
+    approx = topk_pq(emb, queries, k=10).collect()
+    asets: dict[int, set[int]] = {}
+    for r in approx:
+        asets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert r["dist2"] >= 0
+    t = papq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    V = np.stack(t.embedding.values).astype(np.float64)
+    ids = t.vec_id.values
+    hit = tot = 0
+    for qid in sorted(asets):
+        qv = V[ids == qid][0]
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        d2[ids == qid] = np.inf
+        exact = set(ids[np.lexsort((ids, d2))[:10]])
+        assert len(asets[qid]) == 10
+        hit += len(exact & asets[qid])
+        tot += 10
+    assert hit / tot >= 0.45, f"pq recall {hit / tot}"
+
+
+def test_pq_codes_are_nibble_range(spark, sf_dir):
+    """Every PQ code is in [0, PQ_K): the 4-bit storage claim (the
+    32x compression argument) holds only if codes fit a nibble."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codebooks,
+        pq_encoded,
+    )
+    from pyspark.sql import functions as F
+
+    emb, _ = _ann_inputs(spark, sf_dir)
+    enc = pq_encoded(emb, pq_codebooks(emb))
+    bad = enc.filter(
+        F.exists("codes", lambda c: (c < 0) | (c >= PQ_K))
+        | (F.size("codes") != PQ_M)
+    ).count()
+    assert bad == 0
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     a = QUERIES["multimodal_features"](spark, sf_dir).orderBy("doc_id").limit(5).collect()
     b = QUERIES["multimodal_features"](spark, sf_dir).orderBy("doc_id").limit(5).collect()
