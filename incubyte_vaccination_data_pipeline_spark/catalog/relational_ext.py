@@ -782,3 +782,50 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             eff_to.isNull().alias("is_current_version"),
         )
     )
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join filter (semi-join reduction): the
+    selective customer predicate's key set is sketched into a fixed
+    2 KiB deterministic Bloom bitmap (md5-sliced bit positions,
+    ``operators/bloom.py``) and pushed as a pure scan-side
+    ``might_contain`` predicate on the orders fact BEFORE the join —
+    the explicit form of Spark's own ``InjectRuntimeFilter`` rule,
+    which at 100 TB kills most non-matching fact rows before any
+    exchange. No false negatives by construction, so the oracle
+    states the PLAIN join: the Bloom-pruned result must equal it
+    bit-for-bit (false positives are removed by the exact broadcast
+    join). Plan guard: the forall bit-test sits in the fact scan
+    stage; the dim side is a BroadcastHashJoin.
+    """
+    from incubyte_vaccination_data_pipeline_spark.operators.bloom import (
+        bloom_filtered_join,
+    )
+
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000))
+        .select("c_custkey")
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        bloom_filtered_join(orders, cust, "o_custkey", "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+        )
+    )

@@ -879,3 +879,18 @@ def test_keep_best_single_shuffle_past_pair_cache(spark, sf_dir):
         r"Exchange hashpartitioning\(cluster_id", plan
     )
     assert len(cluster_exchanges) == 1, plan.count("Exchange")
+
+
+def test_bloom_runtime_filter_shape(spark, sf_dir):
+    """The Bloom bit-test must sit in the fact side's scan stage
+    (a Filter containing the forall over the literal word array,
+    BEFORE any join), and the exact dim join must broadcast — the
+    runtime-filter posture: at 100 TB the probe rows that fail the
+    Bloom die before the exchange."""
+    plan = _plan(QUERIES["join_bloom_runtime_filter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "exact dim join must broadcast"
+    bhj = plan.index("BroadcastHashJoin")
+    assert "forall" in plan[bhj:], (
+        "bloom might_contain must filter the probe side below the join"
+    )
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan

@@ -722,3 +722,44 @@ def test_pca_direction_matches_numpy(spark, sf_dir):
     assert rayleigh(v) > rayleigh(np.ones(64)), (
         "power iteration must increase the Rayleigh quotient"
     )
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark, sf_dir):
+    """Bloom semi-join reduction invariants: (1) every true-matching
+    fact row passes the filter (no false negatives — the property the
+    oracle's plain-join restatement relies on); (2) the filter
+    actually prunes (passes well under the full fact count); (3) the
+    bitmap collect is fixed-size metadata."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.bloom import (
+        BLOOM_WORDS,
+        build_bloom_words,
+        might_contain_expr,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000))
+        .select("c_custkey")
+    )
+    words = build_bloom_words(cust, "c_custkey")
+    assert len(words) == BLOOM_WORDS
+    orders = read_table(spark, sf_dir, "orders")
+    passed = orders.filter(might_contain_expr("o_custkey", words))
+    true_rows = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_semi"
+    )
+    n_total = orders.count()
+    n_pass, n_true = passed.count(), true_rows.count()
+    # superset: a true match never fails the bloom
+    assert true_rows.join(
+        passed.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count() == 0
+    assert n_true <= n_pass
+    # effectiveness: the whole point is pruning before the exchange
+    assert n_pass < 0.5 * n_total, (n_pass, n_total)
+    # false-positive rate within an order of magnitude of theory
+    fp = (n_pass - n_true) / max(1, n_total - n_true)
+    assert fp < 0.05, fp
