@@ -829,3 +829,141 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
         )
     )
+
+
+_Z_BITS = 16          # per-dimension resolution of the Morton code
+_Z_FILE_LOG2 = 4      # 2^4 = 16 planned files per layout
+
+_MORTON_SQL_SPARK = (
+    f"aggregate(sequence(0, {_Z_BITS - 1}), cast(0 as bigint),"
+    " (acc, i) -> acc"
+    " + shiftleft(cast((shiftright(xn, i) & 1) as bigint), 2*i)"
+    " + shiftleft(cast((shiftright(yn, i) & 1) as bigint), 2*i + 1))"
+)
+
+
+@query(
+    "layout_zorder_zonemap",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+               date_diff('day', DATE '2000-01-01',
+                         CAST(o_orderdate AS DATE)) AS dd
+        FROM orders
+    ),
+    b AS (
+        SELECT MIN(ck) AS mnx, MAX(ck) AS mxx,
+               MIN(dd) AS mny, MAX(dd) AS mxy
+        FROM base
+    ),
+    n AS (
+        SELECT ck, od,
+               ((ck - mnx) * 65535) // GREATEST(mxx - mnx, 1) AS xn,
+               ((dd - mny) * 65535) // GREATEST(mxy - mny, 1) AS yn
+        FROM base, b
+    ),
+    z AS (
+        SELECT ck, od, yn,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, {_Z_BITS}),
+                       i -> (CAST((xn >> i) & 1 AS BIGINT) << (2*i))
+                            + (CAST((yn >> i) & 1 AS BIGINT) << (2*i + 1)))),
+                   (a, v) -> a + v) AS zv
+        FROM n
+    ),
+    f AS (
+        SELECT 'zorder' AS layout,
+               CAST(zv >> {2 * _Z_BITS - _Z_FILE_LOG2} AS INTEGER) AS file_id,
+               ck, od
+        FROM z
+        UNION ALL
+        SELECT 'linear' AS layout,
+               CAST(yn >> {_Z_BITS - _Z_FILE_LOG2} AS INTEGER) AS file_id,
+               ck, od
+        FROM z
+    )
+    SELECT layout, file_id, COUNT(*) AS n_rows,
+           MIN(ck) AS min_custkey, MAX(ck) AS max_custkey,
+           MIN(od) AS min_date, MAX(od) AS max_date,
+           MAX(ck) - MIN(ck) AS custkey_span,
+           date_diff('day', MIN(od), MAX(od)) AS date_span_days
+    FROM f
+    GROUP BY layout, file_id
+    """,
+)
+def layout_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data-layout planner with zone-map
+    statistics — the ``OPTIMIZE ZORDER BY`` pattern of 100 TB lake
+    formats, stated as a pure scan expression: both clustering
+    dimensions (customer key, order date) normalize to 16-bit rank
+    space via exact integer arithmetic against a one-row min/max
+    aggregate (broadcast — the sanctioned one-row crossJoin), their
+    bits interleave into a 32-bit Morton code, and the planned file
+    is the code's top-4-bit prefix. NO global sort: fixed z-prefix
+    ranges are the ``repartitionByRange`` keys a layout rewrite would
+    write with, so file assignment parallelizes like any projection.
+    The output is each planned file's zone map (min/max of BOTH
+    dimensions) for the z-order layout next to the naive date-linear
+    layout: linear files are tight on date but span the full customer
+    range (a customer-key predicate prunes nothing), z-order files
+    bound BOTH spans (either predicate prunes ~sqrt fraction of
+    files) — the measurable pay-off the semantics test pins.
+    The write-path twin is ``operators/partitioning.py:zorder_layout``
+    (repartitionByRange on the interleaved key, real parquet files,
+    file-skipping asserted in
+    ``test_zorder_layout_skips_files_in_both_dimensions``); this
+    query is its driver-value-checked planning surface.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2000-01-01"))
+        .cast("bigint")
+        .alias("dd"),
+    )
+    bounds = base.agg(
+        F.min("ck").alias("mnx"),
+        F.max("ck").alias("mxx"),
+        F.min("dd").alias("mny"),
+        F.max("dd").alias("mxy"),
+    )
+    n = base.crossJoin(F.broadcast(bounds)).select(
+        "ck",
+        "od",
+        F.expr("((ck - mnx) * 65535) div greatest(mxx - mnx, 1)").alias("xn"),
+        F.expr("((dd - mny) * 65535) div greatest(mxy - mny, 1)").alias("yn"),
+    )
+    z = n.select("ck", "od", "yn", F.expr(_MORTON_SQL_SPARK).alias("zv"))
+    f = z.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(
+                        f"cast(shiftright(zv, {2 * _Z_BITS - _Z_FILE_LOG2}) as int)"
+                    ).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(
+                        f"cast(shiftright(yn, {_Z_BITS - _Z_FILE_LOG2}) as int)"
+                    ).alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+        "ck",
+        "od",
+    )
+    return (
+        f.groupBy(F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("min_custkey"),
+            F.max("ck").alias("max_custkey"),
+            F.min("od").alias("min_date"),
+            F.max("od").alias("max_date"),
+            (F.max("ck") - F.min("ck")).alias("custkey_span"),
+            F.datediff(F.max("od"), F.min("od")).cast("bigint").alias("date_span_days"),
+        )
+    )

@@ -894,3 +894,17 @@ def test_bloom_runtime_filter_shape(spark, sf_dir):
         "bloom might_contain must filter the probe side below the join"
     )
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_zorder_layout_no_global_sort_or_window(spark, sf_dir):
+    """File assignment must be a pure scan expression: fixed z-prefix
+    ranges, not ntile/row_number over a global order — the plan may
+    contain no Window and no range-partitioning exchange (the 100 TB
+    rewrite is repartitionByRange on the precomputed file_id, never a
+    single-task global sort)."""
+    plan = _plan(QUERIES["layout_zorder_zonemap"](spark, sf_dir))
+    assert "Window" not in plan, "layout must not use a global window"
+    assert "rangepartitioning" not in plan, "no global sort exchange"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "the one-row min/max bounds must broadcast"
+    )

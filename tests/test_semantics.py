@@ -763,3 +763,32 @@ def test_bloom_filter_no_false_negatives_and_prunes(spark, sf_dir):
     # false-positive rate within an order of magnitude of theory
     fp = (n_pass - n_true) / max(1, n_total - n_true)
     assert fp < 0.05, fp
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir):
+    """The point of Z-ORDER: each planned file's zone map is tight on
+    BOTH clustering dimensions (so a predicate on either prunes
+    files), while the naive date-linear layout leaves the customer
+    dimension unpruned (every file spans ~the full key range). Also:
+    both layouts partition all rows."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    rows = QUERIES["layout_zorder_zonemap"](spark, sf_dir).collect()
+    zs = [r for r in rows if r["layout"] == "zorder"]
+    ls = [r for r in rows if r["layout"] == "linear"]
+    n_orders = read_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_rows"] for r in zs) == n_orders
+    assert sum(r["n_rows"] for r in ls) == n_orders
+    z_ck = sum(r["custkey_span"] for r in zs) / len(zs)
+    l_ck = sum(r["custkey_span"] for r in ls) / len(ls)
+    # linear layout: every file spans ~the whole customer range;
+    # z-order bounds it to a fraction (2 prefix bits per dim -> ~1/4)
+    assert z_ck < 0.5 * l_ck, (z_ck, l_ck)
+    # ... while still bounding the date dimension well under its full
+    # range (the multi-dimensional tradeoff both-ways)
+    full_dt = max(r["max_date"] for r in rows if r["layout"] == "linear")
+    min_dt = min(r["min_date"] for r in rows if r["layout"] == "linear")
+    full_span = (full_dt - min_dt).days
+    z_dt = sum(r["date_span_days"] for r in zs) / len(zs)
+    assert z_dt < 0.8 * full_span, (z_dt, full_span)
