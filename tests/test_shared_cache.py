@@ -63,7 +63,7 @@ def test_ann_warm_path_probes_cached_index(spark, sf_dir):
     index subtree once the first run materialized it."""
     from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
 
-    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk"):
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
         QUERIES[name](spark, sf_dir).count()  # build + materialize index
         plan = (
             QUERIES[name](spark, sf_dir)
@@ -75,3 +75,19 @@ def test_ann_warm_path_probes_cached_index(spark, sf_dir):
             f"{name}: warm plan re-hashes the corpus instead of probing "
             f"the cached index"
         )
+    # the PQ index is localCheckpointed (lineage truncated to the
+    # compact (id, codes) RDD scan), so its warm marker is the absence
+    # of the encode lattice — array_position over the 16x16 literal
+    # codeword distances — rather than an InMemoryRelation subtree
+    QUERIES["ann_pq_topk"](spark, sf_dir).count()
+    plan = (
+        QUERIES["ann_pq_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "array_position" not in plan, (
+        "ann_pq_topk: warm plan re-encodes the corpus instead of "
+        "scanning the checkpointed code table"
+    )
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
