@@ -967,3 +967,48 @@ def layout_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.max("od"), F.min("od")).cast("bigint").alias("date_span_days"),
         )
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+           COUNT(DISTINCT o_custkey // 64) AS n_buckets
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bucket bitmaps — the
+    roaring-bitmap-style scale path between plain COUNT(DISTINCT)
+    (shuffles every distinct (group, key) pair) and HLL
+    (``agg_approx_count_distinct`` — O(1) memory but approximate):
+    keys chunk into 64-wide buckets, each map task ORs local
+    ``1 << (key % 64)`` masks per (group, bucket), the shuffle
+    carries one 8-byte word per populated bucket (64x fewer rows
+    than distinct keys, map-side-combined by ``bit_or``), and the
+    exact cardinality is the popcount sum. Both aggregation stages
+    are associative single-pass — no Expand, no per-key state — and
+    the bitmap words union across partitions/engines/days
+    identically, which is why warehouse engines persist exactly this
+    structure as an incremental distinct-count index. Output also
+    reports the populated-bucket count (the bitmap's footprint —
+    what a capacity planner sizes).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    words = (
+        orders.select(
+            "o_orderpriority",
+            F.expr("o_custkey div 64").alias("__bucket"),
+            F.expr("shiftleft(cast(1 as bigint), cast(o_custkey % 64 as int))").alias(
+                "__m"
+            ),
+        )
+        .groupBy("o_orderpriority", "__bucket")
+        .agg(F.expr("bit_or(__m)").alias("__bm"))
+    )
+    return words.groupBy("o_orderpriority").agg(
+        F.sum(F.bit_count("__bm")).alias("n_distinct_customers"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
