@@ -851,3 +851,124 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "ivdp_stream_hopping")
+
+
+def _cms_bucket_sql(key: str, half: int) -> str:
+    """DuckDB positional decode of an md5 half -> [0, 64) bucket (the
+    round5_ext CMS recipe, restated here over the events key)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        md5_half_decode_sql,
+    )
+
+    start = 1 if half == 0 else 9
+    return (
+        f"({md5_half_decode_sql(f'md5(cast({key} as string))', start, 'strpos')}"
+        f" % 64)"
+    )
+
+
+_SHH_B0 = None  # filled right below (helper needs to exist first)
+_SHH_B1 = None
+
+
+def _shh_buckets() -> tuple[str, str]:
+    return _cms_bucket_sql("user_id", 0), _cms_bucket_sql("user_id", 1)
+
+
+_SHH_B0, _SHH_B1 = _shh_buckets()
+
+
+@query(
+    "stream_heavy_hitters_cms",
+    oracle=f"""
+    WITH cells AS (
+        SELECT 0 AS row_id, {_SHH_B0} AS bucket, COUNT(*) AS n
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 1, {_SHH_B1}, COUNT(*)
+        FROM events GROUP BY 2
+    ),
+    truth AS (
+        SELECT user_id, COUNT(*) AS true_n,
+               {_SHH_B0} AS b0, {_SHH_B1} AS b1
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, true_n,
+           CAST(LEAST(c0.n, c1.n) AS BIGINT) AS cm_estimate,
+           LEAST(c0.n, c1.n) >= true_n AS bound_holds
+    FROM truth
+    JOIN cells c0 ON c0.row_id = 0 AND c0.bucket = truth.b0
+    JOIN cells c1 ON c1.row_id = 1 AND c1.bucket = truth.b1
+    ORDER BY cm_estimate DESC, user_id
+    LIMIT 20
+    """,
+)
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters ON THE STREAM: the batch
+    ``agg_heavy_hitters_cms`` sketch maintained as streaming state —
+    each event updates its two (row, bucket) cells and the
+    complete-mode aggregation keeps exactly the 2x64 = 128 cell
+    counters as state, BOUNDED regardless of key cardinality. That is
+    the streaming answer to unbounded key domains: a per-key counter
+    state grows with distinct users forever, the sketch never — the
+    canonical trending-keys / hot-partition detector shape. After the
+    drive-to-completion run, heavy-hitter readout joins the final
+    128-row sketch (broadcast twice) against the candidate keys with
+    their true counts from the batch table (at scale the monitored
+    candidate set; here every key, so the CM >= truth bound is
+    checkable per row). Deterministic md5-half hashing makes the whole
+    pipeline — cells, estimates, top-20 — restatable in DuckDB as a
+    full value check."""
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    hashed = stream.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+    cell = lambda start: (  # noqa: E731 — two literal half-decodes
+        F.expr(f"cast(conv(substring(h, {start}, 8), 16, 10) as bigint)") % 64
+    )
+    cells_in = hashed.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("row_id"), cell(1).alias("bucket")),
+                F.struct(F.lit(1).alias("row_id"), cell(9).alias("bucket")),
+            )
+        ).alias("c")
+    ).select("c.row_id", "c.bucket")
+    sketch = run_to_memory(
+        cells_in.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("n")),
+        "ivdp_stream_cms",
+    )
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .withColumn("h", F.md5(F.col("user_id").cast("string")))
+        .select(
+            "user_id",
+            "true_n",
+            cell(1).alias("b0"),
+            cell(9).alias("b1"),
+        )
+    )
+    c0 = sketch.filter(F.col("row_id") == 0).select(
+        F.col("bucket").alias("b0"), F.col("n").alias("n0")
+    )
+    c1 = sketch.filter(F.col("row_id") == 1).select(
+        F.col("bucket").alias("b1"), F.col("n").alias("n1")
+    )
+    est = F.least(F.col("n0"), F.col("n1"))
+    return (
+        truth.join(F.broadcast(c0), "b0")
+        .join(F.broadcast(c1), "b1")
+        .select(
+            "user_id",
+            "true_n",
+            est.cast("bigint").alias("cm_estimate"),
+            (est >= F.col("true_n")).alias("bound_holds"),
+        )
+        .orderBy(F.col("cm_estimate").desc(), F.col("user_id"))
+        .limit(20)
+    )

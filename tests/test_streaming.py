@@ -908,3 +908,22 @@ def test_stream_stream_left_outer_emits_null_after_eviction(spark, tmp_path):
         if r["user_id"] != 99
     )
     assert rows == [(1, 1, None), (2, 3, 2)], rows
+
+
+def test_stream_cms_state_bounded_and_guarantee(spark, sf_dir):
+    """The streaming CMS's whole point: state is the 2x64 sketch, not
+    per-key counters — the complete-mode output table (== the
+    aggregation state) holds at most 128 rows no matter how many
+    distinct users the stream carries; and every reported estimate
+    respects the Count-Min over-estimate guarantee."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    top = QUERIES["stream_heavy_hitters_cms"](spark, sf_dir).collect()
+    assert 0 < len(top) <= 20  # sf0.001 has fewer than 20 distinct users
+    assert all(r["bound_holds"] for r in top)
+    assert all(r["cm_estimate"] >= r["true_n"] for r in top)
+    sketch = spark.table("ivdp_stream_cms")
+    assert sketch.count() <= 128, "state must be the fixed sketch cells"
+    # deterministic across re-runs in the same session
+    again = QUERIES["stream_heavy_hitters_cms"](spark, sf_dir).collect()
+    assert sorted(map(tuple, top)) == sorted(map(tuple, again))
