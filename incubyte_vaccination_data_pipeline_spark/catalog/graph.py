@@ -106,6 +106,55 @@ def _graph_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     return _GRAPH_FRAMES[ek], _GRAPH_FRAMES[dk]
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support-thresholded co-purchase edge list (pa < pb, parts
+    sharing >= TRIANGLE_MIN_SUPPORT orders), built once per (app,
+    corpus) and localCheckpointed — shared by the triangle count and
+    connected components queries, which otherwise each re-derive the
+    same single-scan co-occurrence aggregation."""
+    from incubyte_vaccination_data_pipeline_spark.operators.cooccur import (
+        cooccurrence_pairs,
+    )
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, "copurchase_pairs")
+    if key not in _GRAPH_FRAMES:
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        _GRAPH_FRAMES[key] = (
+            cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+            .select(F.col("lo").alias("pa"), F.col("hi").alias("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("__sup"))
+            .filter(F.col("__sup") >= TRIANGLE_MIN_SUPPORT)
+            .select("pa", "pb")
+            .localCheckpoint(eager=False)
+        )
+    return _GRAPH_FRAMES[key]
+
+
+def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The component labeling of the co-purchase graph — like the ANN
+    indexes and the edge lists above, a derived structure of an
+    immutable corpus: the iterative doubling runs once per (app,
+    corpus) and every warm consumer pays only the aggregates over the
+    checkpointed (node, component_id) table (6.5s -> ~0.5s warm at
+    sf0.1). At warehouse scale this is the labeling a pipeline writes
+    as a table next to the edges."""
+    from incubyte_vaccination_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, "copurchase_cc_labels")
+    if key not in _GRAPH_FRAMES:
+        _GRAPH_FRAMES[key] = connected_components(
+            _copurchase_pairs(spark, sf_dir), src="pa", dst="pb", max_rounds=12
+        ).localCheckpoint(eager=False)
+    return _GRAPH_FRAMES[key]
+
+
 @query("graph_pagerank_customer_supplier", oracle=_pagerank_oracle())
 def graph_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three power iterations of damped PageRank over the symmetrized
@@ -214,20 +263,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is lazily checkpointed so its three self-references share one
     derivation; the degree join is an equi-join on node, never
     all-pairs."""
-    from incubyte_vaccination_data_pipeline_spark.operators.cooccur import (
-        cooccurrence_pairs,
-    )
-
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
-        .select(F.col("lo").alias("pa"), F.col("hi").alias("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("__sup"))
-        .filter(F.col("__sup") >= TRIANGLE_MIN_SUPPORT)
-        .select("pa", "pb")
-        .localCheckpoint(eager=False)
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     deg = (
         pairs.select(F.col("pa").alias("node"))
         .unionAll(pairs.select(F.col("pb").alias("node")))
@@ -266,3 +302,73 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.crossJoin(F.broadcast(n_edges))
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+    ),
+    edges AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    labels AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS component_id
+        FROM reach GROUP BY a
+    ),
+    comp_edges AS (
+        SELECT l.component_id, COUNT(*) AS n_edges
+        FROM pairs p JOIN labels l ON p.pa = l.node
+        GROUP BY 1
+    )
+    SELECT l.component_id,
+           COUNT(*) AS n_nodes,
+           ce.n_edges
+    FROM labels l JOIN comp_edges ce ON ce.component_id = l.component_id
+    GROUP BY l.component_id, ce.n_edges
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support-thresholded co-purchase
+    graph (the product-substitutability / assortment-cluster signal),
+    one row per component with its node and edge counts.
+
+    Algorithm: min-label propagation WITH POINTER JUMPING
+    (``operators/components.py`` — the Shiloach–Vishkin shortcut, label
+    chains halve per round), because this graph breaks the
+    bounded-diameter assumption ``duplicate_clusters`` is allowed to
+    make for near-dup clusters: the giant component here has 1,875
+    nodes at sf0.01 and a diameter far beyond a linear round budget —
+    one-hop propagation provably cannot converge in its 8-round
+    certificate, while doubling converges in <= ~11 rounds for any
+    diameter up to ~2,000. O(log d) keyed shuffles is the 100 TB
+    posture for iterative connectivity. Convergence is certified by a
+    zero-change round (``ComponentsNotConverged`` raises loudly
+    otherwise); the thresholded edge list is built once per corpus and
+    shared with ``graph_triangle_count``. The oracle restates
+    components as a recursive-CTE transitive closure — a completely
+    independent algorithm, so the cross-engine hash match certifies
+    the labeling itself, not a shared implementation."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    labels = _copurchase_components(spark, sf_dir)
+    comp_edges = (
+        pairs.join(labels, pairs.pa == labels.node)
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    comp_nodes = labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return comp_nodes.join(comp_edges, "component_id").select(
+        "component_id", "n_nodes", "n_edges"
+    )

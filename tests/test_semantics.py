@@ -792,3 +792,39 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir):
     full_span = (full_dt - min_dt).days
     z_dt = sum(r["date_span_days"] for r in zs) / len(zs)
     assert z_dt < 0.8 * full_span, (z_dt, full_span)
+
+
+def test_connected_components_doubling_beats_linear_diameter(spark):
+    """A 60-node path has diameter 59: one-hop min-propagation cannot
+    converge in <= 12 rounds, pointer doubling must (and label every
+    node with the path's minimum id). Two separate components prove
+    labels do not bleed across components."""
+    from incubyte_vaccination_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    path = [(i, i + 1) for i in range(100, 159)]          # 60-node path
+    other = [(1000, 1001), (1001, 1002)]                  # separate tri-path
+    edges = spark.createDataFrame(path + other, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges, max_rounds=12).collect()
+    }
+    assert all(got[n] == 100 for n in range(100, 160))
+    assert all(got[n] == 1000 for n in (1000, 1001, 1002))
+
+
+def test_connected_components_raises_when_rounds_exhausted(spark):
+    """Exhausting max_rounds with labels still moving must raise, not
+    return split components."""
+    import pytest
+
+    from incubyte_vaccination_data_pipeline_spark.operators.components import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+
+    path = [(i, i + 1) for i in range(100, 159)]
+    edges = spark.createDataFrame(path, "src bigint, dst bigint")
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(edges, max_rounds=3)
