@@ -1012,3 +1012,124 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("__bm")).alias("n_distinct_customers"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+
+
+def _scd2_hist_sql(col: str, alias: str) -> str:
+    """DuckDB CTE text building the run-length version history of
+    ``col`` over each customer's order stream — the scd2_priority_history
+    recipe parameterized by column, emitting
+    (cust_i, val, effective_from, effective_to)."""
+    return f"""{alias} AS (
+        SELECT cust_i, val, effective_from,
+               lead(effective_from) OVER (
+                   PARTITION BY cust_i ORDER BY version) AS effective_to
+        FROM (
+            SELECT cust_i, version, MIN({col}) AS val,
+                   MIN(o_orderdate) AS effective_from
+            FROM (
+                SELECT *, SUM(chg) OVER (
+                        PARTITION BY cust_i
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS version
+                FROM (
+                    SELECT o_custkey AS cust_i, o_orderdate, o_orderkey,
+                           {col},
+                           CASE WHEN lag({col}) OVER (
+                                    PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+                                IS DISTINCT FROM {col}
+                                THEN 1 ELSE 0 END AS chg
+                    FROM orders
+                )
+            )
+            GROUP BY cust_i, version
+        )
+    )"""
+
+
+@query(
+    "scd2_interval_align",
+    oracle=f"""
+    WITH {_scd2_hist_sql('o_orderpriority', 'h1')},
+    {_scd2_hist_sql('o_orderstatus', 'h2')}
+    SELECT h1.cust_i,
+           GREATEST(h1.effective_from, h2.effective_from) AS valid_from,
+           CASE WHEN h1.effective_to IS NULL THEN h2.effective_to
+                WHEN h2.effective_to IS NULL THEN h1.effective_to
+                ELSE LEAST(h1.effective_to, h2.effective_to) END AS valid_to,
+           h1.val AS priority,
+           h2.val AS status,
+           (h1.effective_to IS NULL AND h2.effective_to IS NULL)
+               AS is_current
+    FROM h1 JOIN h2 ON h1.cust_i = h2.cust_i
+    WHERE (h1.effective_to IS NULL OR h1.effective_to > h2.effective_from)
+      AND (h2.effective_to IS NULL OR h2.effective_to > h1.effective_from)
+    """,
+)
+def scd2_interval_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal timeline ALIGNMENT of two type-2 histories — the
+    interval-algebra join behind 'state of ALL slowly-changing
+    attributes at every moment': each customer's priority-version
+    timeline and status-version timeline intersect into segments,
+    every segment carrying the (priority, status) pair valid
+    throughout it. Because both inputs tile [first_order, inf)
+    half-open per customer, the pairwise interval overlaps exactly
+    tile the shared timeline — no gaps, no double-cover (pinned in a
+    semantics test).
+
+    Plan shape: both histories build from the SAME single cust_i
+    shuffle recipe as ``scd2_priority_history``; the align is ONE
+    equi-join on the customer key with the overlap condition as a
+    post-join filter — per-customer version counts are small and
+    bounded, so the k1 x k2 fan-out before the filter is bounded
+    (the standard temporal-join plan; a range-join optimizer would
+    bin on time buckets if version counts were pathological). Output
+    rows per customer = k1 + k2 - 1 segments."""
+    orders = read_table(spark, sf_dir, "orders")
+
+    def history(col: str) -> DataFrame:
+        wo = Window.partitionBy("cust_i").orderBy("o_orderdate", "o_orderkey")
+        log = orders.select(
+            F.col("o_custkey").alias("cust_i"), "o_orderdate", "o_orderkey", col
+        )
+        flagged = log.withColumn(
+            "chg",
+            F.when(~F.lag(col).over(wo).eqNullSafe(F.col(col)), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        versioned = flagged.withColumn(
+            "version",
+            F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        collapsed = versioned.groupBy("cust_i", "version").agg(
+            F.min(col).alias("val"), F.min("o_orderdate").alias("effective_from")
+        )
+        wv = Window.partitionBy("cust_i").orderBy("version")
+        return collapsed.select(
+            "cust_i",
+            "val",
+            "effective_from",
+            F.lead("effective_from").over(wv).alias("effective_to"),
+        )
+
+    h1 = history("o_orderpriority").alias("h1")
+    h2 = history("o_orderstatus").alias("h2")
+    f1, t1 = F.col("h1.effective_from"), F.col("h1.effective_to")
+    f2, t2 = F.col("h2.effective_from"), F.col("h2.effective_to")
+    overlap = (t1.isNull() | (t1 > f2)) & (t2.isNull() | (t2 > f1))
+    return (
+        h1.join(h2, F.col("h1.cust_i") == F.col("h2.cust_i"))
+        .filter(overlap)
+        .select(
+            F.col("h1.cust_i").alias("cust_i"),
+            F.greatest(f1, f2).alias("valid_from"),
+            F.when(t1.isNull(), t2)
+            .when(t2.isNull(), t1)
+            .otherwise(F.least(t1, t2))
+            .alias("valid_to"),
+            F.col("h1.val").alias("priority"),
+            F.col("h2.val").alias("status"),
+            (t1.isNull() & t2.isNull()).alias("is_current"),
+        )
+    )

