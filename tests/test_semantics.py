@@ -854,3 +854,65 @@ def test_interval_align_tiles_timeline(spark, sf_dir):
             assert a["valid_to"] == b["valid_from"], (cust, a, b)
         k1 = len({(s["priority"], s["valid_from"]) for s in segs})  # upper bound sanity
         assert len(segs) >= 1 and k1 >= 1
+
+
+def test_connected_components_fuzz_vs_union_find(spark):
+    """Randomized graphs vs an independent driver-side union-find:
+    identical component partitions (same min-id labeling) on every
+    seed — including disconnected singleton-free edge soups with
+    cycles, self-loops and duplicate edges."""
+    import random
+
+    from incubyte_vaccination_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(60, 140))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expected = {v: find(v) for v in touched}
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["component_id"]
+            for r in connected_components(df, max_rounds=12).collect()
+        }
+        assert got == expected, f"seed {seed}"
+
+
+def test_bloom_no_false_negatives_fuzz(spark):
+    """Property fuzz: for random key sets, EVERY inserted key passes
+    might_contain (the invariant the oracle's plain-join restatement
+    rests on), across salts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.bloom import (
+        build_bloom_words,
+        might_contain_expr,
+    )
+
+    for seed, salt in ((3, "bloom-v1"), (41, "fuzz-salt")):
+        rng = random.Random(seed)
+        keys = sorted({rng.randrange(10**9) for _ in range(500)})
+        dim = spark.createDataFrame([(k,) for k in keys], "k bigint")
+        words = build_bloom_words(dim, "k", salt)
+        missed = dim.filter(~might_contain_expr("k", words, salt)).count()
+        assert missed == 0, f"seed {seed}: {missed} false negatives"
