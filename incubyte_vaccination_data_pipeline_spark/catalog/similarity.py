@@ -571,6 +571,86 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    """IVFADC oracle, composed from the two index restatements: the
+    IVF oracle's CTE chain through ``cand`` (train quantizer, assign
+    cells, probe, candidate join) and the PQ oracle's chain through
+    ``codes`` (train codebooks, encode), spliced at stable CTE
+    markers so the shared fragments stay byte-identical to the plain
+    queries' oracles BY CONSTRUCTION; then the ADC fold runs over
+    ``cand`` instead of the full corpus, and the shortlist / exact
+    re-rank / ranking tail is the PQ oracle's own text. Both
+    pipelines draw the same content-addressed ``seed_raw`` sample
+    (asserted: IVF_N_CENTROIDS == PQ_K)."""
+    assert IVF_N_CENTROIDS == PQ_K, "shared seed_raw CTE requires equal counts"
+    ivf = _ivf_oracle()
+    ivf_cand = ivf.split("    scored AS (")[0]
+    assert ivf_cand.rstrip().endswith("),"), "IVF cand-CTE marker moved"
+    pq = _pq_oracle()
+    pq_codes = pq[pq.index("subseed AS (") : pq.index("    term AS (")]
+    assert pq_codes.rstrip().endswith("),"), "PQ codes-CTE marker moved"
+    pq_tail = pq[pq.index("    rer AS (") :]
+    sd = PQ_SUB_DIM
+    adc_mid = f"""term AS (
+        SELECT cd.query_id, cd.neighbor_id, x.m,
+               {_pq_d2_sql('q.embedding', f'x.m*{sd}', 'b.cw')} AS t
+        FROM cand cd
+        JOIN codes x ON x.vec_id = cd.neighbor_id
+        JOIN cb b ON b.m = x.m AND b.cid = x.cid
+        JOIN embeddings q ON q.vec_id = cd.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(t ORDER BY m)), (x, y) -> x + y), 6) AS adc_dist
+        FROM term GROUP BY query_id, neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
+            FROM scored)
+        WHERE rn <= {PQ_SHORTLIST}
+    ),
+"""
+    return ivf_cand + pq_codes + adc_mid + pq_tail
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: the composite index real ANN deployments run (FAISS
+    IVFADC) — IVF cells prune WHICH vectors are scored (each query
+    reads only its 4 probed cells of the inverted file), PQ codes
+    decide HOW (ADC table lookups over 8-byte nibble codes), and the
+    ADC top-50 re-ranks by exact squared L2. At 100 TB the probe
+    touches ~n_probe/n_cells of an 8 B/vector code table instead of
+    the full 256 B/vector raw corpus — the I/O composition neither
+    index achieves alone. Reuses BOTH cached per-corpus indexes (IVF
+    centroids + cell assignments, PQ codebooks + encoded corpus), so
+    the warm search pays only probe + fold + point-lookup re-rank.
+    Deterministic end to end; the oracle splices the two index
+    restatements at stable CTE markers and runs the ADC over the IVF
+    candidate set (``_ivfpq_oracle``). Recall vs exact L2 pinned in
+    tests against ``topk_ivfpq``."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        topk_ivfpq,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return topk_ivfpq(
+        queries,
+        k=TOP_K,
+        n_probe=IVF_N_PROBE,
+        shortlist=PQ_SHORTLIST,
+        centroids=_ivf_index(spark, sf_dir),
+        assigned_corpus=_ivf_assigned_index(spark, sf_dir),
+        codebooks=_pq_codebooks(spark, sf_dir),
+        encoded_corpus=_pq_index(spark, sf_dir),
+        rerank_corpus=emb,
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""

@@ -813,3 +813,112 @@ def topk_pq(
     return reranked.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def topk_ivfpq(
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    assigned_corpus: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    encoded_corpus: DataFrame | None = None,
+    rerank_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC: the composite index real ANN systems deploy (FAISS's
+    IVFADC — Jégou/Douze/Schmid TPAMI 2011) — the IVF coarse
+    quantizer prunes WHICH vectors are scored (each query reads only
+    its ``n_probe`` cells of the inverted file), and PQ codes decide
+    HOW they are scored (ADC table lookups over nibble codes, no
+    float math against raw vectors). At 100 TB that composition is
+    what makes ANN tractable: the scan touches ``n_probe/n_cells`` of
+    an 8-byte-per-vector code table instead of the full 256-byte raw
+    corpus — ~1000x less I/O per probe at these parameters — and only
+    the ADC top-``shortlist`` rows ever read raw floats again (exact
+    re-rank, the +R refinement).
+
+    All index structures are passed prebuilt (centroids + assigned
+    cells from the IVF index, codebooks + codes from the PQ index —
+    the catalog shares both across the plain-IVF and plain-PQ
+    queries): a production IVFADC builds once and probes many times.
+    Candidates need no dedup: every vector lives in exactly one cell
+    and a query's probed cells are distinct. Deterministic end to end
+    (both quantizers are content-addressed + integer-Lloyd, ADC folds
+    in subspace order), so the full pipeline carries a DuckDB value
+    oracle. Returns (query_id, neighbor_id, dist2, rank) like
+    ``topk_pq``."""
+    from pyspark.sql import Window
+
+    sub_dim = len(codebooks[0][0])
+    n_codes = len(codebooks[0])
+    n_sub = len(codebooks)
+    q_rows = queries.select(id_col, vec_col).collect()
+    lut_rows = []
+    for r in q_rows:
+        vec = [float(x) for x in r[1]]
+        lut: list[float] = []
+        for m in range(n_sub):
+            sub = vec[m * sub_dim : (m + 1) * sub_dim]
+            for cw in codebooks[m]:
+                acc = 0.0
+                for x, w in zip(sub, cw):
+                    d = x - w
+                    acc += d * d
+                lut.append(acc)
+        lut_rows.append((int(r[0]), lut, vec))
+    spark = queries.sparkSession
+    q = spark.createDataFrame(
+        lut_rows, schema="query_id bigint, lut array<double>, qv array<double>"
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(ivf_probes_expr(vec_col, centroids, n_probe)).alias("cid"),
+    )
+    cand = (
+        assigned_corpus.select("neighbor_id", "cid")
+        .join(F.broadcast(probes), on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = F.expr(
+        f"""
+        aggregate(transform(sequence(0, {n_sub - 1}),
+                  m -> element_at(lut, m * {n_codes} + element_at(codes, m + 1) + 1)),
+                  cast(0.0 as double), (acc, v) -> acc + v)
+        """
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.join(encoded_corpus, on="neighbor_id")
+        .join(F.broadcast(q.select("query_id", "lut")), on="query_id")
+        .select("query_id", "neighbor_id", F.round(adc, 6).alias("adc_dist"))
+        .withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    exact_d2 = F.expr(
+        """
+        aggregate(zip_with(cv, qv, (x, q) -> (cast(x as double) - q)
+                                             * (cast(x as double) - q)),
+                  cast(0.0 as double), (acc, v) -> acc + v)
+        """
+    )
+    reranked = (
+        rerank_corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .join(F.broadcast(short), on="neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), on="query_id")
+        .select("query_id", "neighbor_id", F.round(exact_d2, 6).alias("dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id")
+    )
+    return reranked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1829,3 +1829,34 @@ def test_decode_progressive_batch_survives_corrupt_payload(spark):
 
     with _pytest.raises(Exception):
         decode_jpeg(payload[: len(payload) // 2])
+
+
+def test_ivfpq_recall_vs_exact_l2(spark, sf_dir):
+    """IVFADC (IVF candidate pruning + PQ ADC + exact re-rank) against
+    an independent numpy exact squared-L2 reference. Measured recall:
+    0.48 / 0.50 / 0.50 at sf0.001/0.01/0.1 — below plain PQ (whose
+    candidates are the whole corpus) by exactly the IVF pruning cost,
+    the accuracy/IO trade the composite makes. Floor with margin."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    rows = QUERIES["ann_ivfpq_topk"](spark, sf_dir).collect()
+    asets: dict[int, set[int]] = {}
+    for r in rows:
+        asets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert r["dist2"] >= 0
+    assert all(len(s) == 10 for s in asets.values())
+    t = papq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    V = np.stack(t.embedding.values).astype(np.float64)
+    ids = t.vec_id.values
+    hit = tot = 0
+    for qid in sorted(asets):
+        qv = V[ids == qid][0]
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        d2[ids == qid] = np.inf
+        exact = set(ids[np.lexsort((ids, d2))[:10]])
+        hit += len(exact & asets[qid])
+        tot += 10
+    assert hit / tot >= 0.35, f"ivfpq recall {hit / tot}"
