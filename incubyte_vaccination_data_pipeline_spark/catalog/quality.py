@@ -233,3 +233,118 @@ def integrity_check_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "quality_expectations_check",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS n_keys,
+               CAST(COUNT(o_custkey) AS DOUBLE) AS n_cust,
+               CAST(COUNT(CASE WHEN o_orderstatus IN ('F','O','P')
+                          THEN 1 END) AS DOUBLE) AS n_dom,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS min_price,
+               CAST(date_part('year', MAX(o_orderdate)) AS DOUBLE) AS max_year
+        FROM orders
+    ),
+    fk AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS orphans
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL
+    )
+    SELECT r.rule, r.metric, r.passed FROM m, fk, LATERAL (VALUES
+        ('row_count_min_100',          m.n,               m.n >= 100),
+        ('orderkey_unique',            m.n_keys,          m.n_keys = m.n),
+        ('custkey_complete',           m.n_cust / m.n,    m.n_cust = m.n),
+        ('status_in_domain',           m.n_dom / m.n,     m.n_dom = m.n),
+        ('totalprice_positive',        m.min_price,       m.min_price > 0),
+        ('orderdate_fresh_2001',       m.max_year,        m.max_year >= 2001),
+        ('custkey_fk_orphans_zero',    fk.orphans,        fk.orphans = 0)
+    ) AS r(rule, metric, passed)
+    """,
+)
+def quality_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/Great-Expectations-style constraint suite over the
+    orders table: one row per EXPECTATION (not per statistic — the
+    difference from ``profile_orders_columns``) with its measured
+    metric and a hard pass/fail boolean — the data contract a
+    pipeline gates deploys on. Rules: minimum volume, primary-key
+    uniqueness, completeness, categorical domain, value range,
+    freshness, and referential integrity (the FK check shares shape
+    with ``integrity_check_star_schema`` but gates rather than
+    reports).
+
+    Plan shape: ONE scan computes six of the seven metrics as a
+    single aggregate row (count/distinct/conditional aggregates all
+    map-side combinable); the FK orphan count is the only join, an
+    anti-join-shaped left join against the broadcast customer key
+    set; the rule table is a 7-row literal expansion of the two
+    aggregate rows — metrics scale is O(1) rows regardless of data
+    scale, exactly what a quality gate must cost at 100 TB."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey")
+    m = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.countDistinct("o_orderkey").cast("double").alias("n_keys"),
+        F.count("o_custkey").cast("double").alias("n_cust"),
+        F.count(
+            F.when(F.col("o_orderstatus").isin("F", "O", "P"), F.lit(1))
+        ).cast("double").alias("n_dom"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("min_price"),
+        F.year(F.max("o_orderdate")).cast("double").alias("max_year"),
+    )
+    fk = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("orphans"))
+    )
+    j = m.crossJoin(F.broadcast(fk))
+    rules = F.array(
+        F.struct(
+            F.lit("row_count_min_100").alias("rule"),
+            F.col("n").alias("metric"),
+            (F.col("n") >= 100).alias("passed"),
+        ),
+        F.struct(
+            F.lit("orderkey_unique").alias("rule"),
+            F.col("n_keys").alias("metric"),
+            (F.col("n_keys") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("custkey_complete").alias("rule"),
+            (F.col("n_cust") / F.col("n")).alias("metric"),
+            (F.col("n_cust") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("status_in_domain").alias("rule"),
+            (F.col("n_dom") / F.col("n")).alias("metric"),
+            (F.col("n_dom") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("totalprice_positive").alias("rule"),
+            F.col("min_price").alias("metric"),
+            (F.col("min_price") > 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("orderdate_fresh_2001").alias("rule"),
+            F.col("max_year").alias("metric"),
+            (F.col("max_year") >= 2001).alias("passed"),
+        ),
+        F.struct(
+            F.lit("custkey_fk_orphans_zero").alias("rule"),
+            F.col("orphans").alias("metric"),
+            (F.col("orphans") == 0).alias("passed"),
+        ),
+    )
+    return j.select(F.explode(rules).alias("r")).select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.metric").alias("metric"),
+        F.col("r.passed").alias("passed"),
+    )
