@@ -1133,3 +1133,75 @@ def scd2_interval_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             (t1.isNull() & t2.isNull()).alias("is_current"),
         )
     )
+
+
+_RANGE_BUCKETS = 16
+_RANGE_QS = [i / _RANGE_BUCKETS for i in range(1, _RANGE_BUCKETS)]
+
+
+@query(
+    "layout_range_boundaries",
+    oracle=f"""
+    WITH b AS (
+        SELECT list_transform(
+                   quantile_cont(CAST(o_custkey AS DOUBLE),
+                                 [{', '.join(str(q) for q in _RANGE_QS)}]),
+                   x -> round(x, 6)) AS bs
+        FROM orders
+    ),
+    assigned AS (
+        SELECT o_custkey AS ck,
+               list_reduce(list_prepend(0,
+                   list_transform(bs,
+                       bd -> CASE WHEN CAST(o_custkey AS DOUBLE) > bd
+                                  THEN 1 ELSE 0 END)),
+                   (x, y) -> x + y) AS bucket
+        FROM orders, b
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(ck) AS min_custkey,
+           MAX(ck) AS max_custkey
+    FROM assigned GROUP BY bucket
+    """,
+)
+def layout_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition boundary planner — the
+    ``repartitionByRange`` planning surface made exact and auditable:
+    Spark's RangePartitioner SAMPLES boundaries (nondeterministic,
+    skew-sensitive); this states them as exact interpolated
+    1/16-quantiles of the partition key (the ``agg_percentiles``
+    cross-engine parity recipe), then validates the plan by assigning
+    every row to its planned file and reporting per-file row counts
+    and key ranges — near-equal n_rows (equi-depth) with tight,
+    disjoint [min, max] key ranges (1-D zone maps; the range sibling
+    of ``layout_zorder_zonemap``'s 2-D layout).
+
+    Plan shape: one aggregate computes the 15-boundary array (the
+    exact percentile is a sort-based single aggregate; at 100 TB the
+    documented trade is approx_percentile's one-pass sketch — the
+    boundary CONSUMER is identical either way), broadcast as a
+    one-row frame; assignment is a pure scan-side fold over the
+    literal-free boundary array — no per-row join, no global sort;
+    the final rollup is one 16-group aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    qs = ", ".join(f"{q}D" for q in _RANGE_QS)
+    b = orders.agg(
+        F.expr(
+            f"transform(percentile(cast(o_custkey as double), array({qs})),"
+            f" x -> round(x, 6))"
+        ).alias("bs")
+    )
+    assigned = orders.crossJoin(F.broadcast(b)).select(
+        F.col("o_custkey").alias("ck"),
+        F.expr(
+            "aggregate(bs, 0, (acc, bd) ->"
+            " acc + (case when cast(o_custkey as double) > bd"
+            "        then 1 else 0 end))"
+        ).alias("bucket"),
+    )
+    return assigned.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ck").alias("min_custkey"),
+        F.max("ck").alias("max_custkey"),
+    )
