@@ -908,3 +908,51 @@ def test_zorder_layout_no_global_sort_or_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         "the one-row min/max bounds must broadcast"
     )
+
+
+def test_bitmap_distinct_two_associative_stages(spark, sf_dir):
+    """Exact-distinct-by-bitmap must plan as two aggregation stages
+    (words, then popcount rollup) with NO Expand (the count_distinct
+    planning artifact it exists to avoid) and no join of any kind."""
+    plan = _plan(QUERIES["agg_bitmap_exact_distinct"](spark, sf_dir))
+    assert "Expand" not in plan, "bitmap path must not plan via Expand"
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "Join" not in plan
+
+
+def test_interval_align_single_key_join_no_smj(spark, sf_dir):
+    """The temporal align must stay ONE broadcast equi-join on the
+    customer key (overlap as a post-join filter) — a SortMergeJoin or
+    extra exchange means the overlap predicate leaked into the join
+    planning."""
+    plan = _plan(QUERIES["scd2_interval_align"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert plan.count("BroadcastHashJoin") == 1, plan.count("BroadcastHashJoin")
+
+
+def test_expectations_single_scan_plus_broadcast_anti(spark, sf_dir):
+    """The quality gate must cost one orders aggregate plus one
+    broadcast anti-join for the FK rule — never a shuffle join, never
+    row-scale output."""
+    plan = _plan(QUERIES["quality_expectations_check"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # left_anti over broadcast keys
+
+
+def test_range_boundaries_no_per_row_join(spark, sf_dir):
+    """Boundary assignment must be a scan-side fold over the broadcast
+    one-row boundary array: exactly one BroadcastNestedLoopJoin (the
+    sanctioned one-row crossJoin), no hash join, no global sort."""
+    plan = _plan(QUERIES["layout_range_boundaries"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_ivfpq_all_joins_broadcast(spark, sf_dir):
+    """IVFADC's probe, code, LUT and re-rank joins must all broadcast
+    (cells/shortlist/queries are metadata-scale sides); a
+    SortMergeJoin would mean the corpus itself is being shuffled."""
+    plan = _plan(QUERIES["ann_ivfpq_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
