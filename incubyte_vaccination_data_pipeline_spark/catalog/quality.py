@@ -348,3 +348,75 @@ def quality_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.metric").alias("metric"),
         F.col("r.passed").alias("passed"),
     )
+
+
+_DP_HEX = "0123456789abcdef"
+#: md5-derived 16-bit bucket of the group label under the dp-v1 salt —
+#: Spark's conv(hex, 16, 10) restated positionally for DuckDB (the
+#: split_train_val_test strpos recipe).
+_DP_BUCKET_SQL = (
+    "((strpos('{hex}', substring(md5('dp-v1' || o_orderpriority), 1, 1)) - 1) * 4096"
+    " + (strpos('{hex}', substring(md5('dp-v1' || o_orderpriority), 2, 1)) - 1) * 256"
+    " + (strpos('{hex}', substring(md5('dp-v1' || o_orderpriority), 3, 1)) - 1) * 16"
+    " + (strpos('{hex}', substring(md5('dp-v1' || o_orderpriority), 4, 1)) - 1))"
+).format(hex=_DP_HEX)
+
+#: Laplace scale b = sensitivity / epsilon = 1 / 0.5
+_DP_EPSILON = 0.5
+_DP_SCALE = 1.0 / _DP_EPSILON
+
+
+@query(
+    "quality_dp_noisy_release",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority, COUNT(*) AS n_true,
+               ({_DP_BUCKET_SQL} + 0.5) / 65536.0 AS u
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_true,
+           {_DP_EPSILON} AS epsilon,
+           ROUND(-{_DP_SCALE} * sign(u - 0.5)
+                 * ln(1 - 2 * abs(u - 0.5)), 6) AS noise,
+           ROUND(n_true - {_DP_SCALE} * sign(u - 0.5)
+                 * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_count
+    FROM g
+    """,
+)
+def quality_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism) with
+    DETERMINISTIC noise — the privacy-preserving stats-release shape a
+    training-data pipeline uses to publish corpus composition without
+    leaking individual rows. Per group: noisy_count = count +
+    Laplace(b), b = sensitivity/epsilon = 1/0.5, drawn by inverse CDF
+    ``-b * sign(u-1/2) * ln(1 - 2|u-1/2|)`` from a content-addressed
+    uniform u = (md5_bucket(salt||group) + 0.5) / 2^16 — so the
+    mechanism is auditable and replayable cross-engine (a production
+    release would use a sealed random seed instead of the group hash;
+    the arithmetic is identical). u can never be exactly 0.5 (integer
+    bucket + half), so the log argument stays in (0, 1].
+
+    Plan shape: ONE map-side-combinable count aggregate; the noise is
+    a scalar expression on the 5 aggregated rows — zero extra
+    shuffles, O(groups) output. n_true is emitted only so the oracle
+    can value-check the mechanism end to end; a real release drops it.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_true"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp-v1"), F.col("o_orderpriority"))), 1, 4), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(65536.0)
+    noise = (
+        F.lit(-_DP_SCALE)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_true",
+        F.lit(_DP_EPSILON).alias("epsilon"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true") + noise, 6).alias("noisy_count"),
+    )

@@ -1205,3 +1205,71 @@ def layout_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ck").alias("min_custkey"),
         F.max("ck").alias("max_custkey"),
     )
+
+
+@query(
+    "set_bitmap_audience_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE EXTRACT(year FROM o_orderdate) = 1996),
+         b AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE EXTRACT(year FROM o_orderdate) = 1997),
+         i AS (SELECT k FROM a INTERSECT SELECT k FROM b),
+         u AS (SELECT k FROM a UNION SELECT k FROM b)
+    SELECT (SELECT COUNT(*) FROM a) AS n_1996,
+           (SELECT COUNT(*) FROM b) AS n_1997,
+           (SELECT COUNT(*) FROM i) AS n_both,
+           (SELECT COUNT(*) FROM u) AS n_either,
+           (SELECT COUNT(*) FROM a) - (SELECT COUNT(*) FROM i)
+               AS n_only_1996,
+           (SELECT COUNT(*) FROM b) - (SELECT COUNT(*) FROM i)
+               AS n_only_1997,
+           ROUND((SELECT COUNT(*) FROM i) * 1.0
+                 / (SELECT COUNT(*) FROM u), 6) AS jaccard
+    """,
+)
+def set_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set algebra between two audiences (1996 vs 1997 buyers)
+    via bucket bitmaps — the audience-overlap primitive behind
+    retention/churn dashboards, done WITHOUT materializing either
+    distinct set or joining them. One scan computes, per 64-key
+    bucket, a conditional mask for each side; ``bit_or`` merges them
+    map-side; intersection/union/difference are then BITWISE AND/OR on
+    the co-grouped words and every cardinality is a popcount sum. The
+    shuffle carries at most two 8-byte words per populated bucket —
+    independent of how many orders reference a customer, and the
+    bitwise algebra is exactly how roaring-bitmap audience stores
+    (Druid/ClickHouse/Pinot) evaluate segment overlap at 100 TB. The
+    oracle restates the semantics with an INDEPENDENT algorithm
+    (DISTINCT + INTERSECT/UNION), so the hash match certifies the
+    bitmap arithmetic end to end. Jaccard = |A&B| / |A|B| rounded to
+    6dp (a ratio of exact integers)."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = "shiftleft(cast(1 as bigint), cast(o_custkey % 64 as int))"
+    sel = orders.where("year(o_orderdate) IN (1996, 1997)").select(
+        F.expr("o_custkey div 64").alias("__bucket"),
+        F.expr(f"CASE WHEN year(o_orderdate) = 1996 THEN {m} ELSE 0 END").alias(
+            "__ma"
+        ),
+        F.expr(f"CASE WHEN year(o_orderdate) = 1997 THEN {m} ELSE 0 END").alias(
+            "__mb"
+        ),
+    )
+    words = sel.groupBy("__bucket").agg(
+        F.expr("bit_or(__ma)").alias("wa"), F.expr("bit_or(__mb)").alias("wb")
+    )
+    counts = words.agg(
+        F.sum(F.bit_count("wa")).alias("n_1996"),
+        F.sum(F.bit_count("wb")).alias("n_1997"),
+        F.sum(F.bit_count(F.expr("wa & wb"))).alias("n_both"),
+        F.sum(F.bit_count(F.expr("wa | wb"))).alias("n_either"),
+    )
+    return counts.select(
+        "n_1996",
+        "n_1997",
+        "n_both",
+        "n_either",
+        (F.col("n_1996") - F.col("n_both")).alias("n_only_1996"),
+        (F.col("n_1997") - F.col("n_both")).alias("n_only_1997"),
+        F.round(F.col("n_both") / F.col("n_either"), 6).alias("jaccard"),
+    )
