@@ -1246,7 +1246,9 @@ def set_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp (a ratio of exact integers)."""
     orders = read_table(spark, sf_dir, "orders")
     m = "shiftleft(cast(1 as bigint), cast(o_custkey % 64 as int))"
-    sel = orders.where("year(o_orderdate) IN (1996, 1997)").select(
+    sel = orders.where(
+        "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"
+    ).select(
         F.expr("o_custkey div 64").alias("__bucket"),
         F.expr(f"CASE WHEN year(o_orderdate) = 1996 THEN {m} ELSE 0 END").alias(
             "__ma"

@@ -956,3 +956,28 @@ def test_ivfpq_all_joins_broadcast(spark, sf_dir):
     plan = _plan(QUERIES["ann_ivfpq_topk"](spark, sf_dir))
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_audience_overlap_bitmap_algebra_shape(spark, sf_dir):
+    """Set algebra on bucket bitmaps: single orders scan with the
+    year predicate pushed, two aggregation stages (conditional-mask
+    bit_or, then popcount rollup), no Expand, no join between the
+    sides, and no distinct materialization."""
+    plan = _plan(QUERIES["set_bitmap_audience_overlap"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, "one scan feeds both sides"
+    assert "Join" not in plan, "sides must combine bitwise, not by join"
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), (
+        "year-range predicate must reach the scan"
+    )
+
+
+def test_dp_noisy_release_single_aggregate_no_extra_shuffle(spark, sf_dir):
+    """The DP release is ONE map-side-combinable count aggregate; the
+    noise must be a scalar projection over the aggregated rows, never
+    a second shuffle or a join."""
+    plan = _plan(QUERIES["quality_dp_noisy_release"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")

@@ -916,3 +916,49 @@ def test_bloom_no_false_negatives_fuzz(spark):
         words = build_bloom_words(dim, "k", salt)
         missed = dim.filter(~might_contain_expr("k", words, salt)).count()
         assert missed == 0, f"seed {seed}: {missed} false negatives"
+
+
+def test_audience_overlap_matches_pandas_set_ops(spark, sf_dir):
+    """Third-implementation check: the bitmap algebra's cardinalities
+    must equal plain Python set ops over the raw parquet (independent
+    of both the Spark bitwise path and the DuckDB INTERSECT oracle)."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    yr = pd.to_datetime(orders["o_orderdate"]).dt.year
+    a = set(orders.loc[yr == 1996, "o_custkey"])
+    b = set(orders.loc[yr == 1997, "o_custkey"])
+    row = QUERIES["set_bitmap_audience_overlap"](spark, sf_dir).collect()[0]
+    assert row["n_1996"] == len(a)
+    assert row["n_1997"] == len(b)
+    assert row["n_both"] == len(a & b)
+    assert row["n_either"] == len(a | b)
+    assert row["n_only_1996"] == len(a - b)
+    assert row["n_only_1997"] == len(b - a)
+
+
+def test_dp_noise_matches_independent_hashlib_math(spark, sf_dir):
+    """The Laplace draw must replay from Python hashlib + math.log —
+    an implementation sharing no code with either Spark's md5/ln or
+    the DuckDB oracle. Also pins the mechanism invariants: |noise|
+    follows Exp(1/b) (so the 6dp magnitude is b*ln of a rational) and
+    u is never exactly 1/2 by construction."""
+    import hashlib
+    import math
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    rows = QUERIES["quality_dp_noisy_release"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        bucket = int(
+            hashlib.md5(f"dp-v1{r['o_orderpriority']}".encode()).hexdigest()[:4], 16
+        )
+        u = (bucket + 0.5) / 65536.0
+        assert u != 0.5
+        expect = -2.0 * math.copysign(1.0, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+        assert abs(r["noise"] - round(expect, 6)) < 1e-9, r["o_orderpriority"]
+        assert abs(r["noisy_count"] - round(r["n_true"] + expect, 6)) < 1e-9
