@@ -1275,3 +1275,111 @@ def set_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_1997") - F.col("n_both")).alias("n_only_1997"),
         F.round(F.col("n_both") / F.col("n_either"), 6).alias("jaccard"),
     )
+
+
+#: the scd2_priority_history build restated as a DuckDB CTE chain,
+#: ending in ``hist(cust_i, version, priority, effective_from,
+#: effective_to, n_orders)`` — shared text for merge-style oracles.
+_SCD2_HIST_CTES = """
+    log AS (
+        SELECT o_custkey AS cust_i, o_orderdate, o_orderkey, o_orderpriority
+        FROM orders
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM
+                         o_orderpriority THEN 1 ELSE 0 END AS chg
+        FROM log
+        WINDOW w AS (PARTITION BY cust_i ORDER BY o_orderdate, o_orderkey)
+    ),
+    versioned AS (
+        SELECT *,
+               SUM(chg) OVER (PARTITION BY cust_i
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM flagged
+    ),
+    collapsed AS (
+        SELECT cust_i, CAST(version AS INT) AS version,
+               MIN(o_orderpriority) AS priority,
+               MIN(o_orderdate) AS effective_from,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM versioned GROUP BY cust_i, version
+    ),
+    hist AS (
+        SELECT cust_i, version, priority, effective_from,
+               lead(effective_from) OVER (PARTITION BY cust_i ORDER BY version)
+                   AS effective_to,
+               n_orders
+        FROM collapsed
+    )
+"""
+
+#: deterministic CDC batch: these customers get an escalation record
+#: effective strictly after every order date in the corpus
+_MERGE_MOD = 37
+_MERGE_TS = "2002-01-01 00:00:00"
+_MERGE_PRIORITY = "X-ESCALATED"
+
+
+@query(
+    "incremental_scd2_merge",
+    oracle=f"""
+    WITH {_SCD2_HIST_CTES}
+    SELECT cust_i, version, priority, effective_from,
+           CASE WHEN cust_i % {_MERGE_MOD} = 0 AND effective_to IS NULL
+                THEN TIMESTAMP '{_MERGE_TS}' ELSE effective_to END
+               AS effective_to,
+           CASE WHEN cust_i % {_MERGE_MOD} = 0 THEN FALSE
+                ELSE effective_to IS NULL END AS is_current,
+           n_orders
+    FROM hist
+    UNION ALL
+    SELECT cust_i, version + 1, '{_MERGE_PRIORITY}',
+           TIMESTAMP '{_MERGE_TS}', NULL, TRUE, CAST(0 AS BIGINT)
+    FROM hist WHERE cust_i % {_MERGE_MOD} = 0 AND effective_to IS NULL
+    """,
+)
+def incremental_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE (dimension maintenance): apply a CDC change batch to
+    a type-2 dimension — close each affected customer's current
+    version (effective_to = change timestamp, is_current = false) and
+    append the new current version — the warehouse MERGE INTO ...
+    WHEN MATCHED/NOT MATCHED pattern. The change batch is derived
+    deterministically (every {mod}th customer escalates at a
+    timestamp after the whole corpus) so both engines replay it; a
+    production run would broadcast-join the actual CDC table instead
+    of the inline predicate, with an identical downstream shape.
+
+    Plan shape: the history builds once (one cust_i shuffle), then the
+    merge is a SINGLE-PASS ``inline`` fan-out — each row maps to a
+    1-element array (pass-through / closed) or 2-element array
+    (closed + successor), so there is NO self-union re-running the
+    history subtree and NO join: at 100 TB the merge costs one extra
+    narrow stage over the dimension, which is why engines implement
+    MERGE as a row-level outer fan-out rather than a rewrite-by-union.
+    """
+    from incubyte_vaccination_data_pipeline_spark.catalog.registry import QUERIES as _Q
+
+    history = _Q["scd2_priority_history"](spark, sf_dir)
+    keep = (
+        "named_struct('version', version, 'priority', priority,"
+        " 'effective_from', effective_from, 'effective_to', {eff_to},"
+        " 'is_current', {cur}, 'n_orders', n_orders)"
+    )
+    ts = f"TIMESTAMP_NTZ'{_MERGE_TS}'"
+    succ = (
+        f"named_struct('version', version + 1, 'priority', '{_MERGE_PRIORITY}',"
+        f" 'effective_from', {ts},"
+        " 'effective_to', CAST(NULL AS TIMESTAMP_NTZ),"
+        " 'is_current', true, 'n_orders', CAST(0 AS BIGINT))"
+    )
+    fanout = (
+        f"CASE WHEN cust_i % {_MERGE_MOD} = 0 AND effective_to IS NULL THEN"
+        f" array({keep.format(eff_to=ts, cur='false')}, {succ})"
+        f" ELSE array({keep.format(eff_to='effective_to', cur='is_current')})"
+        " END"
+    )
+    return history.select("cust_i", F.expr(fanout).alias("__rows")).select(
+        "cust_i", F.expr("inline(__rows)")
+    )

@@ -981,3 +981,16 @@ def test_dp_noisy_release_single_aggregate_no_extra_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1, plan.count("Exchange")
+
+
+def test_scd2_merge_single_pass_no_union_no_join(spark, sf_dir):
+    """The MERGE applies as a row-level inline fan-out over the
+    already-built history: one orders scan, one cust_i exchange, one
+    Generate — never a self-union re-running the history subtree and
+    never a join."""
+    plan = _plan(QUERIES["incremental_scd2_merge"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "Union" not in plan, "merge must not rewrite by union"
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1, "inline fan-out expected"

@@ -962,3 +962,42 @@ def test_dp_noise_matches_independent_hashlib_math(spark, sf_dir):
         expect = -2.0 * math.copysign(1.0, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
         assert abs(r["noise"] - round(expect, 6)) < 1e-9, r["o_orderpriority"]
         assert abs(r["noisy_count"] - round(r["n_true"] + expect, 6)) < 1e-9
+
+
+def test_scd2_merge_invariants(spark, sf_dir):
+    """Post-merge dimension invariants: every customer has exactly one
+    current row; affected customers' current row is the escalated
+    version (priority X-ESCALATED, effective_from = the change ts,
+    version = prior max + 1) and their previous current row closed at
+    the change ts; unaffected customers' rows pass through untouched."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    merged = QUERIES["incremental_scd2_merge"](spark, sf_dir).toPandas()
+    base = QUERIES["scd2_priority_history"](spark, sf_dir).toPandas()
+    ts = pd.Timestamp("2002-01-01")
+
+    cur = merged[merged["is_current"]]
+    assert cur.groupby("cust_i").size().eq(1).all()
+
+    aff = merged[merged["cust_i"] % 37 == 0]
+    base_aff = base[base["cust_i"] % 37 == 0]
+    assert len(aff) == len(base_aff) + base_aff["cust_i"].nunique()
+    aff_cur = aff[aff["is_current"]]
+    assert (aff_cur["priority"] == "X-ESCALATED").all()
+    assert (aff_cur["effective_from"] == ts).all()
+    prior_max = base_aff.groupby("cust_i")["version"].max()
+    assert aff_cur.set_index("cust_i")["version"].sort_index().eq(
+        prior_max.sort_index() + 1
+    ).all()
+    closed = aff[(~aff["is_current"]) & (aff["effective_to"] == ts)]
+    assert len(closed) == base_aff["cust_i"].nunique()
+
+    unaff = merged[merged["cust_i"] % 37 != 0].sort_values(
+        ["cust_i", "version"], ignore_index=True
+    )
+    base_unaff = base[base["cust_i"] % 37 != 0].sort_values(
+        ["cust_i", "version"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(unaff, base_unaff[unaff.columns])
