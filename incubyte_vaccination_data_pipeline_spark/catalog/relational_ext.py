@@ -1383,3 +1383,70 @@ def incremental_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return history.select("cust_i", F.expr(fanout).alias("__rows")).select(
         "cust_i", F.expr("inline(__rows)")
     )
+
+
+@query(
+    "orders_pareto_abc",
+    oracle="""
+    WITH cr AS (
+        SELECT o_custkey AS cust_i,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+        SELECT cust_i, rev_cents,
+               CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, cust_i
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cents,
+               CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_cents
+        FROM cr
+    )
+    SELECT cust_i, rev_cents, cum_cents,
+           CASE WHEN cum_cents * 10 <= total_cents * 5 THEN 'A'
+                WHEN cum_cents * 10 <= total_cents * 8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of customers by cumulative revenue
+    share (A = first 50% of revenue, B = next 30%, C = tail) — the
+    80/20 curation primitive behind "which sources carry the corpus"
+    and inventory ABC analysis. The cumulative sum over the GLOBAL
+    revenue-descending order is the scale hazard: a plain
+    ``Window.orderBy`` with no partition key is a single-task sort, so
+    this reuses the distributed prefix-sum operator
+    (``operators/prefix.py``): range partition by (-revenue, customer)
+    — the explicit tie-break keeps the order total without composite-
+    key magnitude assumptions — per-range running sums, a
+    partition-TOTALS collect bounded by the range count, broadcast
+    offsets back. Class boundaries compare exact integers
+    (``cum*10 <= total*5``) — no float share, so the A/B edge cannot
+    flip between engines. Revenue sums in integer cents (double money
+    summation is merge-order-dependent)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.prefix import global_cumsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    cr = orders.groupBy(F.col("o_custkey").alias("cust_i")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    cr = cr.withColumn("__neg_rev", -F.col("rev_cents"))
+    cum = global_cumsum(cr, ["__neg_rev", "cust_i"], "rev_cents", out_col="cum_cents")
+    total = cr.agg(F.sum("rev_cents").alias("total_cents"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "cust_i",
+            "rev_cents",
+            "cum_cents",
+            F.when(
+                F.col("cum_cents") * 10 <= F.col("total_cents") * 5, F.lit("A")
+            )
+            .when(F.col("cum_cents") * 10 <= F.col("total_cents") * 8, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )

@@ -26,30 +26,34 @@ from pyspark.sql import functions as F
 
 def global_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     out_col: str = "cumsum",
     n_ranges: int | None = None,
 ) -> DataFrame:
     """Inclusive global running sum of ``value_col`` in ``order_col``
-    order, without a single-task global window. ``order_col`` must be
-    a TOTAL order (unique values): with ties, the within-tie running
+    order, without a single-task global window. ``order_col`` (one
+    column name or a list ordered lexicographically) must be a TOTAL
+    order (unique value tuples): with ties, the within-tie running
     order — and therefore each tied row's cumsum — is not
-    deterministic in any engine. The range-partitioned frame is lazily
-    checkpointed so the totals pass and the final projection share one
-    materialization (range bounds come from a sampling pass and must
-    not be re-derived between the two uses)."""
+    deterministic in any engine; pass a tie-breaking column instead of
+    assuming composite-key magnitudes fit one column. The
+    range-partitioned frame is lazily checkpointed so the totals pass
+    and the final projection share one materialization (range bounds
+    come from a sampling pass and must not be re-derived between the
+    two uses)."""
     spark = df.sparkSession
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
-        df.repartitionByRange(n_ranges, F.col(order_col))
+        df.repartitionByRange(n_ranges, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = ranged.withColumn("__local", F.sum(F.col(value_col)).over(w))

@@ -994,3 +994,19 @@ def test_scd2_merge_single_pass_no_union_no_join(spark, sf_dir):
     assert "Union" not in plan, "merge must not rewrite by union"
     assert "Join" not in plan
     assert plan.count("Generate") == 1, "inline fan-out expected"
+
+
+def test_pareto_abc_no_single_partition_window(spark, sf_dir):
+    """The cumulative revenue share must come from the distributed
+    prefix sum (range-partitioned window + broadcast offsets), never a
+    single-task global window; the grand total joins as a broadcast
+    one-row aggregate, not a cartesian blowup."""
+    plan = _plan(QUERIES["orders_pareto_abc"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\((\S+?)#", plan)
+    assert specs and all(s == "__pid" for s in specs), specs
+    # the only SinglePartition exchange allowed is the one-row grand
+    # total that broadcasts back; a global-window sort would be a
+    # second one feeding a Sort+Window
+    assert plan.count("SinglePartition") <= 1
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -1001,3 +1001,28 @@ def test_scd2_merge_invariants(spark, sf_dir):
         ["cust_i", "version"], ignore_index=True
     )
     pd.testing.assert_frame_equal(unaff, base_unaff[unaff.columns])
+
+
+def test_pareto_abc_invariants(spark, sf_dir):
+    """ABC classification invariants, checked independently in pandas:
+    cumsum follows the revenue-desc/customer-asc total order exactly;
+    classes are contiguous A-then-B-then-C along that order; the A
+    set is the minimal prefix covering 50% of revenue."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    df = (
+        QUERIES["orders_pareto_abc"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["rev_cents", "cust_i"], ascending=[False, True],
+                     ignore_index=True)
+    )
+    assert (df["cum_cents"] == df["rev_cents"].cumsum()).all()
+    total = df["rev_cents"].sum()
+    assert df["cum_cents"].iloc[-1] == total
+    order = {"A": 0, "B": 1, "C": 2}
+    ranks = df["abc_class"].map(order)
+    assert (ranks.diff().dropna() >= 0).all(), "classes must be contiguous"
+    a = df[df["abc_class"] == "A"]
+    assert a["cum_cents"].iloc[-1] * 10 <= total * 5
+    nxt = df["cum_cents"].iloc[len(a)]
+    assert nxt * 10 > total * 5, "A must be the minimal 50% prefix"
