@@ -420,3 +420,76 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("y", "m", "d", "lvl", "n_events", "sum_value")
     )
+
+
+@query(
+    "events_ses_smoothing",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    s AS (
+        SELECT event_type,
+               list(day ORDER BY day) AS days,
+               list(CAST(cents AS DOUBLE) ORDER BY day) AS vals,
+               list(cents ORDER BY day) AS raw
+        FROM daily GROUP BY event_type
+    ),
+    x AS (
+        SELECT event_type, days, vals, raw,
+               unnest(range(1, len(days) + 1)) AS i
+        FROM s
+    )
+    SELECT event_type, days[i] AS day, raw[i] AS cents,
+           ROUND(list_reduce(vals[1:i],
+                             (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ses
+    FROM x
+    """,
+)
+def events_ses_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (SES, alpha=0.2) of the daily revenue
+    series per event type — the recursive time-series operator
+    (level_t = a*v_t + (1-a)*level_{t-1}) that has NO window-function
+    form because each output depends on the whole prefix. Spark-first
+    shape: the recursion runs as an ``aggregate()`` lambda fold over
+    the per-type sorted value array — JVM-side codegen, no Python and
+    no driver loop — seeded with the first observation and folded in
+    strictly ascending day order, so both engines execute the IDENTICAL
+    IEEE-double op sequence (the oracle's ``list_reduce`` seeds and
+    folds the same way) and the hash match is exact even before the
+    6dp round. Daily values aggregate as integer cents (double money
+    summation is merge-order-dependent; int64->double is exact here).
+
+    Scale posture: series length is bounded by CALENDAR DAYS, not by
+    corpus rows — the per-type arrays stay tiny at any data scale, so
+    collect_list is safe; the per-day fold is O(days^2) on ~30-day
+    series (trivial) and the only shuffles are the two keyed
+    aggregations. For multi-year series the same fold runs over a
+    year-bucketed nesting with carried seeds."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
+    )
+    return series.select(
+        "event_type",
+        "arr",
+        F.posexplode("arr").alias("p", "e"),
+    ).select(
+        "event_type",
+        F.col("e.day").alias("day"),
+        F.col("e.cents").alias("cents"),
+        F.round(
+            F.expr(
+                "aggregate(slice(arr, 2, p),"
+                " cast(get(arr, 0).cents as double),"
+                " (acc, x) -> 0.2D * cast(x.cents as double) + 0.8D * acc)"
+            ),
+            6,
+        ).alias("ses"),
+    )

@@ -1026,3 +1026,31 @@ def test_pareto_abc_invariants(spark, sf_dir):
     assert a["cum_cents"].iloc[-1] * 10 <= total * 5
     nxt = df["cum_cents"].iloc[len(a)]
     assert nxt * 10 > total * 5, "A must be the minimal 50% prefix"
+
+
+def test_ses_smoothing_matches_numpy_recursion(spark, sf_dir):
+    """Third implementation: replay the SES recursion in plain
+    numpy/pandas from the raw parquet and require bit-level equality
+    BEFORE rounding semantics can hide drift (6dp compare here, but
+    the recursion is pure IEEE double on both sides)."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["events_ses_smoothing"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = (ev.groupby(["event_type", "day"], as_index=False)["cents"].sum()
+             .sort_values(["event_type", "day"], ignore_index=True))
+    expect = {}
+    for et, g in daily.groupby("event_type"):
+        level = None
+        for _, r in g.iterrows():
+            v = float(r["cents"])
+            level = v if level is None else 0.2 * v + 0.8 * level
+            expect[(et, r["day"])] = round(level, 6)
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        assert abs(expect[(r.event_type, pd.Timestamp(r.day))] - r.ses) < 1e-9
