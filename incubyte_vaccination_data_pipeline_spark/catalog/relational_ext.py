@@ -1450,3 +1450,76 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+_HIST_BUCKETS = 8
+
+
+@query(
+    "stats_equiheight_histogram",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey AS k
+        FROM orders
+    ),
+    r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, k) AS rnk,
+               (SELECT COUNT(*) FROM v) AS n
+        FROM v
+    )
+    SELECT CAST(((rnk - 1) * {_HIST_BUCKETS}) // n AS INT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(cents) AS lo_cents,
+           MAX(cents) AS hi_cents,
+           CAST(COUNT(DISTINCT cents) AS BIGINT) AS ndv
+    FROM r GROUP BY 1
+    """,
+)
+def stats_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-height column histogram with per-bucket NDV
+    — the CBO statistic behind selectivity estimation (Spark's
+    ``ANALYZE TABLE .. FOR COLUMNS`` builds exactly this shape) and
+    the zone-map audit for range layouts. Every order lands in one of
+    {_HIST_BUCKETS} height-balanced buckets by its GLOBAL rank in
+    (price, orderkey) order; per bucket: row count (equal by
+    construction, +-1), [lo, hi] bounds, and exact NDV.
+
+    The global rank is the scale hazard: ``ROW_NUMBER`` over one
+    ordering with no partition key is a single-task sort, so the rank
+    comes from the distributed prefix sum (``operators/prefix.py`` —
+    range partition by the sort key, per-range running count, driver
+    prefix over the partition TOTALS, broadcast offsets). Bucket
+    assignment is pure integer arithmetic on the rank
+    (``(rnk-1)*B div N`` — no boundary-value comparisons, so duplicate
+    prices cannot make engines disagree), and the rollup is one
+    {_HIST_BUCKETS}-group map-side-combinable aggregate. Money ranks
+    as integer cents with an explicit orderkey tie-break (a float sort
+    key with ties would make within-tie rank engine-dependent)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.prefix import global_cumsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).cast("bigint").alias("__one"),
+    )
+    ranked = global_cumsum(v, ["cents", "k"], "__one", out_col="rnk")
+    n = v.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "cents",
+            F.expr(f"cast(((rnk - 1) * {_HIST_BUCKETS}) div n as int)").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.countDistinct("cents").alias("ndv"),
+        )
+    )

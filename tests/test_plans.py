@@ -1010,3 +1010,15 @@ def test_pareto_abc_no_single_partition_window(spark, sf_dir):
     assert plan.count("SinglePartition") <= 1
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_equiheight_histogram_no_single_partition_window(spark, sf_dir):
+    """The global rank must come from the distributed prefix sum, not
+    a single-task ROW_NUMBER window; the row-count total joins as a
+    broadcast one-row aggregate."""
+    plan = _plan(QUERIES["stats_equiheight_histogram"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\((\S+?)#", plan)
+    assert specs and all(s == "__pid" for s in specs), specs
+    assert plan.count("SinglePartition") <= 1
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -1054,3 +1054,27 @@ def test_ses_smoothing_matches_numpy_recursion(spark, sf_dir):
     assert len(got) == len(expect)
     for r in got.itertuples():
         assert abs(expect[(r.event_type, pd.Timestamp(r.day))] - r.ses) < 1e-9
+
+
+def test_equiheight_histogram_properties(spark, sf_dir):
+    """Equi-height + disjoint-range invariants: bucket ids dense 0..7,
+    counts differ by at most 1, value ranges non-overlapping in bucket
+    order, and totals/ndv reconcile with the raw column."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = (
+        QUERIES["stats_equiheight_histogram"](spark, sf_dir)
+        .toPandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    assert list(got["bucket"]) == list(range(8))
+    assert got["n_rows"].max() - got["n_rows"].min() <= 1
+    for i in range(7):
+        assert got["hi_cents"][i] <= got["lo_cents"][i + 1]
+    raw = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    cents = (raw["o_totalprice"] * 100).round().astype("int64")
+    assert got["n_rows"].sum() == len(cents)
+    assert got["lo_cents"][0] == cents.min()
+    assert got["hi_cents"][7] == cents.max()
