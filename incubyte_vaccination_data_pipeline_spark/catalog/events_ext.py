@@ -493,3 +493,119 @@ def events_ses_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ses"),
     )
+
+
+_MT_WINDOW_S = 7 * 86400  # attribution lookback, seconds
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, user_id,
+               date_diff('second', TIMESTAMP '1970-01-01', ts) AS ts_s,
+               event_type = 'click' AS is_click,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    counted AS (
+        SELECT *,
+               SUM(CASE WHEN is_click THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts_s
+                   RANGE BETWEEN {_MT_WINDOW_S} PRECEDING AND 1 PRECEDING
+               ) AS n_clicks
+        FROM tagged
+    ),
+    credited AS (
+        SELECT *,
+               CASE WHEN cents IS NOT NULL AND n_clicks > 0
+                    THEN (cents * 1000000) // n_clicks END AS credit_each
+        FROM counted
+    ),
+    rolled AS (
+        SELECT event_id, user_id, is_click,
+               SUM(CASE WHEN credit_each IS NOT NULL THEN 1 ELSE 0 END) OVER w
+                   AS n_purchases,
+               SUM(credit_each) OVER w AS credit_microcents
+        FROM credited
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts_s
+            RANGE BETWEEN 1 FOLLOWING AND {_MT_WINDOW_S} FOLLOWING
+        )
+    )
+    SELECT event_id AS click_id, user_id, n_purchases, credit_microcents
+    FROM rolled
+    WHERE is_click AND credit_microcents IS NOT NULL
+    """,
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits its value
+    EQUALLY across every click by the same user in the preceding 7
+    days; per click, the total credit received and the number of
+    purchases crediting it. The naive formulation is a per-user
+    (click x purchase) range self-join — double scan, double shuffle,
+    and pair-explosion on heavy users. This runs it as TWO range-frame
+    window passes over ONE ``user_id`` partitioning (exploiting the
+    symmetry click∈[p-7d,p) ⇔ purchase∈(c,c+7d]): pass 1 counts each
+    purchase's in-window clicks (backward frame), pass 2 sums each
+    click's per-purchase credit (forward frame). Single scan, single
+    shuffle, and Spark reuses one sort for both windows.
+
+    Determinism: credit = floor(cents * 1e6 / n_clicks) micro-cents —
+    exact integer arithmetic (a float split would accumulate
+    engine-dependent rounding); the order key is epoch SECONDS on both
+    engines, and every frame is RANGE-based, so intra-second tie order
+    cannot change any sum. Same-second click/purchase pairs are
+    excluded symmetrically (frames end at ±1s).
+
+    100 TB posture: per-user work is frame-bounded (7-day windows),
+    state is the running frame, and there is no pair materialization —
+    the credit fan-out that makes multi-touch quadratic in join form
+    is folded into the forward-frame sum."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        (F.col("event_type") == "click").alias("is_click"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("bigint"),
+        ).alias("cents"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-_MT_WINDOW_S, -1)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(1, _MT_WINDOW_S)
+    )
+    counted = tagged.withColumn(
+        "n_clicks", F.sum(F.when(F.col("is_click"), 1).otherwise(0)).over(back)
+    )
+    credited = counted.withColumn(
+        "credit_each",
+        F.when(
+            F.col("cents").isNotNull() & (F.col("n_clicks") > 0),
+            F.expr("(cents * 1000000) div n_clicks"),
+        ),
+    )
+    return (
+        credited.withColumn(
+            "n_purchases",
+            F.sum(
+                F.when(F.col("credit_each").isNotNull(), 1).otherwise(0)
+            ).over(fwd),
+        )
+        .withColumn("credit_microcents", F.sum("credit_each").over(fwd))
+        .filter(F.col("is_click") & F.col("credit_microcents").isNotNull())
+        .select("event_id", "user_id", "n_purchases", "credit_microcents")
+        .withColumnRenamed("event_id", "click_id")
+    )

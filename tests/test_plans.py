@@ -1022,3 +1022,17 @@ def test_equiheight_histogram_no_single_partition_window(spark, sf_dir):
     assert plan.count("SinglePartition") <= 1
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multitouch_attribution_single_shuffle_no_join(spark, sf_dir):
+    """Multi-touch credit must fold the (click x purchase) pair
+    expansion into two range-frame windows over ONE user_id
+    partitioning — no self-join, one scan, one exchange, and one sort
+    shared by both window passes."""
+    plan = _plan(QUERIES["events_attribution_multitouch"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
+    specs = re.findall(r"windowspecdefinition\((\S+?)#", plan)
+    assert specs and all(s == "user_id" for s in specs), specs

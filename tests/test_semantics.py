@@ -1078,3 +1078,45 @@ def test_equiheight_histogram_properties(spark, sf_dir):
     assert got["n_rows"].sum() == len(cents)
     assert got["lo_cents"][0] == cents.min()
     assert got["hi_cents"][7] == cents.max()
+
+
+def test_multitouch_attribution_matches_pair_replay(spark, sf_dir):
+    """Third implementation: replay the naive (click x purchase) pair
+    semantics in pandas and require identical per-click credit."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = (
+        QUERIES["events_attribution_multitouch"](spark, sf_dir)
+        .toPandas()
+        .sort_values("click_id", ignore_index=True)
+    )
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    ev = ev[ev["event_type"].isin(["click", "purchase"])].copy()
+    ev["ts_s"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64") // 10**9
+    )
+    clicks = ev[ev["event_type"] == "click"]
+    purch = ev[ev["event_type"] == "purchase"].copy()
+    purch["cents"] = (purch["value"] * 100).round().astype("int64")
+    credit: dict[int, list] = {}
+    for u, pg in purch.groupby("user_id"):
+        cg = clicks[clicks["user_id"] == u]
+        for p in pg.itertuples():
+            inwin = cg[(cg["ts_s"] >= p.ts_s - 7 * 86400) & (cg["ts_s"] <= p.ts_s - 1)]
+            n = len(inwin)
+            if n == 0:
+                continue
+            each = (p.cents * 1_000_000) // n
+            for cid in inwin["event_id"]:
+                agg = credit.setdefault(int(cid), [0, 0])
+                agg[0] += 1
+                agg[1] += each
+    assert len(got) == len(credit)
+    for r in got.itertuples():
+        n, c = credit[int(r.click_id)]
+        assert r.n_purchases == n and r.credit_microcents == c
