@@ -233,3 +233,111 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pass_all"
         ),
     )
+
+
+_BPE_TOP2 = 20
+
+
+@query(
+    "text_bpe_apply_merge",
+    oracle=f"""
+    WITH words AS (
+        SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT w, COUNT(*) AS n FROM words
+        WHERE len(w) >= 2 AND strpos(w, chr(1)) = 0 GROUP BY w
+    ),
+    p1 AS (
+        SELECT substr(wc.w, i.i, 2) AS pair, SUM(wc.n) AS cnt
+        FROM wc, LATERAL (SELECT UNNEST(generate_series(1, len(wc.w) - 1)) AS i) i
+        GROUP BY 1
+    ),
+    top1 AS (SELECT pair AS mp FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    marked AS (
+        SELECT replace(w, mp, chr(1)) AS mw, n, mp FROM wc, top1
+    ),
+    p2 AS (
+        SELECT m.mp, replace(substr(m.mw, i.i, 2), chr(1), m.mp) AS pair, m.n
+        FROM marked m,
+             LATERAL (SELECT UNNEST(generate_series(1, len(m.mw) - 1)) AS i) i
+        WHERE len(m.mw) >= 2
+    )
+    SELECT mp AS merge_applied, pair,
+           CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM p2 GROUP BY 1, 2
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {_BPE_TOP2}
+    """,
+)
+def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE tokenizer-training iteration materialized: learn
+    the best merge from corpus-weighted pair counts (max count,
+    lexicographic tie-break), APPLY it to the word symbol table, and
+    recount — the loop body of BPE training, where
+    ``text_bpe_merge_candidates`` is only the first count. The merge
+    application is Spark's native ``replace`` (greedy left-to-right
+    non-overlapping, identical semantics in DuckDB), with the merged
+    token carried as a single sentinel symbol (``chr(1)``) so
+    iteration-2 pairs are SYMBOL pairs, not character pairs — exactly
+    how a production trainer represents its growing vocabulary; output
+    pair labels expand the sentinel back for readability.
+
+    Scale design (the reason BPE training is feasible at 100 TB): all
+    per-iteration work runs over the DISTINCT-WORD table weighted by
+    corpus frequency — vocabulary-bounded (millions of rows), never
+    corpus-bounded (trillions); the winning merge is a one-row
+    aggregate broadcast back (never a driver-side argmax over a
+    collect); each iteration adds one narrow map stage + one keyed
+    count. Words are pre-filtered to exclude the sentinel char on both
+    engines, and merged-to-single-symbol words drop out of pair
+    generation explicitly (Spark's ``sequence(1, 0)`` is a DESCENDING
+    sequence, not empty — the ``length >= 2`` filter keeps the two
+    engines' explode domains identical)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter((F.length("w") >= 2) & (F.expr("instr(w, chr(1))") == 0))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # wc feeds both the iteration-1 count (top merge) and the marked
+    # re-expansion; checkpoint the compact vocabulary frame so the two
+    # branches share one scan + aggregate (self-join subtree policy).
+    wc = wc.localCheckpoint(eager=False)
+    p1 = (
+        wc.select(
+            F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"), "w", "n"
+        )
+        .select(F.expr("substr(w, i, 2)").alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top1 = p1.agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("pair").alias("p"))).alias(
+            "s"
+        )
+    ).select(F.col("s.p").alias("mp"))
+    marked = wc.crossJoin(F.broadcast(top1)).select(
+        F.expr("replace(w, mp, chr(1))").alias("mw"), "n", "mp"
+    )
+    p2 = (
+        marked.filter(F.length("mw") >= 2)
+        .select(
+            F.explode(F.expr("sequence(1, length(mw) - 1)")).alias("i"),
+            "mw",
+            "n",
+            "mp",
+        )
+        .select(
+            "mp",
+            F.expr("replace(substr(mw, i, 2), chr(1), mp)").alias("pair"),
+            "n",
+        )
+    )
+    return (
+        p2.groupBy("mp", "pair")
+        .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
+        .select(F.col("mp").alias("merge_applied"), "pair", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_BPE_TOP2)
+    )

@@ -1036,3 +1036,17 @@ def test_multitouch_attribution_single_shuffle_no_join(spark, sf_dir):
     assert plan.count("Window") == 2
     specs = re.findall(r"windowspecdefinition\((\S+?)#", plan)
     assert specs and all(s == "user_id" for s in specs), specs
+
+
+def test_bpe_apply_merge_vocab_bounded_no_cartesian(spark, sf_dir):
+    """The BPE iteration must run over the checkpointed DISTINCT-WORD
+    table (both branches share one vocabulary materialization — no
+    re-scan of documents per branch), broadcast the one-row winning
+    merge (never a cartesian or driver argmax), and take the top-k via
+    TakeOrderedAndProject."""
+    plan = _plan(QUERIES["text_bpe_apply_merge"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0  # vocab checkpoint feeds both
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "TakeOrderedAndProject" in plan

@@ -1120,3 +1120,38 @@ def test_multitouch_attribution_matches_pair_replay(spark, sf_dir):
     for r in got.itertuples():
         n, c = credit[int(r.click_id)]
         assert r.n_purchases == n and r.credit_microcents == c
+
+
+def test_bpe_apply_merge_matches_python_replay(spark, sf_dir):
+    """Third implementation: a pure-Python BPE iteration (tokenize,
+    count pairs, pick (max count, lexicographic) merge, str.replace —
+    the same greedy left-to-right non-overlapping application — and
+    recount) must produce the identical top-20."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["text_bpe_apply_merge"](spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc = Counter()
+    for t in docs["text"]:
+        for w in t.strip().lower().split():
+            if len(w) >= 2 and "\x01" not in w:
+                wc[w] += 1
+    p1 = Counter()
+    for w, n in wc.items():
+        for i in range(len(w) - 1):
+            p1[w[i : i + 2]] += n
+    mp = min(p1.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    p2 = Counter()
+    for w, n in wc.items():
+        mw = w.replace(mp, "\x01")
+        if len(mw) < 2:
+            continue
+        for i in range(len(mw) - 1):
+            p2[mw[i : i + 2].replace("\x01", mp)] += n
+    top = sorted(p2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(got["merge_applied"].unique()) == [mp]
+    assert [(r.pair, r.n_occurrences) for r in got.itertuples()] == top
