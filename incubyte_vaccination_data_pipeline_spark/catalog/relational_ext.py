@@ -1523,3 +1523,253 @@ def stats_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cents").alias("ndv"),
         )
     )
+
+
+_KMV_K = 64
+_KMV_H = 1 << 60  # hash domain: 60-bit md5-derived keys
+
+
+def _kmv_hash_sql(instr_fn: str) -> str:
+    """60-bit hash from the md5 of the salted customer key: two 32-bit
+    positional decodes packed as d1 * 2^28 + d2 mod 2^28 (stays under
+    2^60; bigint-safe). Engine-portable — only the position function
+    name differs (Spark ``instr``, DuckDB ``strpos``)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import md5_half_decode_sql
+
+    d1 = md5_half_decode_sql("m", 1, instr_fn=instr_fn)
+    d2 = md5_half_decode_sql("m", 9, instr_fn=instr_fn)
+    return f"({d1} * cast(268435456 as bigint) + {d2} % cast(268435456 as bigint))"
+
+
+@query(
+    "agg_kmv_theta_sketch",
+    oracle=f"""
+    WITH sel AS (
+        SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS seg,
+               o_custkey AS ck
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    ),
+    hashed AS (
+        SELECT DISTINCT seg, {_kmv_hash_sql("strpos")} AS h
+        FROM (SELECT seg, md5('kmv-v1' || CAST(ck AS VARCHAR)) AS m FROM sel)
+    ),
+    ranked AS (
+        SELECT seg, h, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY h) AS r
+        FROM hashed
+    ),
+    stats AS (
+        SELECT seg, COUNT(*) AS n,
+               CASE WHEN COUNT(*) >= {_KMV_K}
+                    THEN MAX(CASE WHEN r = {_KMV_K} THEN h END)
+                    ELSE {_KMV_H} END AS theta,
+               CASE WHEN COUNT(*) >= {_KMV_K} THEN {_KMV_K} - 1
+                    ELSE COUNT(*) END AS nv
+        FROM ranked GROUP BY seg
+    ),
+    thetas AS (
+        SELECT MAX(CASE WHEN seg = 1996 THEN theta END) AS theta_a,
+               MAX(CASE WHEN seg = 1997 THEN theta END) AS theta_b,
+               MAX(CASE WHEN seg = 1996 THEN nv END) AS nv_a,
+               MAX(CASE WHEN seg = 1997 THEN nv END) AS nv_b
+        FROM stats
+    ),
+    retained AS (
+        SELECT r.seg, r.h FROM ranked r JOIN stats s ON r.seg = s.seg
+        WHERE r.h < s.theta
+    ),
+    merged AS (
+        SELECT h,
+               MAX(CASE WHEN seg = 1996 THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN seg = 1997 THEN 1 ELSE 0 END) AS in_b,
+               ROW_NUMBER() OVER (ORDER BY h) AS mr
+        FROM retained GROUP BY h
+    ),
+    mstats AS (
+        SELECT t.theta_a, t.theta_b, t.nv_a, t.nv_b,
+               LEAST(t.theta_a, t.theta_b,
+                     CASE WHEN (SELECT COUNT(*) FROM merged) >= {_KMV_K}
+                          THEN (SELECT MAX(CASE WHEN mr = {_KMV_K} THEN h END)
+                                FROM merged)
+                          ELSE {_KMV_H} END) AS theta_u,
+               LEAST(t.theta_a, t.theta_b) AS theta_i
+        FROM thetas t
+    ),
+    vcounts AS (
+        SELECT s.*,
+               (SELECT COUNT(*) FROM merged WHERE h < s.theta_u) AS nv_u,
+               (SELECT COUNT(*) FROM merged
+                WHERE in_a = 1 AND in_b = 1 AND h < s.theta_i) AS nv_i
+        FROM mstats s
+    ),
+    exacts AS (
+        SELECT COUNT(DISTINCT CASE WHEN seg = 1996 THEN ck END) AS n_exact_1996,
+               COUNT(DISTINCT CASE WHEN seg = 1997 THEN ck END) AS n_exact_1997
+        FROM sel
+    )
+    SELECT {_KMV_K} AS k, e.n_exact_1996, e.n_exact_1997,
+           v.theta_a, v.theta_b,
+           ROUND(CAST(v.nv_a AS DOUBLE) * CAST({_KMV_H} AS DOUBLE)
+                 / CAST(v.theta_a AS DOUBLE), 6) AS est_1996,
+           ROUND(CAST(v.nv_b AS DOUBLE) * CAST({_KMV_H} AS DOUBLE)
+                 / CAST(v.theta_b AS DOUBLE), 6) AS est_1997,
+           ROUND(CAST(v.nv_u AS DOUBLE) * CAST({_KMV_H} AS DOUBLE)
+                 / CAST(v.theta_u AS DOUBLE), 6) AS est_union,
+           ROUND(CAST(v.nv_i AS DOUBLE) * CAST({_KMV_H} AS DOUBLE)
+                 / CAST(v.theta_i AS DOUBLE), 6) AS est_intersect,
+           CAST(v.nv_i AS BIGINT) AS n_retained_intersect
+    FROM vcounts v, exacts e
+    """,
+)
+def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta sketch with SET OPERATIONS — the sketch sibling of
+    ``set_bitmap_audience_overlap``: estimate the distinct 1996 / 1997
+    buyer audiences, their UNION, and their INTERSECTION from k=64
+    minimum hash values per side. HLL (``agg_approx_count_distinct``)
+    cannot intersect; theta sketches can — this is the
+    Druid/DataSketches audience-overlap primitive. Per segment,
+    theta = the k-th smallest 60-bit hash (or the full domain when the
+    segment is smaller than k — exact mode, where the estimate
+    degenerates to the true count); estimate = |values below theta| *
+    H / theta; union clips theta to min of both sides and the merged
+    k-th; intersection counts common values below min(theta_a,
+    theta_b). Everything is DETERMINISTIC (md5-derived hashes, integer
+    thetas, one fixed float op sequence rounded at 6dp), so the oracle
+    replays the complete sketch algebra — no tolerance certificate.
+
+    Scale design: the shuffle carries DISTINCT (segment, hash) pairs
+    (map-side combinable distinct), the per-segment k-min selection is
+    a bounded top-k, and every downstream frame is at most 2k rows —
+    the sketch property that makes audience overlap O(k) state per
+    segment at 100 TB (a production run keeps the k-min set as a typed
+    aggregation buffer; the estimator algebra here is identical).
+    The merged-rank window runs on that <=2k-row frame — bounded by
+    construction, like the driver prefix over partition totals."""
+    orders = read_table(spark, sf_dir, "orders")
+    sel = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            F.year("o_orderdate").cast("int").alias("seg"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    sel = sel.localCheckpoint(eager=False)  # feeds sketch + exact branches
+    hashed = (
+        sel.select(
+            "seg", F.md5(F.concat(F.lit("kmv-v1"), F.col("ck").cast("string"))).alias("m")
+        )
+        .select("seg", F.expr(_kmv_hash_sql("instr")).alias("h"))
+        .distinct()
+    )
+    ranked = hashed.withColumn(
+        "r", F.row_number().over(Window.partitionBy("seg").orderBy("h"))
+    )
+    stats = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("r") == _KMV_K, F.col("h"))).alias("kth"),
+    ).select(
+        "seg",
+        F.when(F.col("n") >= _KMV_K, F.col("kth"))
+        .otherwise(F.lit(_KMV_H))
+        .alias("theta"),
+        F.when(F.col("n") >= _KMV_K, F.lit(_KMV_K - 1))
+        .otherwise(F.col("n"))
+        .alias("nv"),
+    )
+    thetas = stats.agg(
+        F.max(F.when(F.col("seg") == 1996, F.col("theta"))).alias("theta_a"),
+        F.max(F.when(F.col("seg") == 1997, F.col("theta"))).alias("theta_b"),
+        F.max(F.when(F.col("seg") == 1996, F.col("nv"))).alias("nv_a"),
+        F.max(F.when(F.col("seg") == 1997, F.col("nv"))).alias("nv_b"),
+    )
+    retained = (
+        ranked.join(F.broadcast(stats), "seg")
+        .filter(F.col("h") < F.col("theta"))
+        .select("seg", "h")
+    )
+    merged = (
+        retained.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("seg") == 1996, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("seg") == 1997, 1).otherwise(0)).alias("in_b"),
+        )
+        .withColumn(
+            "mr", F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
+        )
+        .localCheckpoint(eager=False)  # <=2k rows; feeds kth + both counts
+    )
+    mtop = merged.agg(
+        F.count(F.lit(1)).alias("n_m"),
+        F.max(F.when(F.col("mr") == _KMV_K, F.col("h"))).alias("kth_m"),
+    )
+    row0 = (
+        thetas.crossJoin(F.broadcast(mtop))
+        .select(
+            "theta_a",
+            "theta_b",
+            "nv_a",
+            "nv_b",
+            F.least(
+                F.col("theta_a"),
+                F.col("theta_b"),
+                F.when(F.col("n_m") >= _KMV_K, F.col("kth_m")).otherwise(
+                    F.lit(_KMV_H)
+                ),
+            ).alias("theta_u"),
+            F.least(F.col("theta_a"), F.col("theta_b")).alias("theta_i"),
+        )
+    )
+    vcounts = (
+        merged.crossJoin(F.broadcast(row0))
+        .agg(
+            F.first("theta_a").alias("theta_a"),
+            F.first("theta_b").alias("theta_b"),
+            F.first("nv_a").alias("nv_a"),
+            F.first("nv_b").alias("nv_b"),
+            F.first("theta_u").alias("theta_u"),
+            F.first("theta_i").alias("theta_i"),
+            F.sum(F.when(F.col("h") < F.col("theta_u"), 1).otherwise(0)).alias(
+                "nv_u"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("in_a") == 1)
+                    & (F.col("in_b") == 1)
+                    & (F.col("h") < F.col("theta_i")),
+                    1,
+                ).otherwise(0)
+            ).alias("nv_i"),
+        )
+    )
+    exacts = sel.agg(
+        F.countDistinct(F.when(F.col("seg") == 1996, F.col("ck"))).alias(
+            "n_exact_1996"
+        ),
+        F.countDistinct(F.when(F.col("seg") == 1997, F.col("ck"))).alias(
+            "n_exact_1997"
+        ),
+    )
+    est = (
+        lambda nv, th: F.round(
+            F.col(nv).cast("double")
+            * F.lit(_KMV_H).cast("double")
+            / F.col(th).cast("double"),
+            6,
+        )
+    )
+    return (
+        vcounts.crossJoin(F.broadcast(exacts))
+        .select(
+            F.lit(_KMV_K).alias("k"),
+            "n_exact_1996",
+            "n_exact_1997",
+            "theta_a",
+            "theta_b",
+            est("nv_a", "theta_a").alias("est_1996"),
+            est("nv_b", "theta_b").alias("est_1997"),
+            est("nv_u", "theta_u").alias("est_union"),
+            est("nv_i", "theta_i").alias("est_intersect"),
+            F.col("nv_i").cast("bigint").alias("n_retained_intersect"),
+        )
+    )

@@ -1050,3 +1050,16 @@ def test_bpe_apply_merge_vocab_bounded_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_theta_sketch_bounded_frames(spark, sf_dir):
+    """The data-scale side must be the distinct + per-segment k-min
+    window (seg-partitioned); every single-partition structure runs
+    over sketch-sized (<=2k row) checkpointed frames, and the one-row
+    assemblies broadcast (no cartesian)."""
+    plan = _plan(QUERIES["agg_kmv_theta_sketch"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0  # checkpointed inputs feed all branches
+    assert plan.count("Scan ExistingRDD") == 4
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\((\S+?)#", plan)
+    assert specs and all(s == "seg" for s in specs), specs

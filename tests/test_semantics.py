@@ -1155,3 +1155,51 @@ def test_bpe_apply_merge_matches_python_replay(spark, sf_dir):
     top = sorted(p2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert list(got["merge_applied"].unique()) == [mp]
     assert [(r.pair, r.n_occurrences) for r in got.itertuples()] == top
+
+
+def test_kmv_theta_sketch_exact_mode_and_accuracy(spark, sf_dir, monkeypatch, tmp_path):
+    """(a) Exact mode: with both segments smaller than k, every
+    estimate must equal the true count (theta = full domain).
+    (b) At the test SF the estimates must sit within sketch error of
+    the exact audience algebra (k=64 -> RSE ~12.7%; 40% is >3 sigma)."""
+    import datetime as dt2
+
+    import pandas as pd
+
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.relational_ext import (
+        _KMV_H,
+        agg_kmv_theta_sketch,
+    )
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    # (a) tiny crafted orders: 1996 buyers {1,2,3}, 1997 buyers {2,3,4,5}
+    rows = [(k, dt2.date(1996, 6, 1)) for k in (1, 2, 3)] + [
+        (k, dt2.date(1997, 6, 1)) for k in (2, 3, 4, 5)
+    ]
+    orders = spark.createDataFrame(rows, "o_custkey bigint, o_orderdate date")
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "orders"),
+        orders,
+    )
+    got = agg_kmv_theta_sketch(spark, str(tmp_path)).collect()[0]
+    assert got["theta_a"] == _KMV_H and got["theta_b"] == _KMV_H
+    assert got["est_1996"] == 3.0 and got["est_1997"] == 4.0
+    assert got["est_union"] == 5.0 and got["est_intersect"] == 2.0
+    assert got["n_retained_intersect"] == 2
+
+    # (b) accuracy on the real corpus
+    got = QUERIES["agg_kmv_theta_sketch"](spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    y = pd.to_datetime(o["o_orderdate"]).dt.year
+    a = set(o.loc[y == 1996, "o_custkey"])
+    b = set(o.loc[y == 1997, "o_custkey"])
+    assert got["n_exact_1996"] == len(a) and got["n_exact_1997"] == len(b)
+    for est, true in [
+        (got["est_1996"], len(a)),
+        (got["est_1997"], len(b)),
+        (got["est_union"], len(a | b)),
+        (got["est_intersect"], len(a & b)),
+    ]:
+        assert abs(est - true) <= 0.4 * true, (est, true)
