@@ -609,3 +609,91 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_id", "user_id", "n_purchases", "credit_microcents")
         .withColumnRenamed("event_id", "click_id")
     )
+
+
+@query(
+    "events_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    idx AS (
+        SELECT event_type, day, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    ),
+    rec AS (
+        SELECT event_type, rn, day, cents,
+               CAST(cents AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.event_type, i.rn, i.day, i.cents,
+               0.5 * CAST(i.cents AS DOUBLE) + 0.5 * (r.l + r.b),
+               0.3 * ((0.5 * CAST(i.cents AS DOUBLE) + 0.5 * (r.l + r.b))
+                      - r.l)
+               + 0.7 * r.b
+        FROM rec r JOIN idx i
+          ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT event_type, day, cents,
+           ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast_next
+    FROM rec
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of the daily
+    revenue series per event type — the 2-STATE recursive time-series
+    operator (level + trend, alpha=0.5 / beta=0.3) that generalizes
+    ``events_ses_smoothing``'s scalar fold: the accumulator is a
+    STRUCT folded JVM-side by ``aggregate()`` over the per-type sorted
+    array, seeded (l=first observation, b=0). The oracle restates the
+    recursion with an INDEPENDENT algorithm — a recursive CTE stepping
+    (event_type, rn) — because DuckDB's ``list_reduce`` mutates a
+    struct accumulator FIELD-BY-FIELD (while computing field ``b``,
+    ``acc.l`` already holds the new level — verified numerically), so
+    a struct fold there silently computes a different recurrence. Both
+    sides execute the same IEEE-double op sequence (the level
+    expression is textually duplicated inside the trend update rather
+    than bound to a local), and values hash-match exactly at 6dp.
+    ``forecast_next`` = level + trend is the one-step-ahead forecast.
+
+    Scale posture: identical to SES — series length is bounded by
+    CALENDAR DAYS, not corpus rows, so the per-type arrays stay tiny
+    at any data scale; two keyed aggregations are the only shuffles,
+    and the per-day fold is O(days^2) on ~30-day series."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
+    )
+    lnew = "(0.5D * cast(x.cents as double) + 0.5D * (acc.l + acc.b))"
+    fold = F.expr(
+        "aggregate(slice(arr, 2, p),"
+        " named_struct('l', cast(get(arr, 0).cents as double), 'b', 0.0D),"
+        f" (acc, x) -> named_struct('l', {lnew},"
+        f" 'b', 0.3D * ({lnew} - acc.l) + 0.7D * acc.b))"
+    )
+    return series.select(
+        "event_type",
+        "arr",
+        F.posexplode("arr").alias("p", "e"),
+    ).select(
+        "event_type",
+        F.col("e.day").alias("day"),
+        F.col("e.cents").alias("cents"),
+        fold.alias("st"),
+    ).select(
+        "event_type",
+        "day",
+        "cents",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_next"),
+    )

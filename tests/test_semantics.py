@@ -1203,3 +1203,53 @@ def test_kmv_theta_sketch_exact_mode_and_accuracy(spark, sf_dir, monkeypatch, tm
         (got["est_intersect"], len(a & b)),
     ]:
         assert abs(est - true) <= 0.4 * true, (est, true)
+
+
+def _half_up6(x: float) -> float:
+    """Spark/DuckDB ROUND semantics (HALF_UP) — Python's round() is
+    banker's and flips exact .5 boundaries the engines agree on."""
+    import decimal
+
+    # repr(x) = shortest round-trip decimal, matching the JVM's
+    # BigDecimal.valueOf(double) that Spark's round() goes through
+    return float(
+        decimal.Decimal(repr(x)).quantize(decimal.Decimal("0.000001"),
+                                          rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def test_holt_linear_matches_numpy_recursion(spark, sf_dir):
+    """Third implementation: replay the Holt level+trend recursion in
+    plain pandas from the raw parquet (the Spark side folds a struct,
+    the oracle steps a recursive CTE; this is the arbiter)."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["events_holt_linear"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = (ev.groupby(["event_type", "day"], as_index=False)["cents"].sum()
+             .sort_values(["event_type", "day"], ignore_index=True))
+    expect = {}
+    for et, g in daily.groupby("event_type"):
+        l = b = None
+        for _, r in g.iterrows():
+            v = float(r["cents"])
+            if l is None:
+                l, b = v, 0.0
+            else:
+                ln = 0.5 * v + 0.5 * (l + b)
+                b = 0.3 * (ln - l) + 0.7 * b
+                l = ln
+            expect[(et, r["day"])] = (_half_up6(l), _half_up6(b), _half_up6(l + b))
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        e = expect[(r.event_type, pd.Timestamp(r.day))]
+        assert (
+            abs(e[0] - r.level) < 1e-9
+            and abs(e[1] - r.trend) < 1e-9
+            and abs(e[2] - r.forecast_next) < 1e-9
+        )
