@@ -1773,3 +1773,74 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nv_i").cast("bigint").alias("n_retained_intersect"),
         )
     )
+
+
+_WRES_N = 100
+_WRES_HEX = "0123456789abcdef"
+#: 16-bit md5 bucket of the salted order key (split_train_val_test
+#: strpos recipe), restated positionally for DuckDB
+_WRES_BUCKET_SQL = (
+    "((strpos('{hex}', substring(md5('wres-v1' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('{hex}', substring(md5('wres-v1' || CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('{hex}', substring(md5('wres-v1' || CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('{hex}', substring(md5('wres-v1' || CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1))"
+).format(hex=_WRES_HEX)
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(floor(ln(({_WRES_BUCKET_SQL} + 0.5) / 65536.0)
+                          / CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          * 1152921504606846976.0) AS BIGINT) AS qkey
+        FROM orders
+    )
+    SELECT o_orderkey, cents, qkey
+    FROM keyed
+    ORDER BY qkey DESC, o_orderkey
+    LIMIT {_WRES_N}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis–Spirakis A-ES): draw
+    {n} orders with inclusion probability proportional to order value,
+    WITHOUT knowing the total weight — each row gets the key
+    u^(1/w) (monotone-equivalently ln(u)/w, used here), and the sample
+    is simply the top-k keys. u is a content-addressed uniform
+    ((md5_bucket(salt||key) + 0.5) / 2^16 — the DP-release recipe), so
+    the draw is replayable cross-engine; keys are quantized
+    (floor(x * 2^60)) before comparison so a 1-ulp libm-vs-JVM ``ln``
+    difference cannot reorder the sample except exactly at a floor
+    boundary (the perplexity-quantization precedent), and ties break
+    on the order key.
+
+    Scale design: this is THE distributed weighted-sampling shape —
+    one scan, per-partition partial top-k merged on the driver
+    (``TakeOrderedAndProject``), no shuffle, no global sort, no
+    normalizing-constant pass; k rows of state per partition. A
+    production multi-epoch sampler varies the salt per draw."""
+    orders = read_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wres-v1"), F.col("o_orderkey").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(65536.0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    keyed = orders.select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.floor(
+            F.log(u) / cents.cast("double") * F.lit(1152921504606846976.0)
+        ).cast("bigint").alias("qkey"),
+    )
+    return keyed.orderBy(F.desc("qkey"), "o_orderkey").limit(_WRES_N)

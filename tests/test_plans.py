@@ -1063,3 +1063,12 @@ def test_kmv_theta_sketch_bounded_frames(spark, sf_dir):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\((\S+?)#", plan)
     assert specs and all(s == "seg" for s in specs), specs
+
+
+def test_weighted_reservoir_topk_no_shuffle(spark, sf_dir):
+    """A-ES weighted sampling must be one scan + distributed partial
+    top-k (TakeOrderedAndProject) — zero exchanges, no global sort."""
+    plan = _plan(QUERIES["sample_weighted_reservoir"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 0
+    assert plan.count("TakeOrderedAndProject") == 1

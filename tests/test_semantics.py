@@ -1253,3 +1253,30 @@ def test_holt_linear_matches_numpy_recursion(spark, sf_dir):
             and abs(e[1] - r.trend) < 1e-9
             and abs(e[2] - r.forecast_next) < 1e-9
         )
+
+
+def test_weighted_reservoir_matches_python_replay_and_skews_heavy(spark, sf_dir):
+    """Third implementation: recompute the A-ES keys with hashlib +
+    math.log and require the identical top-100; and the weighted draw
+    must skew heavy (sample mean weight > population mean weight)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["sample_weighted_reservoir"](spark, sf_dir).toPandas()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    keys = []
+    for r in o.itertuples():
+        cents = int(round(r.o_totalprice * 100))
+        h = hashlib.md5(f"wres-v1{r.o_orderkey}".encode()).hexdigest()
+        u = (int(h[:4], 16) + 0.5) / 65536.0
+        qkey = math.floor(math.log(u) / cents * 1152921504606846976.0)
+        keys.append((qkey, r.o_orderkey, cents))
+    keys.sort(key=lambda t: (-t[0], t[1]))
+    top = keys[:100]
+    assert [(r.qkey, r.o_orderkey, r.cents) for r in got.itertuples()] == top
+    assert got["cents"].mean() > o["o_totalprice"].mean() * 100
