@@ -1844,3 +1844,100 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("qkey"),
     )
     return keyed.orderBy(F.desc("qkey"), "o_orderkey").limit(_WRES_N)
+
+
+_RULES_TOP = 100
+
+
+@query(
+    "basket_association_rules",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+    items AS (SELECT pk, COUNT(*) AS n_item FROM b GROUP BY pk),
+    pairs AS (
+        SELECT a.pk AS part_a, c.pk AS part_b, COUNT(*) AS n_ab
+        FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           ia.n_item AS n_a, ib.n_item AS n_b, nb.n_baskets,
+           ROUND(CAST(p.n_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE), 6)
+               AS support,
+           ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+               AS conf_a_to_b,
+           ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE), 6)
+               AS conf_b_to_a,
+           ROUND(CAST(p.n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+               AS lift
+    FROM pairs p
+    JOIN items ia ON p.part_a = ia.pk
+    JOIN items ib ON p.part_b = ib.pk
+    CROSS JOIN nb
+    ORDER BY lift DESC, p.part_a, p.part_b
+    LIMIT {_RULES_TOP}
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (support / confidence / lift) over order
+    baskets — the Apriori candidate-pair scoring step that turns
+    ``basket_part_pairs``'s raw co-occurrence into actionable rules.
+    Baskets are DISTINCT (order, part) so counts are order-level (a
+    repeated part in one order is one basket membership); pair counts
+    come from the single-scan map-side expansion
+    (``operators/cooccur.py`` — one keyed shuffle, never a self-join
+    on the fact); item supports and the basket total reuse the SAME
+    checkpointed distinct frame (one scan feeds all three branches).
+    Ratios are fixed-op-order doubles rounded at 6dp over exact
+    integer counts, so both engines agree bit-for-bit; top-{top}
+    by (lift, part_a, part_b) is fully tie-broken.
+
+    Scale posture: the item-support table is vocabulary-bounded
+    (|parts|), so it broadcasts to the pair frame; the basket total is
+    a one-row broadcast; the only data-scale shuffles are the distinct
+    and the basket groupBy. The support>=2 gate bounds rule output the
+    same way the frequent-itemset threshold does in Apriori."""
+    from incubyte_vaccination_data_pipeline_spark.operators.cooccur import (
+        cooccurrence_pairs,
+    )
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        cooccurrence_pairs(li, "ok", "pk")
+        .groupBy(F.col("lo").alias("part_a"), F.col("hi").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    items = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    nb = li.agg(F.countDistinct("ok").alias("n_baskets"))
+    ia = items.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = items.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    d = lambda c: F.col(c).cast("double")
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            F.round(d("n_ab") / d("n_baskets"), 6).alias("support"),
+            F.round(d("n_ab") / d("n_a"), 6).alias("conf_a_to_b"),
+            F.round(d("n_ab") / d("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                d("n_ab") * d("n_baskets") / (d("n_a") * d("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_RULES_TOP)
+    )

@@ -1072,3 +1072,17 @@ def test_weighted_reservoir_topk_no_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 0
     assert plan.count("TakeOrderedAndProject") == 1
+
+
+def test_association_rules_broadcast_no_selfjoin(spark, sf_dir):
+    """Rule scoring must reuse ONE checkpointed distinct-basket frame
+    for pairs, item supports and the basket total (4 RDD refs, zero
+    parquet re-scans), broadcast the vocabulary-bounded support table
+    (no sort-merge join), and take the top rules distributed."""
+    plan = _plan(QUERIES["basket_association_rules"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 4
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("TakeOrderedAndProject") == 1

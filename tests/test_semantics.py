@@ -1280,3 +1280,40 @@ def test_weighted_reservoir_matches_python_replay_and_skews_heavy(spark, sf_dir)
     top = keys[:100]
     assert [(r.qkey, r.o_orderkey, r.cents) for r in got.itertuples()] == top
     assert got["cents"].mean() > o["o_totalprice"].mean() * 100
+
+
+def test_association_rules_match_python_replay(spark, sf_dir):
+    """Third implementation: Apriori-style pair scoring in pure Python
+    over the distinct baskets must reproduce the identical top-100
+    (counts AND the 6dp ratio columns)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["basket_association_rules"](spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"]).drop_duplicates()
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(sorted)
+    n_baskets = len(baskets)
+    item = Counter(li["l_partkey"])
+    pair = Counter()
+    for parts in baskets:
+        pair.update(combinations(parts, 2))
+    rules = []
+    for (a, b), nab in pair.items():
+        if nab < 2:
+            continue
+        lift = _half_up6(nab * float(n_baskets) / (item[a] * float(item[b])))
+        rules.append((-lift, a, b, nab, item[a], item[b],
+                      _half_up6(nab / float(n_baskets)),
+                      _half_up6(nab / float(item[a])),
+                      _half_up6(nab / float(item[b]))))
+    rules.sort()
+    top = rules[:100]
+    assert len(got) == len(top)
+    for r, e in zip(got.itertuples(), top):
+        assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (e[1], e[2], e[3], e[4], e[5])
+        assert (r.support, r.conf_a_to_b, r.conf_b_to_a, r.lift) == (e[6], e[7], e[8], -e[0])
