@@ -697,3 +697,115 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.b"), 6).alias("trend"),
         F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_next"),
     )
+
+
+_WF_WINDOW_S = 86400  # windowFunnel chain window, seconds
+
+
+@query(
+    "events_window_funnel",
+    oracle=f"""
+    WITH RECURSIVE f AS (
+        SELECT user_id,
+               date_diff('second', TIMESTAMP '1970-01-01', ts) AS ts_s,
+               event_id,
+               CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                    ELSE 2 END AS lvl
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    idx AS (
+        SELECT user_id, ts_s, lvl,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts_s, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM f
+    ),
+    rec AS (
+        SELECT user_id, rn, n,
+               CASE WHEN lvl = 0 THEN ts_s ELSE -1 END AS t0,
+               CAST(-1 AS BIGINT) AS t1, CAST(-1 AS BIGINT) AS t2
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.user_id, i.rn, i.n,
+               CASE WHEN i.lvl = 0 THEN i.ts_s ELSE r.t0 END,
+               CASE WHEN i.lvl = 1 AND r.t0 != -1
+                         AND i.ts_s - r.t0 <= {_WF_WINDOW_S}
+                    THEN r.t0 ELSE r.t1 END,
+               CASE WHEN i.lvl = 2 AND r.t1 != -1
+                         AND i.ts_s - r.t1 <= {_WF_WINDOW_S}
+                    THEN r.t1 ELSE r.t2 END
+        FROM rec r JOIN idx i
+          ON i.user_id = r.user_id AND i.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_funnel_events,
+           CAST(CASE WHEN t2 != -1 THEN 3 WHEN t1 != -1 THEN 2
+                     WHEN t0 != -1 THEN 1 ELSE 0 END AS INT)
+               AS funnel_level
+    FROM rec WHERE rn = n
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style ``windowFunnel``: per user, the deepest prefix
+    of the view -> click -> purchase chain completed within a sliding
+    24h window anchored at the chain's FIRST event — unlike
+    ``events_funnel_conversion`` (which checks global ordering), steps
+    must chain within the window, and a later view re-anchors the
+    chain (the sequential-match state machine every product-analytics
+    engine ships). The state is THREE timestamps (latest step-1
+    anchor; the anchor carried to steps 2/3 while in-window), folded
+    JVM-side by ``aggregate()`` over the per-user sorted event array
+    with a named_struct accumulator; each event updates exactly one
+    field from the PREVIOUS state, so fold and row-recursion agree.
+    The oracle replays the state machine as a recursive CTE over
+    (user, rn) — an independent algorithm (and the struct-fold-safe
+    form for DuckDB, whose list_reduce mutates struct accumulators
+    field-by-field; see events_holt_linear).
+
+    Scale posture: one scan (funnel types pushed to the parquet
+    filter), one user_id shuffle; per-user arrays are bounded by the
+    user's funnel-event count (a production run over unbounded
+    histories segments by (user, period) first — same fold, carried
+    anchors). Output is one row per user."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    tagged = events.select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "event_id",
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+        .alias("lvl"),
+    )
+    arrs = tagged.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_s", "event_id", "lvl"))
+        ).alias("arr")
+    )
+    m1 = "cast(-1 as bigint)"
+    fold = F.expr(
+        f"aggregate(arr, named_struct('t0', {m1}, 't1', {m1}, 't2', {m1}),"
+        " (acc, x) -> named_struct("
+        f"  't0', CASE WHEN x.lvl = 0 THEN x.ts_s ELSE acc.t0 END,"
+        f"  't1', CASE WHEN x.lvl = 1 AND acc.t0 != -1"
+        f"             AND x.ts_s - acc.t0 <= {_WF_WINDOW_S}"
+        "        THEN acc.t0 ELSE acc.t1 END,"
+        f"  't2', CASE WHEN x.lvl = 2 AND acc.t1 != -1"
+        f"             AND x.ts_s - acc.t1 <= {_WF_WINDOW_S}"
+        "        THEN acc.t1 ELSE acc.t2 END))"
+    )
+    return arrs.select(
+        "user_id",
+        F.size("arr").cast("bigint").alias("n_funnel_events"),
+        fold.alias("st"),
+    ).select(
+        "user_id",
+        "n_funnel_events",
+        F.when(F.col("st.t2") != -1, 3)
+        .when(F.col("st.t1") != -1, 2)
+        .when(F.col("st.t0") != -1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("funnel_level"),
+    )

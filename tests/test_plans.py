@@ -1086,3 +1086,14 @@ def test_association_rules_broadcast_no_selfjoin(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("TakeOrderedAndProject") == 1
+
+
+def test_window_funnel_single_shuffle_pushed_filter(spark, sf_dir):
+    """windowFunnel must be one scan with the funnel-type filter
+    pushed to parquet, one user_id shuffle, no join, and the state
+    machine folded JVM-side (no Python)."""
+    plan = _plan(QUERIES["events_window_funnel"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "PushedFilters: [" in plan and "In(event_type" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

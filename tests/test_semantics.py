@@ -1317,3 +1317,36 @@ def test_association_rules_match_python_replay(spark, sf_dir):
     for r, e in zip(got.itertuples(), top):
         assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (e[1], e[2], e[3], e[4], e[5])
         assert (r.support, r.conf_a_to_b, r.conf_b_to_a, r.lift) == (e[6], e[7], e[8], -e[0])
+
+
+def test_window_funnel_matches_python_state_machine(spark, sf_dir):
+    """Third implementation: replay the windowFunnel state machine in
+    pure Python (latest step-1 anchor, in-window anchor carry) and
+    require identical per-user levels."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["events_window_funnel"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ev = ev[ev["event_type"].isin(["view", "click", "purchase"])].copy()
+    ev["ts_s"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64") // 10**9
+    )
+    ev["lvl"] = ev["event_type"].map({"view": 0, "click": 1, "purchase": 2})
+    expect = {}
+    for u, g in ev.groupby("user_id"):
+        t = [-1, -1, -1]
+        for r in g.sort_values(["ts_s", "event_id"]).itertuples():
+            if r.lvl == 0:
+                t[0] = r.ts_s
+            elif r.lvl == 1 and t[0] != -1 and r.ts_s - t[0] <= 86400:
+                t[1] = t[0]
+            elif r.lvl == 2 and t[1] != -1 and r.ts_s - t[1] <= 86400:
+                t[2] = t[1]
+        expect[u] = (len(g), 3 if t[2] != -1 else 2 if t[1] != -1
+                     else 1 if t[0] != -1 else 0)
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        assert expect[r.user_id] == (r.n_funnel_events, r.funnel_level)
