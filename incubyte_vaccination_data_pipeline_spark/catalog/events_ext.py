@@ -809,3 +809,93 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("funnel_level"),
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    m AS (
+        SELECT event_type, MAX(CASE WHEN r * 2 = n + (n % 2)
+                                    THEN cents END) AS med_cents
+        FROM med GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_id, v.event_type, v.cents,
+               m.med_cents, ABS(v.cents - m.med_cents) AS adev
+        FROM v JOIN m USING (event_type)
+    ),
+    mad_r AS (
+        SELECT event_type, adev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY adev, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, MAX(CASE WHEN r * 2 = n + (n % 2)
+                                    THEN adev END) AS mad_cents
+        FROM mad_r GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.cents, d.med_cents, mad.mad_cents
+    FROM dev d JOIN mad USING (event_type)
+    WHERE d.adev > 5 * mad.mad_cents
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MEDIAN absolute deviation — the
+    resistant sibling of ``events_anomaly_zscore`` (mean/stddev move
+    with the outliers they hunt; median/MAD do not). Flags events with
+    |value - median| > 5 * MAD per event type. Medians are RANK-BASED
+    (the lower-middle element at row_number r where 2r = n + n%2, over
+    an (value, event_id) total order) — pure integer selection, so the
+    cross-engine interpolation hazard of continuous percentiles
+    (``a + g*(b-a)`` vs ``(a+b)/2`` differ in IEEE) cannot arise;
+    every emitted column is an exact integer.
+
+    Scale: two windowed rank passes per event_type partition plus two
+    broadcast joins of the per-type medians (one row per type). A
+    100 TB run replaces the exact rank with approx_percentile for the
+    center and keeps the identical deviation/flag algebra; the
+    rank-based form here is what certifies that algebra."""
+    events = read_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    v = v.localCheckpoint(eager=False)  # feeds median rank, dev, and output
+
+    def rank_median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        ranked = df.withColumn("r", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        return ranked.groupBy("event_type").agg(
+            F.max(
+                F.when(F.col("r") * 2 == F.col("n") + F.col("n") % 2, F.col(col))
+            ).alias(out)
+        )
+
+    m = rank_median(v, "cents", "med_cents")
+    dev = v.join(F.broadcast(m), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    dev = dev.localCheckpoint(eager=False)  # feeds MAD rank and the filter
+    mad = rank_median(dev, "adev", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 5 * F.col("mad_cents"))
+        .select("event_id", "event_type", "cents", "med_cents", "mad_cents")
+    )

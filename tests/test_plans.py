@@ -1097,3 +1097,15 @@ def test_window_funnel_single_shuffle_pushed_filter(spark, sf_dir):
     assert "PushedFilters: [" in plan and "In(event_type" in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_mad_outliers_rank_windows_broadcast_medians(spark, sf_dir):
+    """MAD must come from event_type-partitioned rank windows (never a
+    global sort) with the one-row-per-type medians broadcast back; the
+    checkpointed base feeds all branches without re-scanning."""
+    plan = _plan(QUERIES["events_anomaly_mad"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    specs = re.findall(r"windowspecdefinition\((\S+?)#", plan)
+    assert specs and all(s == "event_type" for s in specs), specs

@@ -1350,3 +1350,29 @@ def test_window_funnel_matches_python_state_machine(spark, sf_dir):
     assert len(got) == len(expect)
     for r in got.itertuples():
         assert expect[r.user_id] == (r.n_funnel_events, r.funnel_level)
+
+
+def test_mad_outliers_match_python_replay(spark, sf_dir):
+    """Third implementation: numpy lower-middle medians + 5*MAD flag
+    must reproduce the identical outlier set."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["events_anomaly_mad"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+
+    def lower_middle(s):
+        s = s.sort_values(ignore_index=True)
+        return int(s[(len(s) + (len(s) % 2)) // 2 - 1])
+
+    expect = set()
+    for et, g in ev.groupby("event_type"):
+        med = lower_middle(g["cents"])
+        adev = (g["cents"] - med).abs()
+        mad = lower_middle(adev)
+        for eid in g.loc[adev > 5 * mad, "event_id"]:
+            expect.add((int(eid), et))
+    assert {(int(r.event_id), r.event_type) for r in got.itertuples()} == expect
