@@ -526,9 +526,10 @@ _MT_WINDOW_S = 7 * 86400  # attribution lookback, seconds
     ),
     rolled AS (
         SELECT event_id, user_id, is_click,
-               SUM(CASE WHEN credit_each IS NOT NULL THEN 1 ELSE 0 END) OVER w
+               CAST(SUM(CASE WHEN credit_each IS NOT NULL
+                             THEN 1 ELSE 0 END) OVER w AS BIGINT)
                    AS n_purchases,
-               SUM(credit_each) OVER w AS credit_microcents
+               CAST(SUM(credit_each) OVER w AS BIGINT) AS credit_microcents
         FROM credited
         WINDOW w AS (
             PARTITION BY user_id ORDER BY ts_s
