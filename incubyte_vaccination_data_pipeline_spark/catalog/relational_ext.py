@@ -1941,3 +1941,124 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(_RULES_TOP)
     )
+
+
+_KM_CENSOR_M = 3  # last order within 3 months of corpus end => censored
+
+
+@query(
+    "orders_survival_retention",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_custkey,
+               MIN(EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate)) AS f,
+               MAX(EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate)) AS l
+        FROM orders GROUP BY o_custkey
+    ),
+    g AS (SELECT MAX(l) AS gmax FROM c),
+    life AS (
+        SELECT CAST(c.l - c.f AS BIGINT) AS k,
+               (g.gmax - c.l) <= {_KM_CENSOR_M} AS cens
+        FROM c, g
+    ),
+    grp AS (
+        SELECT k,
+               CAST(SUM(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT)
+                   AS churned,
+               CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
+                   AS censored
+        FROM life GROUP BY k
+    ),
+    risk AS (
+        SELECT k, churned, censored,
+               CAST(SUM(churned + censored) OVER (
+                   ORDER BY k DESC ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS n_at_risk
+        FROM grp
+    ),
+    arr AS (
+        SELECT list(struct_pack(k := k, d := churned, n := n_at_risk)
+                    ORDER BY k) AS a
+        FROM risk
+    ),
+    x AS (
+        SELECT a, unnest(range(1, len(a) + 1)) AS i FROM arr
+    )
+    SELECT a[i].k AS k, a[i].n AS n_at_risk, a[i].d AS churned,
+           (SELECT censored FROM risk r WHERE r.k = a[i].k) AS censored,
+           ROUND(list_reduce(
+               list_transform(a[1:i],
+                              e -> 1.0 - CAST(e.d AS DOUBLE)
+                                   / CAST(e.n AS DOUBLE)),
+               (acc, f) -> acc * f), 6) AS survival
+    FROM x
+    """,
+)
+def orders_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer lifetimes (months from
+    first to last order), WITH right-censoring: customers still
+    ordering within {m} months of the corpus end are censored — they
+    leave the at-risk pool without counting as churn, the estimator
+    detail naive retention curves get wrong. S(k) = prod_(i<=k)
+    (1 - d_i / n_i) with integer death/at-risk counts; the product is
+    a SCALAR double fold over the k-sorted factor array (the SES fold
+    family — DuckDB's list_reduce is safe for scalar accumulators,
+    unlike struct ones; both engines multiply in identical order, so
+    values hash-match at 6dp).
+
+    Scale posture: everything after the per-customer min/max aggregate
+    (one keyed shuffle over orders) operates on a frame bounded by
+    CALENDAR MONTHS (~80 rows): the at-risk suffix sum and the fold
+    run on that metadata-scale frame, the same boundedness class as
+    the driver prefix over partition totals. Censoring derives from an
+    in-query one-row corpus-end aggregate (broadcast), so the query is
+    replayable on any snapshot."""
+    orders = read_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    c = orders.groupBy("o_custkey").agg(
+        F.min(mi).alias("f"), F.max(mi).alias("l")
+    )
+    c = c.localCheckpoint(eager=False)  # feeds gmax + lifetimes
+    g = c.agg(F.max("l").alias("gmax"))
+    life = c.crossJoin(F.broadcast(g)).select(
+        (F.col("l") - F.col("f")).cast("bigint").alias("k"),
+        ((F.col("gmax") - F.col("l")) <= _KM_CENSOR_M).alias("cens"),
+    )
+    grp = life.groupBy("k").agg(
+        F.sum(F.when(F.col("cens"), 0).otherwise(1)).cast("bigint").alias(
+            "churned"
+        ),
+        F.sum(F.when(F.col("cens"), 1).otherwise(0)).cast("bigint").alias(
+            "censored"
+        ),
+    )
+    # suffix sum over the ~80-row month frame: calendar-bounded by
+    # construction (same boundedness class as the KMV merged window)
+    wk = Window.partitionBy(F.lit(1)).orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grp.withColumn(
+        "n_at_risk",
+        F.sum(F.col("churned") + F.col("censored")).over(wk).cast("bigint"),
+    )
+    arr = risk.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("k", "churned", "n_at_risk", "censored"))
+        ).alias("a")
+    )
+    return arr.select(F.posexplode("a").alias("p", "e"), "a").select(
+        F.col("e.k").alias("k"),
+        F.col("e.n_at_risk").alias("n_at_risk"),
+        F.col("e.churned").alias("churned"),
+        F.col("e.censored").alias("censored"),
+        F.round(
+            F.expr(
+                "aggregate(slice(a, 1, p + 1), 1.0D,"
+                " (acc, x) -> acc * (1.0D - cast(x.churned as double)"
+                " / cast(x.n_at_risk as double)))"
+            ),
+            6,
+        ).alias("survival"),
+    )

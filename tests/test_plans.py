@@ -1109,3 +1109,16 @@ def test_mad_outliers_rank_windows_broadcast_medians(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     specs = re.findall(r"windowspecdefinition\((\S+?)#", plan)
     assert specs and all(s == "event_type" for s in specs), specs
+
+
+def test_survival_retention_calendar_bounded(spark, sf_dir):
+    """Everything after the per-customer min/max aggregate must run on
+    the calendar-bounded month frame: the only data-scale shuffle is
+    the customer aggregate; the corpus-end scalar broadcasts; no
+    cartesian; the suffix-sum window runs on the tiny frame (constant
+    partition key is acceptable ONLY because rows <= months)."""
+    plan = _plan(QUERIES["orders_survival_retention"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0  # checkpointed cust frame feeds both
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1376,3 +1376,49 @@ def test_mad_outliers_match_python_replay(spark, sf_dir):
         for eid in g.loc[adev > 5 * mad, "event_id"]:
             expect.add((int(eid), et))
     assert {(int(r.event_id), r.event_type) for r in got.itertuples()} == expect
+
+
+def test_survival_retention_matches_python_km(spark, sf_dir):
+    """Third implementation: a pure-Python Kaplan-Meier with the same
+    censoring rule must reproduce every (at-risk, churned, censored,
+    survival) row; survival must be non-increasing and match the
+    product-limit definition."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = (
+        QUERIES["orders_survival_retention"](spark, sf_dir)
+        .toPandas()
+        .sort_values("k", ignore_index=True)
+    )
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate"])
+    d = pd.to_datetime(o["o_orderdate"])
+    o["mi"] = d.dt.year * 12 + d.dt.month
+    per = o.groupby("o_custkey")["mi"].agg(["min", "max"])
+    gmax = per["max"].max()
+    deaths, cens = Counter(), Counter()
+    for _, r in per.iterrows():
+        k = int(r["max"] - r["min"])
+        (cens if gmax - r["max"] <= 3 else deaths)[k] += 1
+    ks = sorted(set(deaths) | set(cens))
+    total = len(per)
+    seen = 0
+    s = 1.0
+    expect = {}
+    for k in ks:
+        n_at_risk = total - seen
+        s = s * (1.0 - deaths[k] / float(n_at_risk))
+        expect[k] = (n_at_risk, deaths[k], cens[k], _half_up6(s))
+        seen += deaths[k] + cens[k]
+    assert len(got) == len(expect)
+    prev = 1.0
+    for r in got.itertuples():
+        e = expect[r.k]
+        assert (r.n_at_risk, r.churned, r.censored) == e[:3]
+        assert abs(r.survival - e[3]) < 1e-9
+        assert r.survival <= prev + 1e-12
+        prev = r.survival
