@@ -900,3 +900,107 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adev") > 5 * F.col("mad_cents"))
         .select("event_id", "event_type", "cents", "med_cents", "mad_cents")
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    s AS (
+        SELECT event_type, list(cents ORDER BY day) AS a,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(SUM(cents * cents) AS BIGINT) AS tot2
+        FROM daily GROUP BY event_type
+    ),
+    lags AS (
+        SELECT event_type, a, n, tot, tot2,
+               unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag
+        FROM s
+    ),
+    m AS (
+        SELECT event_type, a, n, tot, tot2, lag,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, n - lag + 1),
+                                       i -> a[i] * a[i + lag])),
+                    (x, y) -> x + y) AS BIGINT) AS lagsum,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        a[1:n - lag]), (x, y) -> x + y)
+                    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        a[lag + 1:n]), (x, y) -> x + y) AS BIGINT) AS headtail
+        FROM lags
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND((CAST(lagsum AS DOUBLE)
+                  - CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+                    * CAST(headtail AS DOUBLE)
+                  + CAST(n - lag AS DOUBLE)
+                    * (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(tot2 AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+               AS acf
+    FROM m
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{lags} autocorrelation of the daily revenue series per
+    event type — the seasonality/periodicity detector (a weekly cycle
+    shows as a lag-7 peak). ACF_k = sum_(t<=n-k)(y_t - m)(y_(t+k) - m)
+    / sum(y_t - m)^2, expanded so every data-dependent moment is an
+    EXACT BIGINT aggregate (lag products via zip of the sorted array
+    with its k-shift, head/tail partial sums, total, sum of squares)
+    and only the final combination runs in float — one fixed op
+    sequence shared by both engines (the zscore/value-trend moment
+    recipe), rounded at 6dp.
+
+    Scale posture: the per-type series is CALENDAR-bounded, so the
+    arrays are tiny at any corpus scale; one keyed shuffle builds the
+    daily aggregate, a second the per-type arrays; the lag fan-out is
+    {lags} rows per type. Lag products stay in bigint (1e14 per term,
+    ~30 terms — far under overflow)."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    s = daily.groupBy("event_type").agg(
+        F.expr("transform(sort_array(collect_list(struct(day, cents))),"
+               " e -> e.cents)").alias("a"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("tot2"),
+    )
+    lags = s.select(
+        "event_type", "a", "n", "tot", "tot2",
+        F.explode(F.expr(f"sequence(1, {_ACF_MAX_LAG})")).alias("lag"),
+    )
+    mean = "(cast(tot as double) / cast(n as double))"
+    lagsum = (
+        "cast(aggregate(zip_with(slice(a, 1, n - lag),"
+        " slice(a, lag + 1, n - lag), (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v) as double)"
+    )
+    head = ("cast(aggregate(slice(a, 1, n - lag), cast(0 as bigint),"
+            " (acc, v) -> acc + v)"
+            " + aggregate(slice(a, lag + 1, n - lag), cast(0 as bigint),"
+            " (acc, v) -> acc + v) as double)")
+    num = (f"({lagsum} - {mean} * {head}"
+           f" + cast(n - lag as double) * {mean} * {mean})")
+    den = f"(cast(tot2 as double) - cast(n as double) * {mean} * {mean})"
+    return lags.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.expr(f"{num} / {den}"), 6).alias("acf"),
+    )

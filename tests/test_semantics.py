@@ -1422,3 +1422,27 @@ def test_survival_retention_matches_python_km(spark, sf_dir):
         assert abs(r.survival - e[3]) < 1e-9
         assert r.survival <= prev + 1e-12
         prev = r.survival
+
+
+def test_autocorrelation_matches_numpy(spark, sf_dir):
+    """Third implementation: numpy ACF (same estimator: demeaned lag
+    products over the full-series variance) must agree to 1e-9 before
+    rounding can hide anything."""
+    import numpy as np
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["events_autocorrelation"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = (ev.groupby(["event_type", "day"])["cents"].sum()
+             .reset_index().sort_values(["event_type", "day"]))
+    for r in got.itertuples():
+        y = daily.loc[daily["event_type"] == r.event_type, "cents"].to_numpy(float)
+        m = y.mean()
+        k = int(r.lag)
+        expect = ((y[:-k] - m) * (y[k:] - m)).sum() / ((y - m) ** 2).sum()
+        assert abs(expect - r.acf) < 1e-6, (r.event_type, k, expect, r.acf)
