@@ -1004,3 +1004,102 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.round(F.expr(f"{num} / {den}"), 6).alias("acf"),
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    s AS (
+        SELECT event_type,
+               list(day ORDER BY day) AS days,
+               list(cents ORDER BY day) AS a,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot
+        FROM daily GROUP BY event_type
+    ),
+    x AS (
+        SELECT event_type, days, a, n, tot,
+               unnest(range(1, n + 1)) AS t
+        FROM s
+    ),
+    dev AS (
+        SELECT event_type, days, n, tot, t,
+               CAST(n AS BIGINT)
+               * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), a[1:t]),
+                                  (x, y) -> x + y) AS BIGINT)
+               - CAST(t AS BIGINT) * tot AS s_scaled
+        FROM x
+    ),
+    best AS (
+        SELECT event_type,
+               MIN(struct_pack(negabs := -abs(s_scaled), t := t)) AS b
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.days[b.b.t] AS changepoint_day,
+           CAST(b.b.t AS BIGINT) AS t_index,
+           CAST(-b.b.negabs AS BIGINT) AS cusum_scaled,
+           CAST(d.n AS BIGINT) AS n_days
+    FROM (SELECT DISTINCT event_type, days, n FROM dev) d
+    JOIN best b ON d.event_type = b.event_type
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily revenue series per
+    event type: the day t maximizing |sum_(i<=t)(y_i - mean)| — the
+    level-shift locator behind monitoring alerts. The statistic is
+    EXACT INTEGER arithmetic end to end: S_t * n = n * prefix_t -
+    t * total (cross-multiplied so the mean never divides), and the
+    argmax is a struct-min on (-|S|, t) — explicit earliest-t
+    tie-break, no float anywhere.
+
+    Scale: per-type series are calendar-bounded; prefix sums fold over
+    the sorted array per row (O(days^2) on ~30-day series); two keyed
+    shuffles; O(types) output."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    s = daily.groupBy("event_type").agg(
+        F.expr("transform(sort_array(collect_list(struct(day, cents))),"
+               " e -> e.day)").alias("days"),
+        F.expr("transform(sort_array(collect_list(struct(day, cents))),"
+               " e -> e.cents)").alias("a"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+    )
+    dev = s.select(
+        "event_type", "days", "n", "tot",
+        F.explode(F.expr("sequence(1, n)")).alias("t"),
+        F.expr(
+            "cast(n as bigint) * aggregate(slice(a, 1, t),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("np"),
+    ).select(
+        "event_type", "days", "n", "t",
+        (F.col("np") - F.col("t").cast("bigint") * F.col("tot")).alias(
+            "s_scaled"
+        ),
+    )
+    best = dev.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("s_scaled"))).alias("negabs"),
+                F.col("t").alias("t"),
+            )
+        ).alias("b"),
+        F.first("days").alias("days"),
+        F.first("n").alias("n"),
+    )
+    return best.select(
+        "event_type",
+        F.expr("get(days, b.t - 1)").alias("changepoint_day"),
+        F.col("b.t").cast("bigint").alias("t_index"),
+        (-F.col("b.negabs")).cast("bigint").alias("cusum_scaled"),
+        F.col("n").cast("bigint").alias("n_days"),
+    )

@@ -420,3 +420,61 @@ def quality_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("noise"),
         F.round(F.col("n_true") + noise, 6).alias("noisy_count"),
     )
+
+
+@query(
+    "quality_benford_check",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    g AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM g)
+    SELECT g.digit, g.n_obs,
+           ROUND(log10(1.0 + 1.0 / g.digit), 6) AS p_expected,
+           ROUND((CAST(g.n_obs AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * log10(1.0 + 1.0 / g.digit))
+                 * (CAST(g.n_obs AS DOUBLE)
+                    - CAST(t.n AS DOUBLE) * log10(1.0 + 1.0 / g.digit))
+                 / (CAST(t.n AS DOUBLE) * log10(1.0 + 1.0 / g.digit)), 6)
+               AS chi2_contribution
+    FROM g, t
+    """,
+)
+def quality_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the
+    fabricated-data / fraud screen auditors run on financial columns:
+    observed first-digit counts vs the Benford expectation
+    log10(1 + 1/d), with each digit's chi-square contribution.
+    The first digit comes from the DECIMAL STRING of integer cents
+    (``substr(cast(cents as string), 1, 1)``) — exact on both engines,
+    where a log10-based digit extraction would gamble on float
+    boundaries. Expected probabilities and chi-square run in one fixed
+    float op sequence over exact integer counts, rounded at 6dp.
+
+    Scale: one scan, one 9-group map-side-combinable aggregate, the
+    grand total broadcast back as a one-row frame — O(1) output."""
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    g = (
+        orders.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    # 9-row frame feeds both the grand total and the output projection
+    g = g.localCheckpoint(eager=False)
+    t = g.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p = "log10(1.0D + 1.0D / digit)"
+    dev = f"(cast(n_obs as double) - cast(n as double) * {p})"
+    return g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        F.round(F.expr(p), 6).alias("p_expected"),
+        F.round(
+            F.expr(f"{dev} * {dev} / (cast(n as double) * {p})"), 6
+        ).alias("chi2_contribution"),
+    )

@@ -1122,3 +1122,29 @@ def test_survival_retention_calendar_bounded(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") == 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_autocorrelation_two_shuffles_no_join(spark, sf_dir):
+    """ACF must be two keyed aggregations + a per-row array fold —
+    no join, no per-lag re-scan."""
+    plan = _plan(QUERIES["events_autocorrelation"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_benford_single_aggregate_broadcast_total(spark, sf_dir):
+    """One scan builds the 9-row digit aggregate; the checkpointed
+    frame feeds both the grand total and the output projection, the
+    total broadcasting back (never a cartesian)."""
+    plan = _plan(QUERIES["quality_benford_check"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_cusum_no_join_calendar_bounded(spark, sf_dir):
+    plan = _plan(QUERIES["events_changepoint_cusum"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

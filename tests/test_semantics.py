@@ -1446,3 +1446,75 @@ def test_autocorrelation_matches_numpy(spark, sf_dir):
         k = int(r.lag)
         expect = ((y[:-k] - m) * (y[k:] - m)).sum() / ((y - m) ** 2).sum()
         assert abs(expect - r.acf) < 1e-6, (r.event_type, k, expect, r.acf)
+
+
+def test_benford_matches_python_replay(spark, sf_dir):
+    """Third implementation: collections.Counter first digits +
+    math.log10 expectations reproduce every row."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["quality_benford_check"](spark, sf_dir).toPandas()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    digits = Counter(str(int(round(v * 100)))[0] for v in o["o_totalprice"])
+    n = sum(digits.values())
+    assert len(got) == len(digits)
+    for r in got.itertuples():
+        obs = digits[str(r.digit)]
+        p = math.log10(1.0 + 1.0 / r.digit)
+        assert r.n_obs == obs
+        assert abs(r.p_expected - p) < 1e-6
+        assert abs(r.chi2_contribution - (obs - n * p) ** 2 / (n * p)) < 1e-4
+
+
+def test_cusum_changepoint_detects_injected_step(spark, sf_dir, monkeypatch, tmp_path):
+    """Hand-crafted series: 10 days at 100 cents then 10 days at
+    10000 cents -- CUSUM must locate the boundary (day 10), and the
+    real corpus run must match a numpy argmax replay."""
+    import datetime as dt2
+
+    import numpy as np
+    import pandas as pd
+
+    import incubyte_vaccination_data_pipeline_spark.sources.parquet_io as pio
+    from incubyte_vaccination_data_pipeline_spark.catalog.events_ext import (
+        events_changepoint_cusum,
+    )
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    rows = []
+    eid = 0
+    for i in range(20):
+        eid += 1
+        rows.append((eid, 1, dt2.datetime(2024, 1, 1 + i, 12, 0, 0), "click",
+                     1.00 if i < 10 else 100.00))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp,"
+        " event_type string, value double"
+    )
+    monkeypatch.setitem(
+        pio._READ_CACHE,
+        (spark.sparkContext.applicationId, str(tmp_path), "events"),
+        ev,
+    )
+    out = events_changepoint_cusum(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["t_index"] == 10
+    assert pd.Timestamp(out[0]["changepoint_day"]) == pd.Timestamp("2024-01-10")
+
+    got = QUERIES["events_changepoint_cusum"](spark, sf_dir).toPandas()
+    raw = pd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "ts", "value"])
+    raw["day"] = pd.to_datetime(raw["ts"]).dt.floor("D")
+    raw["cents"] = (raw["value"] * 100).round().astype("int64")
+    daily = (raw.groupby(["event_type", "day"])["cents"].sum()
+             .reset_index().sort_values(["event_type", "day"]))
+    for r in got.itertuples():
+        y = daily.loc[daily["event_type"] == r.event_type, "cents"].to_numpy("int64")
+        n = len(y)
+        s = n * np.cumsum(y) - np.arange(1, n + 1, dtype="int64") * y.sum()
+        t = int(np.argmax(np.abs(s))) + 1  # numpy argmax = earliest tie
+        assert (r.t_index, r.cusum_scaled, r.n_days) == (t, abs(s[t - 1]), n)
