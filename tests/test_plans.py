@@ -1148,3 +1148,14 @@ def test_cusum_no_join_calendar_bounded(spark, sf_dir):
     plan = _plan(QUERIES["events_changepoint_cusum"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_link_prediction_shared_edges_broadcast_no_cartesian(spark, sf_dir):
+    """Link prediction must consume the shared checkpointed edge frame
+    (no lineitem re-scan), drop existing edges via a broadcast
+    anti-join, and broadcast the vocabulary-bounded degree table."""
+    plan = _plan(QUERIES["graph_link_prediction"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("TakeOrderedAndProject") == 1

@@ -1518,3 +1518,46 @@ def test_cusum_changepoint_detects_injected_step(spark, sf_dir, monkeypatch, tmp
         s = n * np.cumsum(y) - np.arange(1, n + 1, dtype="int64") * y.sum()
         t = int(np.argmax(np.abs(s))) + 1  # numpy argmax = earliest tie
         assert (r.t_index, r.cusum_scaled, r.n_days) == (t, abs(s[t - 1]), n)
+
+
+def test_link_prediction_matches_python_replay(spark, sf_dir):
+    """Third implementation: networkx-free Python Jaccard over the
+    same thresholded co-purchase graph reproduces the top-50."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["graph_link_prediction"](spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pair = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"]), 2):
+            if a < b:
+                pair[(a, b)] += 1
+    edges = {p for p, n in pair.items() if n >= 2}
+    nbr = defaultdict(set)
+    for a, b in edges:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    rows = []
+    nodes = sorted(nbr)
+    seen = set()
+    for x in nodes:
+        for a, b in combinations(sorted(nbr[x]), 2):
+            if (a, b) in edges or (a, b) in seen:
+                continue
+            seen.add((a, b))
+            c = len(nbr[a] & nbr[b])
+            j = _half_up6(c / float(len(nbr[a]) + len(nbr[b]) - c))
+            rows.append((-j, a, b, c, len(nbr[a]), len(nbr[b])))
+    rows.sort()
+    top = rows[:50]
+    assert len(got) == len(top)
+    for r, e in zip(got.itertuples(), top):
+        assert (r.part_a, r.part_b, r.common, r.deg_a, r.deg_b, r.jaccard) == (
+            e[1], e[2], e[3], e[4], e[5], -e[0]
+        )
