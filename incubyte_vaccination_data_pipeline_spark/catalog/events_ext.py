@@ -1103,3 +1103,53 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.negabs")).cast("bigint").alias("cusum_scaled"),
         F.col("n").cast("bigint").alias("n_days"),
     )
+
+
+_PATH_TOP = 20
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t1 || '>' || t2 AS path,
+           COUNT(*) AS n_occurrences
+    FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user paths (sequential pattern mining, the n-gram
+    extension of ``events_markov_transitions``'s 1-step matrix): every
+    consecutive event-type triple per user, counted corpus-wide —
+    the "what do users do next" path-analysis staple. One user_id
+    shuffle (the LEAD window), one map-side-combinable count, top-k
+    via TakeOrderedAndProject; ordering pinned by (ts, event_id) so
+    intra-second ties cannot reorder paths between engines.
+
+    Scale: paths are generated in-row from the window (no explode, no
+    self-join); the count's key domain is |event_types|^3 — tiny."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    return (
+        o.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(_PATH_TOP)
+    )

@@ -1159,3 +1159,17 @@ def test_link_prediction_shared_edges_broadcast_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("TakeOrderedAndProject") == 1
+
+
+def test_top_paths_single_shuffle_takeordered(spark, sf_dir):
+    plan = _plan(QUERIES["events_top_paths"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("TakeOrderedAndProject") == 1
+
+
+def test_yoy_growth_broadcast_star(spark, sf_dir):
+    plan = _plan(QUERIES["lineitem_yoy_brand_growth"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1561,3 +1561,23 @@ def test_link_prediction_matches_python_replay(spark, sf_dir):
         assert (r.part_a, r.part_b, r.common, r.deg_a, r.deg_b, r.jaccard) == (
             e[1], e[2], e[3], e[4], e[5], -e[0]
         )
+
+
+def test_top_paths_matches_python_replay(spark, sf_dir):
+    """Third implementation: per-user sorted triples via pandas."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["events_top_paths"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    paths = Counter()
+    for _, g in ev.groupby("user_id"):
+        ts = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        for i in range(len(ts) - 2):
+            paths[">".join(ts[i:i + 3])] += 1
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.path, r.n_occurrences) for r in got.itertuples()] == top
