@@ -1173,3 +1173,12 @@ def test_yoy_growth_broadcast_star(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bot_signals_single_shuffle(spark, sf_dir):
+    """Lag window and per-user aggregate must share one user_id
+    partitioning — one scan, one exchange, no join."""
+    plan = _plan(QUERIES["events_bot_signals"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # window + (possible) agg reuse

@@ -1581,3 +1581,39 @@ def test_top_paths_matches_python_replay(spark, sf_dir):
             paths[">".join(ts[i:i + 3])] += 1
     top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r.path, r.n_occurrences) for r in got.itertuples()] == top
+
+
+def test_bot_signals_match_python_replay(spark, sf_dir):
+    """Third implementation: pandas per-user rate / diversity /
+    IAT-variance profile reproduces every row."""
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    got = QUERIES["events_bot_signals"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ev["ts_s"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64") // 10**9
+    )
+    expect = {}
+    for u, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_s", "event_id"])
+        if len(g) < 2:
+            continue
+        iat = g["ts_s"].diff().dropna()
+        n = len(iat)
+        span = int(g["ts_s"].max() - g["ts_s"].min())
+        eph = _half_up6(len(g) * 3600.0 / float(span + 1))
+        var_n2 = int(n * int((iat ** 2).sum()) - int(iat.sum()) ** 2)
+        hits = (int(eph > 10.0)
+                + int(g["event_type"].nunique() == 1 and len(g) >= 10)
+                + int(n >= 10 and var_n2 < 3600 * n * n))
+        expect[u] = (len(g), span, g["event_type"].nunique(), eph, var_n2, hits)
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        e = expect[r.user_id]
+        assert (r.n_events, r.span_s, r.n_types) == e[:3]
+        assert abs(r.events_per_hour - e[3]) < 1e-6
+        assert r.iat_var_n2 == e[4]
+        assert r.rule_hits == e[5]
