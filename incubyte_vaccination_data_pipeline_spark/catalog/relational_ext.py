@@ -2064,61 +2064,3 @@ def orders_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lineitem_yoy_brand_growth",
-    oracle=f"""
-    WITH rev AS (
-        SELECT p.p_brand AS brand,
-               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS year,
-               CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY 1, 2
-    )
-    SELECT brand, year, revenue,
-           LAG(revenue) OVER (PARTITION BY brand ORDER BY year)
-               AS prev_revenue,
-           ROUND((revenue - LAG(revenue) OVER (PARTITION BY brand
-                                               ORDER BY year))
-                 / LAG(revenue) OVER (PARTITION BY brand ORDER BY year)
-                 * 100.0, 6) AS yoy_pct
-    FROM rev
-    QUALIFY LAG(revenue) OVER (PARTITION BY brand ORDER BY year)
-            IS NOT NULL
-    """,
-)
-def lineitem_yoy_brand_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Year-over-year revenue growth per part brand — the BI staple
-    (period-over-period comparison via LAG over the period dimension).
-    Revenue aggregates DECIMAL-exact per (brand, year) before the one
-    double cast; the growth ratio is a fixed float op sequence over
-    those exact sums, rounded at 6dp. The part dimension broadcasts
-    into the fact scan (star-join shape); the LAG window partitions on
-    brand — years per brand are calendar-bounded, so window state is
-    tiny. First year per brand drops (no prior period)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    rev = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(
-            F.col("p_brand").alias("brand"),
-            F.year("l_shipdate").cast("int").alias("year"),
-        )
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
-    )
-    w = Window.partitionBy("brand").orderBy("year")
-    return (
-        rev.withColumn("prev_revenue", F.lag("revenue").over(w))
-        .filter(F.col("prev_revenue").isNotNull())
-        .select(
-            "brand",
-            "year",
-            "revenue",
-            "prev_revenue",
-            F.round(
-                (F.col("revenue") - F.col("prev_revenue"))
-                / F.col("prev_revenue")
-                * 100.0,
-                6,
-            ).alias("yoy_pct"),
-        )
-    )

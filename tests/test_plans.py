@@ -1161,15 +1161,21 @@ def test_link_prediction_shared_edges_broadcast_no_cartesian(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") == 1
 
 
+def _staged():
+    from incubyte_vaccination_data_pipeline_spark.catalog import round7_staged
+
+    return round7_staged.STAGED
+
+
 def test_top_paths_single_shuffle_takeordered(spark, sf_dir):
-    plan = _plan(QUERIES["events_top_paths"](spark, sf_dir))
+    plan = _plan(_staged()["events_top_paths"][0](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("TakeOrderedAndProject") == 1
 
 
 def test_yoy_growth_broadcast_star(spark, sf_dir):
-    plan = _plan(QUERIES["lineitem_yoy_brand_growth"](spark, sf_dir))
+    plan = _plan(_staged()["lineitem_yoy_brand_growth"][0](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -1178,7 +1184,7 @@ def test_yoy_growth_broadcast_star(spark, sf_dir):
 def test_bot_signals_single_shuffle(spark, sf_dir):
     """Lag window and per-user aggregate must share one user_id
     partitioning — one scan, one exchange, no join."""
-    plan = _plan(QUERIES["events_bot_signals"](spark, sf_dir))
+    plan = _plan(_staged()["events_bot_signals"][0](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # window + (possible) agg reuse

@@ -1571,7 +1571,9 @@ def test_top_paths_matches_python_replay(spark, sf_dir):
 
     from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
 
-    got = QUERIES["events_top_paths"](spark, sf_dir).toPandas()
+    from incubyte_vaccination_data_pipeline_spark.catalog import round7_staged
+
+    got = round7_staged.STAGED["events_top_paths"][0](spark, sf_dir).toPandas()
     ev = pd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type"])
     paths = Counter()
@@ -1590,7 +1592,9 @@ def test_bot_signals_match_python_replay(spark, sf_dir):
 
     from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
 
-    got = QUERIES["events_bot_signals"](spark, sf_dir).toPandas()
+    from incubyte_vaccination_data_pipeline_spark.catalog import round7_staged
+
+    got = round7_staged.STAGED["events_bot_signals"][0](spark, sf_dir).toPandas()
     ev = pd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type"])
     ev["ts_s"] = (
