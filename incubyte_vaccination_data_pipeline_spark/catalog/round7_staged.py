@@ -229,10 +229,122 @@ _LINEITEM_YOY_BRAND_GROWTH_ORACLE = f"""
     """
 
 
+
+_ZIPF_TOP = 500
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency distribution:
+    log-log regression of frequency on rank for the top {k} tokens —
+    the corpus-linguistics sanity check (natural text slopes ~ -1;
+    templated/synthetic text deviates) and a quality gate for
+    generated-data detection. Ranks come from a top-k over the
+    vocabulary aggregate (map-side-combinable count + distributed
+    partial top-k; the regression then runs on a {k}-row frame — the
+    vocabulary-bounded pattern of the BPE family). Determinism: the
+    log values are QUANTIZED to floor(ln(x) * 2^20) BIGINTs before
+    summing (sums of floats are partition-order-dependent; sums of
+    ints are exact — the perplexity recipe), and the slope/intercept
+    combine those exact sums in one fixed float op sequence, rounded
+    at 6dp.
+
+    Emits one row: n_tokens_fit, slope, intercept, r2 — slope ~ -1 is
+    the Zipf signature.""".replace("{k}", str(_ZIPF_TOP))
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    top = vocab.orderBy(F.desc("n"), "w").limit(_ZIPF_TOP)
+    ranked = top.select(
+        "n",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy(F.desc("n"), "w"))
+        .alias("rank"),
+    )
+    q = ranked.select(
+        F.expr("cast(floor(ln(cast(rank as double)) * 1048576.0D) as bigint)").alias("xq"),
+        F.expr("cast(floor(ln(cast(n as double)) * 1048576.0D) as bigint)").alias("yq"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.expr("xq * yq")).alias("sxy"),
+        F.sum(F.expr("xq * xq")).alias("sxx"),
+        F.sum(F.expr("yq * yq")).alias("syy"),
+    )
+    scale = "1048576.0D"
+    num = f"(cast(k as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))"
+    denx = f"(cast(k as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    deny = f"(cast(k as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))"
+    return m.select(
+        F.col("k").cast("bigint").alias("n_tokens_fit"),
+        F.round(F.expr(f"{num} / {denx}"), 6).alias("slope"),
+        F.round(
+            F.expr(
+                f"(cast(sy as double) - {num} / {denx} * cast(sx as double))"
+                f" / cast(k as double) / {scale}"
+            ),
+            6,
+        ).alias("intercept"),
+        F.round(F.expr(f"{num} * {num} / ({denx} * {deny})"), 6).alias("r2"),
+    )
+
+
+_TEXT_ZIPF_FIT_ORACLE = """
+    WITH words AS (
+        SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w, COUNT(*) AS n FROM words WHERE len(w) >= 1 GROUP BY w
+    ),
+    top AS (SELECT w, n FROM vocab ORDER BY n DESC, w LIMIT 500),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank FROM top
+    ),
+    q AS (
+        SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1048576.0) AS BIGINT) AS xq,
+               CAST(floor(ln(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS yq
+        FROM ranked
+    ),
+    m AS (
+        SELECT COUNT(*) AS k,
+               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+               CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+               CAST(SUM(yq * yq) AS BIGINT) AS syy
+        FROM q
+    )
+    SELECT CAST(k AS BIGINT) AS n_tokens_fit,
+           ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(k AS DOUBLE) / 1048576.0, 6) AS intercept,
+           ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+    FROM m
+"""
+
 STAGED = {
     "events_top_paths": (events_top_paths, _EVENTS_TOP_PATHS_ORACLE),
     "events_bot_signals": (events_bot_signals, _EVENTS_BOT_SIGNALS_ORACLE),
     "lineitem_yoy_brand_growth": (lineitem_yoy_brand_growth, _LINEITEM_YOY_BRAND_GROWTH_ORACLE),
+    "text_zipf_fit": (text_zipf_fit, _TEXT_ZIPF_FIT_ORACLE),
 }
 
 

@@ -1621,3 +1621,37 @@ def test_bot_signals_match_python_replay(spark, sf_dir):
         assert abs(r.events_per_hour - e[3]) < 1e-6
         assert r.iat_var_n2 == e[4]
         assert r.rule_hits == e[5]
+
+
+def test_zipf_fit_matches_python_replay(spark, sf_dir):
+    """Third implementation (staged query): pure-Python quantized
+    log-log regression; slope/intercept/r2 to 1e-4 (floor-quantized
+    logs can flip one ulp at bin edges)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import round7_staged
+
+    got = round7_staged.STAGED["text_zipf_fit"][0](spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    vocab = Counter()
+    for t in docs["text"]:
+        for w in t.strip().lower().split():
+            if w:
+                vocab[w] += 1
+    top = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    xs = [math.floor(math.log(i + 1) * 1048576.0) for i in range(len(top))]
+    ys = [math.floor(math.log(n) * 1048576.0) for _, n in top]
+    k = float(len(top))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sxx, syy = float(sum(x * x for x in xs)), float(sum(y * y for y in ys))
+    num, denx, deny = k * sxy - sx * sy, k * sxx - sx * sx, k * syy - sy * sy
+    assert got["n_tokens_fit"] == len(top)
+    assert abs(got["slope"] - num / denx) < 1e-4
+    assert abs(got["intercept"] - (sy - num / denx * sx) / k / 1048576.0) < 1e-4
+    assert abs(got["r2"] - num * num / (denx * deny)) < 1e-4
+    # the synthetic corpus is non-Zipfian and the detector must say so
+    assert got["r2"] < 0.5
