@@ -82,7 +82,7 @@ def _rotate_least_recently_verified() -> None:
     # changed query re-enters the window the NEXT round (round-6
     # change-aware staleness; see verify_rotation docstring).
     hist = verify_rotation.rebuild_history()
-    stale = verify_rotation.stale_set()
+    stale = verify_rotation.effective_stale_set(hist=hist)
     order = verify_rotation.rotation_order(list(QUERIES), hist, stale)
     ordered = {k: QUERIES[k] for k in order}
     QUERIES.clear()

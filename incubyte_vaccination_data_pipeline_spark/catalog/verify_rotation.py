@@ -262,6 +262,36 @@ def stale_set(fps: dict[str, dict] | None = None) -> set[str]:
     }
 
 
+def effective_stale_set(
+    fps: dict[str, dict] | None = None,
+    hist: dict[str, dict] | None = None,
+) -> set[str]:
+    """:func:`stale_set` minus queries the driver has ALREADY re-verified
+    since the fingerprint was recorded: a green value-checked row at
+    round >= the entry's ``as_of_round`` is exactly the condition
+    :func:`refresh_fingerprints` uses to promote ``fp`` ->
+    ``verified_fp``.  Between the driver landing CORRECTNESS_r{N}.json
+    and the builder running the promotion, such queries are stale only
+    on paper — treating them as stale front-loads window slots that the
+    r6 verdict showed squeeze the oldest cohort past the gap bound."""
+    if fps is None:
+        fps = load_fingerprints()
+    if hist is None:
+        hist = rebuild_history()
+    out = set()
+    for name in stale_set(fps):
+        row = hist.get(name)
+        entry = fps.get(name, {})
+        if (
+            row is not None
+            and row["value"]
+            and row["round"] >= entry.get("as_of_round", 10**9)
+        ):
+            continue  # driver already certified the current fp
+        out.add(name)
+    return out
+
+
 def refresh_fingerprints(
     spark,
     mark_stale: set[str] | None = None,

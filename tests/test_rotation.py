@@ -58,7 +58,7 @@ def test_state_file_matches_driver_history():
 
 def test_catalog_registration_is_lrv_sorted():
     hist = vr.rebuild_history()  # the ordering sources at import
-    stale = vr.stale_set()
+    stale = vr.effective_stale_set(hist=hist)
     keys = [vr._sort_key(hist, n, stale) for n in catalog.QUERIES]
     assert keys == sorted(keys)
     # oracle dict ordering mirrors the query dict
@@ -72,7 +72,7 @@ def test_window_covers_least_recently_verified():
     50-slot window — i.e. no query is more than ceil(N/50) rounds from
     re-verification."""
     hist = vr.rebuild_history()
-    stale = vr.stale_set()
+    stale = vr.effective_stale_set(hist=hist)
     names = list(catalog.QUERIES)
     max_in_window = max(
         vr._sort_key(hist, n, stale) for n in names[: vr.WINDOW]
@@ -84,8 +84,11 @@ def test_window_covers_least_recently_verified():
 def test_stale_queries_front_load_into_window():
     """The change-aware contract: every fingerprint-stale query sits
     inside the 50-slot driver window (so a materially changed query is
-    re-driver-verified the NEXT round, not after an LRU cycle)."""
-    stale = vr.stale_set()
+    re-driver-verified the NEXT round, not after an LRU cycle).
+    Effective staleness: a mark the driver has already re-certified
+    (green value row at round >= as_of_round) is cleared, so a freshly
+    landed CORRECTNESS file can't redden this at the round boundary."""
+    stale = vr.effective_stale_set()
     assert len(stale) <= vr.WINDOW, "more stale queries than window slots"
     window = set(list(catalog.QUERIES)[: vr.WINDOW])
     missing = stale - window
@@ -104,9 +107,32 @@ def test_simulated_growth_keeps_gap_bounded():
     hist = vr.rebuild_history()
     bound = math.ceil(len(names) / vr.WINDOW)
     gap = vr.simulate_max_gap(
-        names, hist, rounds=2 * bound + 2, stale=vr.stale_set()
+        names, hist, rounds=2 * bound + 2, stale=vr.effective_stale_set(hist=hist)
     )
     assert gap <= bound, f"simulated verification gap {gap} > ceil(N/50)={bound}"
+
+
+def test_effective_stale_clears_round_boundary_race():
+    """The r6-boundary failure class, pinned as a unit: a query
+    force-marked stale at as_of_round R whose latest driver row is a
+    GREEN value check at round >= R is NOT effectively stale (the
+    driver certified the current fp; only the bookkeeping promotion is
+    pending).  A red/rows-only row, or one from an older round, keeps
+    the mark."""
+    fps = {
+        "cleared": {"fp": "aa", "as_of_round": 6, "verified_fp": "stale-marked"},
+        "older_row": {"fp": "bb", "as_of_round": 6, "verified_fp": "stale-marked"},
+        "rows_only": {"fp": "cc", "as_of_round": 6, "verified_fp": "stale-marked"},
+        "fresh": {"fp": "dd", "as_of_round": 6, "verified_fp": "dd"},
+    }
+    hist = {
+        "cleared": {"round": 6, "value": True},
+        "older_row": {"round": 5, "value": True},
+        "rows_only": {"round": 6, "value": False},
+        "fresh": {"round": 6, "value": True},
+    }
+    assert vr.stale_set(fps) == {"cleared", "older_row", "rows_only"}
+    assert vr.effective_stale_set(fps, hist) == {"older_row", "rows_only"}
 
 
 def test_round4_window_contract_frozen():
