@@ -58,6 +58,14 @@ from incubyte_vaccination_data_pipeline_spark.catalog import round5_ext  # noqa:
 
 round5_ext.register()
 
+# round 7: the four queries staged in round 6 (events_top_paths,
+# lineitem_yoy_brand_growth, events_bot_signals, text_zipf_fit) join
+# the live registry — the growth simulation at 196 keeps the
+# re-verification gap at ceil(196/50) = 4
+from incubyte_vaccination_data_pipeline_spark.catalog import round7_staged  # noqa: E402
+
+round7_staged.register()
+
 FLAGSHIP_COUNTRY = vax.FLAGSHIP_COUNTRY
 
 # The driver verifies the first N registered queries per round (observed

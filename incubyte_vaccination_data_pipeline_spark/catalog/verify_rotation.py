@@ -16,11 +16,16 @@ This module implements the generalizing policy:
   files the driver writes, so it cannot drift from the actual driver
   history.
 * Registration order is re-sorted ascending by
-  ``(last_round, value_checked)``: queries with no driver row ever
-  (new this round) sort first (round 0); then, within a round,
-  rows-only ``no_oracle`` rows sort ahead of value-checked green rows
-  — a query the driver looked at but could not value-verify needs the
-  window sooner than one it fully verified the same round.  Ties keep
+  ``(last_round, value_checked)``, earliest-deadline-first: queries
+  with no driver row ever (new this round) sort at the "due now"
+  deadline ``max_round + 1 - ceil(N/WINDOW)`` — leading every cohort
+  with slack but NEVER displacing a cohort already at the gap bound
+  (round 7: 4 new registrations + a 50-strong at-bound cohort compete
+  for 50 slots; the new ones wait one round, their correctness already
+  pinned by the local DuckDB side-by-side).  Within a round, rows-only
+  ``no_oracle`` rows sort ahead of value-checked green rows — a query
+  the driver looked at but could not value-verify needs the window
+  sooner than one it fully verified the same round.  Ties keep
   original registration order (stable sort).
 
 * **Change-aware staleness** (round 6): ``query_fingerprints.json``
@@ -134,12 +139,48 @@ def load_state(path: Path = STATE_FILE) -> dict[str, dict]:
 
 
 def _sort_key(
-    hist: dict[str, dict], name: str, stale: frozenset[str] | set[str] = frozenset()
+    hist: dict[str, dict],
+    name: str,
+    stale: frozenset[str] | set[str] = frozenset(),
+    new_key: tuple[int, bool] = (0, False),
 ) -> tuple[int, bool]:
-    row = hist.get(name)
-    if row is None or name in stale:
+    if name in stale:
         return (0, False)
+    row = hist.get(name)
+    if row is None:
+        return new_key
     return (row["round"], row["value"])
+
+
+def _new_query_key(n_names: int, hist: dict[str, dict]) -> tuple[int, bool]:
+    """Earliest-deadline-first key for a brand-new (never-driver-seen)
+    query: due NOW, but not more overdue than a cohort already at the
+    gap bound.  ``max_round + 1 - bound`` ties it with the exactly-at-
+    bound green cohort; the ``True`` value flag plus stable sort (new
+    queries register last) makes the at-bound cohort win the tie.  The
+    round-7 lesson: sorting new queries at absolute round 0 let 4 new
+    registrations displace 4 queries of a 50-strong at-bound cohort
+    from the 50-slot window, pushing their gap to bound+1.  New queries
+    carry fresh local oracle certificates, so a one-round driver-window
+    delay is the cheaper side of the trade; fingerprint-STALE queries
+    (invalidated certificates) keep absolute (0, False) priority."""
+    import math
+
+    bound = max(1, math.ceil(n_names / WINDOW))
+    max_round = max((v["round"] for v in hist.values()), default=0)
+    return (max(0, max_round + 1 - bound), True)
+
+
+def sort_keys(
+    names: list[str],
+    hist: dict[str, dict],
+    stale: frozenset[str] | set[str] = frozenset(),
+) -> list[tuple[int, bool]]:
+    """The effective ordering keys for ``names``, in list order — the
+    single source of truth shared by :func:`rotation_order` and the
+    window-coverage tests."""
+    new_key = _new_query_key(len(names), hist)
+    return [_sort_key(hist, n, stale, new_key) for n in names]
 
 
 def rotation_order(
@@ -147,10 +188,13 @@ def rotation_order(
     hist: dict[str, dict],
     stale: frozenset[str] | set[str] = frozenset(),
 ) -> list[str]:
-    """Stable sort: never-verified AND fingerprint-stale first, then
-    least-recently-verified; within a round, rows-only (``no_oracle``)
-    rows ahead of green."""
-    return sorted(names, key=lambda n: _sort_key(hist, n, stale))
+    """Stable sort, earliest-deadline-first: fingerprint-stale first
+    (round 0), then least-recently-verified; brand-new queries slot in
+    at the "due now" deadline (see :func:`_new_query_key`) so they
+    never displace an at-the-gap-bound cohort; within a round,
+    rows-only (``no_oracle``) rows ahead of green."""
+    keys = dict(zip(names, sort_keys(names, hist, stale)))
+    return sorted(names, key=keys.__getitem__)
 
 
 def simulate_max_gap(

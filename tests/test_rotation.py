@@ -19,9 +19,35 @@ def _h(round_, value=True):
     return {"round": round_, "value": value}
 
 
-def test_rotation_order_never_verified_first():
+def test_rotation_order_new_queries_due_now_not_overdue():
+    """EDF semantics (round 7): a brand-new query is due NOW — it leads
+    every cohort with slack — but an overdue cohort (gap already at the
+    bound) wins the window ahead of it, and an exactly-at-bound green
+    cohort wins the tie via registration order."""
+    # bound = ceil(4/50) = 1, max_round = 2 -> new key (2, True):
+    # b and d (round 1) are overdue, a (round 2, ties, registered
+    # earlier) beats the new query c on the stable tie-break
     hist = {"a": _h(2), "b": _h(1), "d": _h(1)}
-    assert vr.rotation_order(["a", "b", "c", "d"], hist) == ["c", "b", "d", "a"]
+    assert vr.rotation_order(["a", "b", "c", "d"], hist) == ["b", "d", "a", "c"]
+    # the overdue query still leads regardless of the new arrival
+    hist2 = {"a": _h(4), "b": _h(4), "pad": _h(3)}
+    assert vr.rotation_order(["a", "b", "c", "pad"], hist2)[0] == "pad"
+    # with slack in the bound (N > WINDOW so bound >= 2), a new query
+    # strictly leads cohorts verified at max_round
+    many = [f"q{i}" for i in range(vr.WINDOW + 1)]  # bound = 2
+    hist3 = {n: _h(9) for n in many}
+    assert vr.rotation_order(many + ["new"], hist3)[0] == "new"
+    # ...but NOT a cohort exactly at the bound (gap would exceed it)
+    hist3["q0"] = _h(8)
+    order = vr.rotation_order(many + ["new"], hist3)
+    assert order.index("q0") < order.index("new")
+
+
+def test_rotation_order_stale_keeps_absolute_priority():
+    """Fingerprint-stale (invalidated certificate) still front-loads at
+    absolute round 0, ahead of overdue cohorts AND new queries."""
+    hist = {"a": _h(2), "b": _h(1)}
+    assert vr.rotation_order(["a", "b", "c"], hist, stale={"a"}) == ["a", "b", "c"]
 
 
 def test_rotation_order_stable_within_round():
@@ -59,7 +85,7 @@ def test_state_file_matches_driver_history():
 def test_catalog_registration_is_lrv_sorted():
     hist = vr.rebuild_history()  # the ordering sources at import
     stale = vr.effective_stale_set(hist=hist)
-    keys = [vr._sort_key(hist, n, stale) for n in catalog.QUERIES]
+    keys = vr.sort_keys(list(catalog.QUERIES), hist, stale)
     assert keys == sorted(keys)
     # oracle dict ordering mirrors the query dict
     oracle_names = list(catalog.ORACLES)
@@ -74,11 +100,10 @@ def test_window_covers_least_recently_verified():
     hist = vr.rebuild_history()
     stale = vr.effective_stale_set(hist=hist)
     names = list(catalog.QUERIES)
-    max_in_window = max(
-        vr._sort_key(hist, n, stale) for n in names[: vr.WINDOW]
-    )
+    keys = dict(zip(names, vr.sort_keys(names, hist, stale)))
+    max_in_window = max(keys[n] for n in names[: vr.WINDOW])
     for n in names[vr.WINDOW :]:
-        assert vr._sort_key(hist, n, stale) >= max_in_window
+        assert keys[n] >= max_in_window
 
 
 def test_stale_queries_front_load_into_window():

@@ -1,7 +1,7 @@
-"""Round-7 staged queries: driver-style DuckDB side-by-side for the
-three implemented-but-not-yet-registered queries, plus the guard that
-they are NOT in the live registry this round (the growth simulation in
-test_rotation.py is what forces the staging)."""
+"""Round-7 staged queries, now registered: driver-style DuckDB
+side-by-side for the four queries staged during round 6, plus the
+guard that they joined the live registry in round 7 (the growth
+simulation in test_rotation.py gated the registration timing)."""
 
 from __future__ import annotations
 
@@ -23,8 +23,13 @@ def duck(sf_dir):
     con.close()
 
 
-def test_staged_not_registered():
-    assert not set(round7_staged.STAGED) & set(catalog.QUERIES)
+def test_staged_now_registered():
+    """Round 7: all four staged queries are live in the registry (and
+    therefore also swept by tests/test_oracle.py); this file keeps the
+    explicit per-query side-by-side as the registration-independent
+    anchor."""
+    assert set(round7_staged.STAGED) <= set(catalog.QUERIES)
+    assert set(round7_staged.STAGED) <= set(catalog.ORACLES)
 
 
 @pytest.mark.parametrize("name", sorted(round7_staged.STAGED))
