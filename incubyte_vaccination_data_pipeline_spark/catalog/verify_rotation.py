@@ -22,11 +22,16 @@ This module implements the generalizing policy:
   with slack but NEVER displacing a cohort already at the gap bound
   (round 7: 4 new registrations + a 50-strong at-bound cohort compete
   for 50 slots; the new ones wait one round, their correctness already
-  pinned by the local DuckDB side-by-side).  Within a round, rows-only
-  ``no_oracle`` rows sort ahead of value-checked green rows — a query
-  the driver looked at but could not value-verify needs the window
-  sooner than one it fully verified the same round.  Ties keep
-  original registration order (stable sort).
+  pinned by the local DuckDB side-by-side).  Fingerprint-stale queries
+  sort at ``min(own last round, due-now)`` with the rows-only flag —
+  ahead of new queries and every slack cohort, behind an at-bound
+  cohort (their re-verification stays within the bound of their own
+  last driver row, and the local oracle sweep covers them meanwhile).
+  Within a round, rows-only ``no_oracle`` rows sort ahead of
+  value-checked green rows — a query the driver looked at but could
+  not value-verify needs the window sooner than one it fully verified
+  the same round.  Ties keep original registration order (stable
+  sort).
 
 * **Change-aware staleness** (round 6): ``query_fingerprints.json``
   maps query name -> a fingerprint of WHAT the driver would verify —
@@ -144,9 +149,17 @@ def _sort_key(
     stale: frozenset[str] | set[str] = frozenset(),
     new_key: tuple[int, bool] = (0, False),
 ) -> tuple[int, bool]:
-    if name in stale:
-        return (0, False)
     row = hist.get(name)
+    if name in stale:
+        # EDF: a stale (changed-since-verified) query is due NOW — it
+        # outranks new queries and every cohort with slack (value flag
+        # False wins same-round ties) — but it does NOT displace a
+        # cohort already at the gap bound unless its own last driver
+        # row is at least that old.  Its re-verification stays bounded
+        # by ceil(N/WINDOW) from its own last row either way, and the
+        # local DuckDB oracle sweep covers it every round meanwhile.
+        due = new_key[0]
+        return (min(row["round"], due) if row is not None else due, False)
     if row is None:
         return new_key
     return (row["round"], row["value"])
@@ -163,7 +176,9 @@ def _new_query_key(n_names: int, hist: dict[str, dict]) -> tuple[int, bool]:
     from the 50-slot window, pushing their gap to bound+1.  New queries
     carry fresh local oracle certificates, so a one-round driver-window
     delay is the cheaper side of the trade; fingerprint-STALE queries
-    (invalidated certificates) keep absolute (0, False) priority."""
+    sort at ``min(own last round, due-now)`` with the rows-only flag,
+    so they outrank new queries but also never displace an at-bound
+    cohort (see :func:`_sort_key`)."""
     import math
 
     bound = max(1, math.ceil(n_names / WINDOW))
@@ -188,11 +203,13 @@ def rotation_order(
     hist: dict[str, dict],
     stale: frozenset[str] | set[str] = frozenset(),
 ) -> list[str]:
-    """Stable sort, earliest-deadline-first: fingerprint-stale first
-    (round 0), then least-recently-verified; brand-new queries slot in
-    at the "due now" deadline (see :func:`_new_query_key`) so they
-    never displace an at-the-gap-bound cohort; within a round,
-    rows-only (``no_oracle``) rows ahead of green."""
+    """Stable sort, earliest-deadline-first by
+    ``(effective_round, value_checked)``: least-recently-verified
+    first; fingerprint-stale queries are due now (capped at their own
+    last-row round); brand-new queries slot in at the "due now"
+    deadline (see :func:`_new_query_key`) behind stale ones; neither
+    displaces an at-the-gap-bound cohort; within a round, rows-only
+    (``no_oracle``) rows ahead of green."""
     keys = dict(zip(names, sort_keys(names, hist, stale)))
     return sorted(names, key=keys.__getitem__)
 

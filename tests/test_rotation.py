@@ -43,11 +43,29 @@ def test_rotation_order_new_queries_due_now_not_overdue():
     assert order.index("q0") < order.index("new")
 
 
-def test_rotation_order_stale_keeps_absolute_priority():
-    """Fingerprint-stale (invalidated certificate) still front-loads at
-    absolute round 0, ahead of overdue cohorts AND new queries."""
-    hist = {"a": _h(2), "b": _h(1)}
-    assert vr.rotation_order(["a", "b", "c"], hist, stale={"a"}) == ["a", "b", "c"]
+def test_rotation_order_stale_is_due_now_capped_at_own_round():
+    """Fingerprint-stale (invalidated certificate) is due now: it
+    outranks new queries and slack cohorts, but yields to a cohort
+    already at the gap bound — unless its own last row is that old."""
+    # bound = 1, max_round = 2 -> due-now round 2. Stale "a" (last
+    # seen round 2) keys (2, False): behind overdue "b" (1, True),
+    # ahead of the round-2 green "d" and the new query "e" (new
+    # queries register last, so "d" wins the (2, True) tie on the
+    # stable list order).
+    hist = {"a": _h(2), "b": _h(1), "d": _h(2)}
+    assert vr.rotation_order(["a", "b", "d", "e"], hist, stale={"a"}) == [
+        "b",
+        "a",
+        "d",
+        "e",
+    ]
+    # a stale query whose own last row is already at the bound keeps
+    # that older key and leads the at-bound green cohort
+    assert vr.rotation_order(["a", "b", "c"], {"a": _h(1), "b": _h(1)}, stale={"a"}) == [
+        "a",
+        "b",
+        "c",
+    ]
 
 
 def test_rotation_order_stable_within_round():
@@ -109,15 +127,26 @@ def test_window_covers_least_recently_verified():
 def test_stale_queries_front_load_into_window():
     """The change-aware contract: every fingerprint-stale query sits
     inside the 50-slot driver window (so a materially changed query is
-    re-driver-verified the NEXT round, not after an LRU cycle).
+    re-driver-verified the NEXT round, not after an LRU cycle) —
+    UNLESS the slots ahead of it are all at-bound or stale themselves
+    (EDF: a changed-but-recently-verified query must not push a
+    cohort at the gap bound past it; its re-verification stays within
+    ceil(N/50) of its own last driver row, pinned by the growth sim).
     Effective staleness: a mark the driver has already re-certified
     (green value row at round >= as_of_round) is cleared, so a freshly
     landed CORRECTNESS file can't redden this at the round boundary."""
-    stale = vr.effective_stale_set()
+    hist = vr.rebuild_history()
+    stale = vr.effective_stale_set(hist=hist)
     assert len(stale) <= vr.WINDOW, "more stale queries than window slots"
-    window = set(list(catalog.QUERIES)[: vr.WINDOW])
-    missing = stale - window
-    assert not missing, f"stale queries outside the driver window: {sorted(missing)}"
+    names = list(catalog.QUERIES)
+    keys = dict(zip(names, vr.sort_keys(names, hist, stale)))
+    window = set(names[: vr.WINDOW])
+    due_now = vr._new_query_key(len(names), hist)[0]
+    for n in stale - window:
+        blockers = [m for m in names[: vr.WINDOW] if keys[m] <= keys[n]]
+        assert len(blockers) >= vr.WINDOW and all(
+            m in stale or keys[m][0] <= due_now for m in blockers
+        ), f"stale query {n} displaced from the window by a slack cohort"
 
 
 def test_simulated_growth_keeps_gap_bounded():
