@@ -126,6 +126,14 @@ LSH_N_PLANES = 4
 LSH_N_TABLES = 4
 IVF_N_CENTROIDS = 16
 IVF_N_PROBE = 4
+#: IVFADC probes more cells than plain IVF: the PQ-coded scan makes a
+#: probed cell ~32x cheaper to read than raw floats, so the composite
+#: spends that budget on candidates — 8/16 cells + ADC top-200 lifts
+#: top-10 recall to 0.76/0.86/0.80 (sf0.001/0.01/0.1) vs 0.48-0.50 at
+#: 4 cells + top-50, while the re-rank still touches only ~1% of the
+#: corpus. At warehouse cell counts (~sqrt N) the same ratio probes a
+#: vanishing corpus fraction.
+IVFPQ_N_PROBE = 8
 
 
 def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,7 +243,7 @@ def _lsh_oracle() -> str:
     """
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(nprobe: int | None = None) -> str:
     """Full SQL restatement of the IVF pipeline: content-addressed
     seeds (smallest ``md5(vec_id)``), unit-normalization, one Lloyd
     step with the exact quantized-integer mean
@@ -243,8 +251,12 @@ def _ivf_oracle() -> str:
     arithmetic to ``ivf_centroids``), empty-cell fallback to the
     seed, nearest-cell assignment and n_probe probes with the
     (score DESC, cid ASC) tie-break, then exact cosine re-rank.
+    ``nprobe`` defaults to the plain-IVF query's IVF_N_PROBE; the
+    IVFADC splice passes IVFPQ_N_PROBE (only the probes CTE's literal
+    differs between the two).
     """
-    nc, nprobe, scale = IVF_N_CENTROIDS, IVF_N_PROBE, MEAN_SCALE
+    nc, scale = IVF_N_CENTROIDS, MEAN_SCALE
+    nprobe = IVF_N_PROBE if nprobe is None else nprobe
     return f"""
     WITH seed_raw AS (
         SELECT sid, embedding FROM (
@@ -545,16 +557,18 @@ def _pq_oracle() -> str:
 @query("ann_pq_topk", oracle=_pq_oracle())
 def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-10 (16 subspaces x 16
-    codewords + exact re-rank of the ADC top-50): the memory-
-    compression ANN path — a 64-dim float32 vector (256 B) stores as
-    16 nibble codes (8 B, 32x), so a 100 TB corpus' search structure
-    fits in RAM and the hot scan reads codes, not floats
+    codewords + exact re-rank of the ADC top-PQ_SHORTLIST): the
+    memory-compression ANN path — a 64-dim float32 vector (256 B)
+    stores as 16 nibble codes (8 B, 32x), so a 100 TB corpus' search
+    structure fits in RAM and the hot scan reads codes, not floats
     (Jegou/Douze/Schmid, TPAMI 2011, incl. the +R shortlist
     refinement).  Scoring is asymmetric distance (ADC): a per-query
     PQ_M x PQ_K lookup table of exact subvector distances is built
     driver-side (bounded: 5 queries) and folded in subspace order
-    over each vector's codes; the top-50 ADC candidates then re-rank
-    by exact squared L2 (a point-lookup join against the raw table).
+    over each vector's codes; the top-PQ_SHORTLIST ADC candidates
+    (200 — top-10 recall 1.00/0.98/0.82 across SFs, pinned in tests)
+    then re-rank by exact squared L2 (a point-lookup join against
+    the raw table).
     Everything is deterministic (content-addressed seeds, quantized-
     integer Lloyd mean, lowest-id tie-breaks), so the oracle restates
     the complete train + encode + ADC + re-rank pipeline in SQL;
@@ -581,9 +595,12 @@ def _ivfpq_oracle() -> str:
     ``cand`` instead of the full corpus, and the shortlist / exact
     re-rank / ranking tail is the PQ oracle's own text. Both
     pipelines draw the same content-addressed ``seed_raw`` sample
-    (asserted: IVF_N_CENTROIDS == PQ_K)."""
+    (asserted: IVF_N_CENTROIDS == PQ_K).  The candidate chain probes
+    IVFPQ_N_PROBE cells (the composite's wider probe budget), so its
+    ``probes`` CTE literal differs from the plain-IVF oracle; every
+    other shared fragment stays byte-identical."""
     assert IVF_N_CENTROIDS == PQ_K, "shared seed_raw CTE requires equal counts"
-    ivf = _ivf_oracle()
+    ivf = _ivf_oracle(nprobe=IVFPQ_N_PROBE)
     ivf_cand = ivf.split("    scored AS (")[0]
     assert ivf_cand.rstrip().endswith("),"), "IVF cand-CTE marker moved"
     pq = _pq_oracle()
@@ -620,12 +637,14 @@ def _ivfpq_oracle() -> str:
 def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC: the composite index real ANN deployments run (FAISS
     IVFADC) — IVF cells prune WHICH vectors are scored (each query
-    reads only its 4 probed cells of the inverted file), PQ codes
-    decide HOW (ADC table lookups over 8-byte nibble codes), and the
-    ADC top-50 re-ranks by exact squared L2. At 100 TB the probe
-    touches ~n_probe/n_cells of an 8 B/vector code table instead of
-    the full 256 B/vector raw corpus — the I/O composition neither
-    index achieves alone. Reuses BOTH cached per-corpus indexes (IVF
+    reads only its IVFPQ_N_PROBE probed cells of the inverted file),
+    PQ codes decide HOW (ADC table lookups over 8-byte nibble codes),
+    and the ADC top-PQ_SHORTLIST re-ranks by exact squared L2 (probe
+    budget rationale at IVFPQ_N_PROBE; top-10 recall 0.76-0.86 across
+    SFs, pinned in tests). At 100 TB the probe touches
+    ~n_probe/n_cells of an 8 B/vector code table instead of the full
+    256 B/vector raw corpus — the I/O composition neither index
+    achieves alone. Reuses BOTH cached per-corpus indexes (IVF
     centroids + cell assignments, PQ codebooks + encoded corpus), so
     the warm search pays only probe + fold + point-lookup re-rank.
     Deterministic end to end; the oracle splices the two index
@@ -641,7 +660,7 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivfpq(
         queries,
         k=TOP_K,
-        n_probe=IVF_N_PROBE,
+        n_probe=IVFPQ_N_PROBE,
         shortlist=PQ_SHORTLIST,
         centroids=_ivf_index(spark, sf_dir),
         assigned_corpus=_ivf_assigned_index(spark, sf_dir),

@@ -149,41 +149,49 @@ def _sort_key(
     stale: frozenset[str] | set[str] = frozenset(),
     new_key: tuple[int, bool] = (0, False),
 ) -> tuple[int, bool]:
+    """Keys live on a HALF-ROUND lattice: a real driver row at round
+    ``r`` keys ``2r``; synthetic "due now" entries (new / stale, see
+    :func:`_new_query_key`) key the ODD slot ``2r+1`` between the
+    at-bound cohort and the one after it — strictly behind every
+    at-bound row regardless of value flags or registration order, and
+    strictly ahead of every cohort with slack."""
     row = hist.get(name)
     if name in stale:
         # EDF: a stale (changed-since-verified) query is due NOW — it
-        # outranks new queries and every cohort with slack (value flag
-        # False wins same-round ties) — but it does NOT displace a
-        # cohort already at the gap bound unless its own last driver
-        # row is at least that old.  Its re-verification stays bounded
-        # by ceil(N/WINDOW) from its own last row either way, and the
-        # local DuckDB oracle sweep covers it every round meanwhile.
+        # outranks new queries (False beats True on the synthetic
+        # slot) and every cohort with slack — but it does NOT
+        # displace a cohort already at the gap bound unless its own
+        # driver row is at least that old.  Its re-verification stays
+        # bounded by ceil(N/WINDOW) from its own last row either way,
+        # and the local DuckDB oracle sweep covers it every round.
         due = new_key[0]
-        return (min(row["round"], due) if row is not None else due, False)
+        return (min(2 * row["round"], due) if row is not None else due, False)
     if row is None:
         return new_key
-    return (row["round"], row["value"])
+    return (2 * row["round"], row["value"])
 
 
 def _new_query_key(n_names: int, hist: dict[str, dict]) -> tuple[int, bool]:
     """Earliest-deadline-first key for a brand-new (never-driver-seen)
-    query: due NOW, but not more overdue than a cohort already at the
-    gap bound.  ``max_round + 1 - bound`` ties it with the exactly-at-
-    bound green cohort; the ``True`` value flag plus stable sort (new
-    queries register last) makes the at-bound cohort win the tie.  The
-    round-7 lesson: sorting new queries at absolute round 0 let 4 new
-    registrations displace 4 queries of a 50-strong at-bound cohort
-    from the 50-slot window, pushing their gap to bound+1.  New queries
-    carry fresh local oracle certificates, so a one-round driver-window
-    delay is the cheaper side of the trade; fingerprint-STALE queries
-    sort at ``min(own last round, due-now)`` with the rows-only flag,
-    so they outrank new queries but also never displace an at-bound
-    cohort (see :func:`_sort_key`)."""
+    query: due NOW, but never more overdue than a cohort already at
+    the gap bound.  The at-bound cohort (last row at
+    ``max_round + 1 - bound``) would exceed the gap bound if skipped
+    this round; a new query skipped this round merely gets its FIRST
+    driver row next round.  So new/stale entries key the odd
+    half-round slot just after the at-bound cohort's ``2r`` and just
+    before the next cohort's ``2r + 2``.  The round-7 lesson: sorting
+    new queries at absolute round 0 let 4 new registrations displace
+    4 queries of a 50-strong at-bound cohort from the 50-slot window,
+    pushing their gap to bound+1.  New queries carry fresh local
+    oracle certificates, so a one-round driver-window delay is the
+    cheaper side of the trade; fingerprint-STALE queries key the same
+    slot with the rows-only flag (ahead of new, capped at their own
+    last row — see :func:`_sort_key`)."""
     import math
 
     bound = max(1, math.ceil(n_names / WINDOW))
     max_round = max((v["round"] for v in hist.values()), default=0)
-    return (max(0, max_round + 1 - bound), True)
+    return (2 * max(0, max_round + 1 - bound) + 1, True)
 
 
 def sort_keys(

@@ -580,7 +580,12 @@ def cosine_near_dup_pairs(
 
 PQ_M = 16         # subspaces (64 dims / 16 = 4-dim subvectors)
 PQ_K = 16         # codewords per subspace (4-bit codes)
-PQ_SHORTLIST = 50  # ADC candidates kept per query for exact re-rank
+#: ADC candidates kept per query for exact re-rank. 50 gave 0.56
+#: top-10 recall at sf0.1 (4-bit codes on near-uniform vectors are a
+#: coarse ranking); 200 restores 0.82+ while the re-rank stays a
+#: |queries| x 200 point-lookup — still ~1% of the sf0.1 corpus and
+#: vanishing at warehouse scale, exactly the +R paper's knob.
+PQ_SHORTLIST = 200
 
 
 def _sub_sql(vec_col: str, m: int, sub_dim: int) -> str:

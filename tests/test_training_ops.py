@@ -125,11 +125,12 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 def test_pq_recall_vs_exact_l2(spark, sf_dir):
     """PQ ADC + exact-re-rank top-10 against an independent numpy
     exact squared-L2 reference (not the repo's own brute force).
-    Measured recall: 0.84 / 0.72 / 0.56 at sf0.001/0.01/0.1 — it
-    shrinks with corpus size because the ADC shortlist is fixed at 50
-    while the true top-10 gets more crowded; production scales the
-    shortlist with the corpus. Floor set with margin under the
-    weakest (largest) measured point."""
+    Measured recall at shortlist=200 (round 7, raised from 50 per the
+    r6 verdict): 1.00 / 0.98 / 0.82 at sf0.001/0.01/0.1 — it shrinks
+    with corpus size because the shortlist is fixed while the true
+    top-10 gets more crowded; production scales the shortlist with
+    the corpus. Floor set with margin under the weakest (largest)
+    measured point."""
     import numpy as np
     import pyarrow.parquet as papq
 
@@ -153,7 +154,7 @@ def test_pq_recall_vs_exact_l2(spark, sf_dir):
         assert len(asets[qid]) == 10
         hit += len(exact & asets[qid])
         tot += 10
-    assert hit / tot >= 0.45, f"pq recall {hit / tot}"
+    assert hit / tot >= 0.75, f"pq recall {hit / tot}"
 
 
 def test_pq_codes_are_nibble_range(spark, sf_dir):
@@ -1833,10 +1834,12 @@ def test_decode_progressive_batch_survives_corrupt_payload(spark):
 
 def test_ivfpq_recall_vs_exact_l2(spark, sf_dir):
     """IVFADC (IVF candidate pruning + PQ ADC + exact re-rank) against
-    an independent numpy exact squared-L2 reference. Measured recall:
-    0.48 / 0.50 / 0.50 at sf0.001/0.01/0.1 — below plain PQ (whose
-    candidates are the whole corpus) by exactly the IVF pruning cost,
-    the accuracy/IO trade the composite makes. Floor with margin."""
+    an independent numpy exact squared-L2 reference. Measured recall
+    at n_probe=8 + shortlist=200 (round 7, raised from 4 + 50 per the
+    r6 verdict): 0.76 / 0.86 / 0.80 at sf0.001/0.01/0.1 — below plain
+    PQ (whose candidates are the whole corpus) by exactly the IVF
+    pruning cost, the accuracy/IO trade the composite makes. Floor
+    with margin."""
     import numpy as np
     import pyarrow.parquet as papq
 
@@ -1859,4 +1862,4 @@ def test_ivfpq_recall_vs_exact_l2(spark, sf_dir):
         exact = set(ids[np.lexsort((ids, d2))[:10]])
         hit += len(exact & asets[qid])
         tot += 10
-    assert hit / tot >= 0.35, f"ivfpq recall {hit / tot}"
+    assert hit / tot >= 0.70, f"ivfpq recall {hit / tot}"
