@@ -340,8 +340,16 @@ def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_events_stream(spark, sf_dir)
+    # stream-stream joins keep FOUR state stores per partition (left/
+    # right x keyToNumValues/keyWithIndexToValue), so partitions are
+    # the expensive axis locally: sp=2 measured 1.1-1.3s vs 1.5s at 8,
+    # 2.4s at 16 (sf0.1, idle-machine sweep, ROUND_NOTES r7). A real
+    # cluster sizes this to executor count instead.
     joined = run_to_memory(
-        stream_stream_click_purchase_join(stream), "ivdp_ss_join", "append"
+        stream_stream_click_purchase_join(stream),
+        "ivdp_ss_join",
+        "append",
+        shuffle_partitions=2,
     )
     return joined.groupBy(
         "user_id", F.col("purchase_id").alias("event_id")
@@ -430,10 +438,15 @@ def stream_stream_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFra
     unioned = stream.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).unionByName(sentinel)
+    # sp=2: same four-state-stores-per-partition economics as the
+    # inner join (measured 1.8-2.2s vs 2.5s at 8, 4.1s at 16 — the
+    # no-data eviction batch scans every store, so store count is the
+    # floor here)
     joined = run_to_memory(
         stream_stream_click_purchase_join(unioned, how="left_outer"),
         "ivdp_ss_left_outer",
         "append",
+        shuffle_partitions=2,
         no_data_batches=True,
     )
     return (
@@ -489,9 +502,18 @@ _FLUSH_DIRS: dict[tuple[str, str], str] = register_dict_cache({})
 
 
 def _session_flush_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per app+corpus) the one-row far-future flush event
-    for user -1: 24 h past max(ts), so the final watermark passes every
-    real session's ``last + gap`` and the event-time timeouts fire."""
+    """Write (once per app+corpus) a far-future flush event PER USER:
+    24 h past max(ts), so every user's open session is closed by a
+    gap-breaking ARRIVAL inside the data batch (the vectorized numpy
+    split path) instead of by an event-time timeout.  The one-row
+    user=-1 sentinel this replaces needed the timeout machinery: a
+    trailing no-data micro-batch re-invoking the Python state fn once
+    per active user with an empty iterator — 2x the per-group calls
+    plus a whole extra micro-batch (~1.1 s of the query's 2.4-3.0 s
+    at sf0.1).  The sentinel-opened sessions never close, so they are
+    never emitted (append mode emits CLOSED sessions only); the
+    emitted set is bit-identical either way.  Size: |distinct users|
+    rows — the same metadata scale as the state itself."""
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _FLUSH_DIRS.get(key)
     if path is None:
@@ -503,7 +525,9 @@ def _session_flush_dir(spark: SparkSession, sf_dir: str) -> str:
             tempfile.mkdtemp(prefix="ivdp-session-flush-"), "flush"
         )
         (
-            spark.createDataFrame([(-1,)], "user_id bigint")
+            read_table(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
             .select(
                 "user_id",
                 (
@@ -559,12 +583,14 @@ def stream_session_gap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     restates all five columns in DuckDB: a FULL value check, no TRUE
     certificate.
 
-    Flush sentinel: a single far-future event for user -1 (streamed
-    from a scratch dir, unioned in) pushes the final watermark past
-    every real session's ``last + gap`` so the event-time timeouts
-    fire inside the drive-to-completion run (``no_data_batches=True``
-    supplies the trailing empty micro-batch that delivers them);
-    the sentinel user is filtered from the result."""
+    Flush sentinels: one far-future event PER USER (streamed from a
+    scratch dir, unioned in) closes every open session as a
+    gap-breaking arrival inside the data batch — the vectorized
+    split path — so no timeout needs to fire and no trailing empty
+    micro-batch runs in the drive-to-completion run (the timeout
+    machinery stays, exercised by the multi-batch unit tests: a real
+    deployment has no flush file and DOES rely on it).  The
+    sentinel-opened sessions never close, hence never emit."""
     from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
         read_events_stream,
         run_to_memory,
@@ -576,11 +602,19 @@ def stream_session_gap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("user_id bigint, ts timestamp, value double")
         .parquet(_session_flush_dir(spark, sf_dir))
     )
+    # sp=16: the opposite trade from the stream-stream joins — one
+    # state store per partition but a Python worker pipeline per
+    # partition, and the per-user pandas calls are the cost, so wider
+    # parallelism wins (measured 2.4s at 16 vs 2.7s at 8, 5.3s at 2)
+    # no_data_batches OFF: per-user flush sentinels close every real
+    # session in the data batch itself (see _session_flush_dir), so
+    # no timeout ever needs to fire and the trailing empty micro-batch
+    # would be pure fixed cost
     sessions = run_to_memory(
         stateful_session_gap(stream.unionByName(sentinel)),
         "ivdp_stream_session_gap",
         "append",
-        no_data_batches=True,
+        shuffle_partitions=16,
     )
     return sessions.filter(F.col("user_id") >= 0)
 
@@ -605,8 +639,14 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     doubled = stream.unionByName(read_events_stream(spark, sf_dir))
+    # sp=4 measured best (1.2s vs 1.4s at 8, 2.1s at 16): dedup state
+    # is one store per partition keyed by event_id; the doubled source
+    # gives each partition enough rows that 4 saturates local cores
     return run_to_memory(
-        dedup_events_stream(doubled), "ivdp_stream_dedup", "append"
+        dedup_events_stream(doubled),
+        "ivdp_stream_dedup",
+        "append",
+        shuffle_partitions=4,
     )
 
 
