@@ -342,14 +342,19 @@ def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     # stream-stream joins keep FOUR state stores per partition (left/
     # right x keyToNumValues/keyWithIndexToValue), so partitions are
-    # the expensive axis locally: sp=2 measured 1.1-1.3s vs 1.5s at 8,
-    # 2.4s at 16 (sf0.1, idle-machine sweep, ROUND_NOTES r7). A real
-    # cluster sizes this to executor count instead.
+    # the expensive axis locally: 2 measured 1.1-1.3s vs 1.5s at 8,
+    # 2.4s at 16 at sf0.1 — but the optimum tracks source VOLUME (2x
+    # slower than 8 at the 10x stress), so the width is derived, not
+    # pinned (stream_state_partitions, ROUND_NOTES r7).
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        stream_state_partitions,
+    )
+
     joined = run_to_memory(
         stream_stream_click_purchase_join(stream),
         "ivdp_ss_join",
         "append",
-        shuffle_partitions=2,
+        shuffle_partitions=stream_state_partitions(spark, sf_dir),
     )
     return joined.groupBy(
         "user_id", F.col("purchase_id").alias("event_id")
@@ -438,15 +443,20 @@ def stream_stream_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFra
     unioned = stream.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).unionByName(sentinel)
-    # sp=2: same four-state-stores-per-partition economics as the
-    # inner join (measured 1.8-2.2s vs 2.5s at 8, 4.1s at 16 — the
-    # no-data eviction batch scans every store, so store count is the
-    # floor here)
+    # same four-state-stores-per-partition economics as the inner
+    # join (volume-derived width: 1.8-2.2s at sf0.1 vs 2.5s at the
+    # old fixed 8; the no-data eviction batch scans every store, so
+    # store count is the floor here — and the 10x stress flips the
+    # optimum back up, hence derived not pinned)
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        stream_state_partitions,
+    )
+
     joined = run_to_memory(
         stream_stream_click_purchase_join(unioned, how="left_outer"),
         "ivdp_ss_left_outer",
         "append",
-        shuffle_partitions=2,
+        shuffle_partitions=stream_state_partitions(spark, sf_dir),
         no_data_batches=True,
     )
     return (
@@ -604,7 +614,8 @@ def stream_session_gap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sp=16: the opposite trade from the stream-stream joins — one
     # state store per partition but a Python worker pipeline per
-    # partition, and the per-user pandas calls are the cost, so wider
+    # partition, and the per-GROUP pandas calls are the cost (group
+    # count, not bytes: the 10x stress is FLAT), so wider local
     # parallelism wins (measured 2.4s at 16 vs 2.7s at 8, 5.3s at 2)
     # no_data_batches OFF: per-user flush sentinels close every real
     # session in the data batch itself (see _session_flush_dir), so
@@ -639,14 +650,19 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     doubled = stream.unionByName(read_events_stream(spark, sf_dir))
-    # sp=4 measured best (1.2s vs 1.4s at 8, 2.1s at 16): dedup state
-    # is one store per partition keyed by event_id; the doubled source
-    # gives each partition enough rows that 4 saturates local cores
+    # one store per partition keyed by event_id; 4 measured best at
+    # sf0.1 (1.2s vs 1.4s at 8, 2.1s at 16). Volume-derived with
+    # lo=4: the doubled source reads 2x the bytes, and the width must
+    # grow with the source like the join's (10x-stress lesson)
+    from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
+        stream_state_partitions,
+    )
+
     return run_to_memory(
         dedup_events_stream(doubled),
         "ivdp_stream_dedup",
         "append",
-        shuffle_partitions=4,
+        shuffle_partitions=stream_state_partitions(spark, sf_dir, lo=4),
     )
 
 

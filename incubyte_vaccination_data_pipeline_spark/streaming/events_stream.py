@@ -55,6 +55,52 @@ def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     return schema
 
 
+_SOURCE_BYTES_CACHE: dict[str, int] = register_dict_cache({})
+
+
+def events_source_bytes(sf_dir: str) -> int:
+    """On-disk bytes of the events source (file or directory of part
+    files) — a driver-side ``os.stat`` metadata read, cached per dir
+    (the testdata is immutable)."""
+    import os
+
+    cached = _SOURCE_BYTES_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        total = sum(
+            e.stat().st_size for e in os.scandir(path) if e.is_file()
+        )
+    else:
+        total = os.stat(path).st_size
+    _SOURCE_BYTES_CACHE[sf_dir] = total
+    return total
+
+
+def stream_state_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    bytes_per_partition: int = 2 << 20,
+    lo: int = 2,
+    hi: int | None = None,
+) -> int:
+    """Volume-derived state-partition count for exchange-heavy
+    streaming state ops (stream-stream joins, dedup): every partition
+    costs state-store instances per micro-batch (a join keeps FOUR),
+    so tiny sources want few partitions — but a FIXED small constant
+    inverts at scale (sf0.1 left-outer: sp=2 best at 1x, 2x SLOWER
+    than sp=8 at the 10x stress).  ``ceil(source_bytes / 2 MiB)``
+    clamped to [lo, cores] tracks the volume instead: 2 at sf0.1's
+    2 MB, ~10 at the 10x stress's 20 MB.  On a real cluster the
+    source is unbounded (Kafka) and this is sized to the executor
+    count like any shuffle width."""
+    if hi is None:
+        hi = spark.sparkContext.defaultParallelism
+    n = -(-events_source_bytes(sf_dir) // bytes_per_partition)
+    return max(lo, min(int(n), hi))
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (one-file glob locally;
     a directory of arriving files or Kafka in production)."""
