@@ -331,31 +331,42 @@ def stale_set(fps: dict[str, dict] | None = None) -> set[str]:
     }
 
 
+def row_certifies(row: dict | None, entry: dict) -> bool:
+    """The single promotion predicate shared by :func:`refresh_fingerprints`
+    and :func:`effective_stale_set`: a driver row certifies a
+    fingerprint entry iff it is a GREEN value-checked row
+    (``hash_match: true`` -> ``value``) from a round >= the entry's
+    ``as_of_round``.  Rows-only (``no_oracle``) and error rows do NOT
+    certify — every registered query carries a DuckDB oracle
+    (``tests/test_rotation.py::test_every_query_has_an_oracle``), so a
+    rows-only row means the driver could not value-check and the
+    staleness mark must survive until a real value check lands."""
+    return (
+        row is not None
+        and bool(row.get("value"))
+        and row.get("round", -1) >= entry.get("as_of_round", 10**9)
+    )
+
+
 def effective_stale_set(
     fps: dict[str, dict] | None = None,
     hist: dict[str, dict] | None = None,
 ) -> set[str]:
     """:func:`stale_set` minus queries the driver has ALREADY re-verified
-    since the fingerprint was recorded: a green value-checked row at
-    round >= the entry's ``as_of_round`` is exactly the condition
-    :func:`refresh_fingerprints` uses to promote ``fp`` ->
-    ``verified_fp``.  Between the driver landing CORRECTNESS_r{N}.json
-    and the builder running the promotion, such queries are stale only
-    on paper — treating them as stale front-loads window slots that the
-    r6 verdict showed squeeze the oldest cohort past the gap bound."""
+    since the fingerprint was recorded: :func:`row_certifies` is
+    exactly the condition :func:`refresh_fingerprints` uses to promote
+    ``fp`` -> ``verified_fp``.  Between the driver landing
+    CORRECTNESS_r{N}.json and the builder running the promotion, such
+    queries are stale only on paper — treating them as stale
+    front-loads window slots that the r6 verdict showed squeeze the
+    oldest cohort past the gap bound."""
     if fps is None:
         fps = load_fingerprints()
     if hist is None:
         hist = rebuild_history()
     out = set()
     for name in stale_set(fps):
-        row = hist.get(name)
-        entry = fps.get(name, {})
-        if (
-            row is not None
-            and row["value"]
-            and row["round"] >= entry.get("as_of_round", 10**9)
-        ):
+        if row_certifies(hist.get(name), fps.get(name, {})):
             continue  # driver already certified the current fp
         out.add(name)
     return out
@@ -400,8 +411,10 @@ def refresh_fingerprints(
             verified = fp if name in hist else None
         else:
             verified = p.get("verified_fp")
-            row = hist.get(name)
-            if row is not None and row["round"] >= p.get("as_of_round", 10**9):
+            if row_certifies(hist.get(name), p):
+                # same predicate as effective_stale_set: only a GREEN
+                # value-checked row promotes — a rows-only row must
+                # not clear a staleness mark without a value check
                 verified = p["fp"]
         if mark_stale and name in mark_stale:
             verified = FP_MARK_STALE

@@ -189,6 +189,56 @@ def test_effective_stale_clears_round_boundary_race():
     assert vr.effective_stale_set(fps, hist) == {"older_row", "rows_only"}
 
 
+def test_refresh_promotion_shares_effective_stale_predicate(tmp_path):
+    """ADVICE r7 (medium): refresh_fingerprints used to promote
+    fp -> verified_fp on ANY driver row at round >= as_of_round —
+    including rows-only (value=False) rows — while effective_stale_set
+    required a green value check, so a changed query whose only
+    post-change row was rows-only got its stale mark silently cleared
+    without a value check.  Both now share :func:`vr.row_certifies`:
+    a rows-only row keeps the mark, a green row promotes."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "q_rows_only": {"rows_match": True, "err": "no_oracle"},
+                "q_green": {"hash_match": True, "rows_match": True},
+                "q_old": {"hash_match": True, "rows_match": True},
+            }
+        )
+    )
+    fp_file = tmp_path / "query_fingerprints.json"
+    fp_file.write_text(
+        json.dumps(
+            {
+                "q_rows_only": {"fp": "new1", "as_of_round": 1, "verified_fp": "old1"},
+                "q_green": {"fp": "new2", "as_of_round": 1, "verified_fp": "old2"},
+                "q_old": {"fp": "new3", "as_of_round": 2, "verified_fp": "old3"},
+            }
+        )
+    )
+    names = ["q_rows_only", "q_green", "q_old"]
+    out = vr.refresh_fingerprints(
+        spark=None,
+        path=fp_file,
+        repo_root=tmp_path,
+        names=names,
+        fingerprint_fn=lambda _s, n: {"q_rows_only": "new1", "q_green": "new2", "q_old": "new3"}[n],
+    )
+    # rows-only row does NOT promote; green row at round >= as_of does;
+    # a green row OLDER than as_of_round does not
+    assert out["q_rows_only"]["verified_fp"] == "old1"
+    assert out["q_green"]["verified_fp"] == "new2"
+    assert out["q_old"]["verified_fp"] == "old3"
+    # and effective_stale_set agrees with the promotion outcome exactly
+    hist = vr.rebuild_history(tmp_path)
+    fps_before = {
+        "q_rows_only": {"fp": "new1", "as_of_round": 1, "verified_fp": "old1"},
+        "q_green": {"fp": "new2", "as_of_round": 1, "verified_fp": "old2"},
+        "q_old": {"fp": "new3", "as_of_round": 2, "verified_fp": "old3"},
+    }
+    assert vr.effective_stale_set(fps_before, hist) == {"q_rows_only", "q_old"}
+
+
 def test_round4_window_contract_frozen():
     """The round-4 contract, restated against FROZEN inputs (driver
     history through round 3 + the round-4 registration set): the 8
