@@ -505,9 +505,11 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: flush-sentinel scratch dirs per (app, corpus): the sentinel depends
-#: only on max(ts) of the immutable corpus, so warm runs re-stream the
-#: same one-row parquet instead of re-computing max_ts and re-writing
+#: flush-sentinel scratch dirs per (app, corpus): the sentinel file
+#: holds one far-future row PER USER (|distinct users| rows) and
+#: depends only on max(ts) + the user set of the immutable corpus, so
+#: warm runs re-stream the same parquet instead of re-aggregating and
+#: re-writing it
 _FLUSH_DIRS: dict[tuple[str, str], str] = register_dict_cache({})
 
 
@@ -652,8 +654,10 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = stream.unionByName(read_events_stream(spark, sf_dir))
     # one store per partition keyed by event_id; 4 measured best at
     # sf0.1 (1.2s vs 1.4s at 8, 2.1s at 16). Volume-derived with
-    # lo=4: the doubled source reads 2x the bytes, and the width must
-    # grow with the source like the join's (10x-stress lesson)
+    # volume_factor=2 (the union streams the source twice, so the
+    # state exchange carries 2x the on-disk bytes) and lo=4 (the
+    # measured sf0.1 floor): at the 10x stress the width now tracks
+    # the DOUBLED volume instead of relying on the floor (ADVICE r7)
     from incubyte_vaccination_data_pipeline_spark.streaming.events_stream import (
         stream_state_partitions,
     )
@@ -662,7 +666,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_events_stream(doubled),
         "ivdp_stream_dedup",
         "append",
-        shuffle_partitions=stream_state_partitions(spark, sf_dir, lo=4),
+        shuffle_partitions=stream_state_partitions(
+            spark, sf_dir, lo=4, volume_factor=2
+        ),
     )
 
 

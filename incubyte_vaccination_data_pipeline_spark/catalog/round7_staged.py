@@ -1,13 +1,13 @@
-"""Round-7 staged queries (implemented, tested, NOT yet registered).
+"""The four queries staged during round 6 and REGISTERED in round 7.
 
-The round-6 window is full: 8 force-staled rewrites + 38 new
-registrations occupy 46 of the 50 driver slots, and the growth
-simulation (tests/test_rotation.py) shows that registering these
-three too would push the oldest re-verification cohort past the
-ceil(N/50) bound — the same trade round 4 made when it staged the
-round5_ext family. They pass the driver-style DuckDB side-by-side at
-sf0.001 + sf0.01 (tests/test_round7_staged.py) and register with one
-``register()`` call in round 7.
+History: the round-6 driver window was full (8 force-staled rewrites +
+38 new registrations occupied 46 of the 50 slots), so these four
+(``events_top_paths``, ``lineitem_yoy_brand_growth``,
+``events_bot_signals``, ``text_zipf_fit``) were implemented and
+oracle-verified locally first (tests/test_round7_staged.py, driver-style
+DuckDB side-by-side at sf0.001 + sf0.01) and registered via
+``register()`` from ``catalog/__init__.py`` in round 7; the EDF
+rotation queues them for their first driver window in round 8.
 """
 
 from __future__ import annotations
@@ -234,13 +234,13 @@ _ZIPF_TOP = 500
 
 
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf's-law fit over the corpus token-frequency distribution:
-    log-log regression of frequency on rank for the top {k} tokens —
-    the corpus-linguistics sanity check (natural text slopes ~ -1;
-    templated/synthetic text deviates) and a quality gate for
-    generated-data detection. Ranks come from a top-k over the
-    vocabulary aggregate (map-side-combinable count + distributed
-    partial top-k; the regression then runs on a {k}-row frame — the
+    """Zipf's-law fit over the corpus token-frequency distribution
+    via log-log regression of frequency on rank for the top-500
+    (_ZIPF_TOP) tokens — the corpus-linguistics sanity check (natural
+    text slopes ~ -1; templated/synthetic text deviates) and a quality
+    gate for generated-data detection. Ranks come from a top-k over
+    the vocabulary aggregate (map-side-combinable count + distributed
+    partial top-k; the regression then runs on a 500-row frame — the
     vocabulary-bounded pattern of the BPE family). Determinism: the
     log values are QUANTIZED to floor(ln(x) * 2^20) BIGINTs before
     summing (sums of floats are partition-order-dependent; sums of
@@ -249,7 +249,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 6dp.
 
     Emits one row: n_tokens_fit, slope, intercept, r2 — slope ~ -1 is
-    the Zipf signature.""".replace("{k}", str(_ZIPF_TOP))
+    the Zipf signature. (A ``.replace()`` on this literal previously
+    made it an EXPRESSION, not a docstring — __doc__ was None and the
+    QUERIES.md generator emitted an empty one-liner; ADVICE r7.)"""
     docs = read_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")

@@ -84,6 +84,7 @@ def stream_state_partitions(
     bytes_per_partition: int = 2 << 20,
     lo: int = 2,
     hi: int | None = None,
+    volume_factor: int = 1,
 ) -> int:
     """Volume-derived state-partition count for exchange-heavy
     streaming state ops (stream-stream joins, dedup): every partition
@@ -92,12 +93,16 @@ def stream_state_partitions(
     inverts at scale (sf0.1 left-outer: sp=2 best at 1x, 2x SLOWER
     than sp=8 at the 10x stress).  ``ceil(source_bytes / 2 MiB)``
     clamped to [lo, cores] tracks the volume instead: 2 at sf0.1's
-    2 MB, ~10 at the 10x stress's 20 MB.  On a real cluster the
-    source is unbounded (Kafka) and this is sized to the executor
-    count like any shuffle width."""
+    2 MB, ~10 at the 10x stress's 20 MB.  ``volume_factor`` scales the
+    measured bytes for queries that re-stream the source N times (the
+    dedup query unions the stream with itself, so its state exchange
+    carries 2x the on-disk bytes — ADVICE r7: without the factor the
+    derived width understates the doubled volume at the 10x stress).
+    On a real cluster the source is unbounded (Kafka) and this is
+    sized to the executor count like any shuffle width."""
     if hi is None:
         hi = spark.sparkContext.defaultParallelism
-    n = -(-events_source_bytes(sf_dir) // bytes_per_partition)
+    n = -(-(volume_factor * events_source_bytes(sf_dir)) // bytes_per_partition)
     return max(lo, min(int(n), hi))
 
 
