@@ -78,6 +78,34 @@ def events_source_bytes(sf_dir: str) -> int:
     return total
 
 
+def derive_state_partitions(
+    master: str,
+    default_parallelism: int,
+    source_bytes: int,
+    bytes_per_partition: int = 2 << 20,
+    lo: int = 2,
+    hi: int | None = None,
+    volume_factor: int = 1,
+) -> int:
+    """Pure width rule behind :func:`stream_state_partitions`, split
+    out so BOTH branches are unit-testable without a cluster.
+
+    * ``local[...]`` master (single JVM — tests, bench, the driver):
+      volume-derived, ``ceil(volume_factor * source_bytes / 2 MiB)``
+      clamped to [lo, default_parallelism] — state stores are the cost
+      and the finite file source's bytes are a real signal.
+    * any other master (YARN/K8s/standalone — a real cluster): the
+      source is unbounded (Kafka) and a driver-side file stat is
+      meaningless; size to the EXECUTOR parallelism like any shuffle
+      width (``default_parallelism``, floored at lo, capped at hi if
+      given) so every core owns a state partition."""
+    cap = default_parallelism if hi is None else hi
+    if not master.startswith("local"):
+        return max(lo, min(default_parallelism, cap))
+    n = -(-(volume_factor * source_bytes) // bytes_per_partition)
+    return max(lo, min(int(n), cap))
+
+
 def stream_state_partitions(
     spark: SparkSession,
     sf_dir: str,
@@ -98,12 +126,23 @@ def stream_state_partitions(
     dedup query unions the stream with itself, so its state exchange
     carries 2x the on-disk bytes — ADVICE r7: without the factor the
     derived width understates the doubled volume at the 10x stress).
-    On a real cluster the source is unbounded (Kafka) and this is
-    sized to the executor count like any shuffle width."""
-    if hi is None:
-        hi = spark.sparkContext.defaultParallelism
-    n = -(-(volume_factor * events_source_bytes(sf_dir)) // bytes_per_partition)
-    return max(lo, min(int(n), hi))
+    On a NON-local master the file-stat heuristic is skipped entirely
+    and the width is the executor parallelism (see
+    :func:`derive_state_partitions`, VERDICT r7 item 5)."""
+    sc = spark.sparkContext
+    master = sc.master or ""
+    parallelism = sc.defaultParallelism
+    return derive_state_partitions(
+        master,
+        parallelism,
+        # the file stat is a local-mode signal only — skip the I/O
+        # (and any scheme mismatch) when a cluster master decides
+        events_source_bytes(sf_dir) if master.startswith("local") else 0,
+        bytes_per_partition=bytes_per_partition,
+        lo=lo,
+        hi=hi,
+        volume_factor=volume_factor,
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
