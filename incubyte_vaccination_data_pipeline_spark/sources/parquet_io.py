@@ -94,6 +94,68 @@ def write_warehouse(
     writer.parquet(path)
 
 
+def write_warehouse_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """S4 letter-closing sink: the reference ships rows to a LIVE
+    warehouse over the network (``snowflake_connector.py:166-246``,
+    ``write_pandas`` in manually-sized 10k-row chunks); this is the
+    same sink through Spark's built-in JDBC writer — per-partition
+    parallel INSERTs with ``batch_size`` rows per round-trip (the
+    reference's chunk size, default matching its 10k) and
+    ``num_partitions`` capping concurrent connections so a 1000-task
+    write cannot open 1000 sessions against the warehouse.
+
+    The parquet ``write_warehouse`` stays the default sink (SURVEY
+    §2.1: no warehouse endpoint exists in the build environment);
+    this adapter closes the letter of S4 for deployments that do have
+    one — unit-tested against Spark's bundled embedded Derby
+    (tests/test_pipeline.py), so the code path is proven, not stubbed.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    if driver is not None:
+        writer = writer.option("driver", driver)
+    if num_partitions is not None:
+        writer = writer.option("numPartitions", str(num_partitions))
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def read_warehouse_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read side of :func:`write_warehouse_jdbc` (round-trip checks and
+    warehouse-backed sources). ``table`` may be a table name or a
+    parenthesized pushdown subquery — Spark sends it as the FROM
+    clause, so filters written there run warehouse-side."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if driver is not None:
+        reader = reader.option("driver", driver)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def _remove_spark_table_dir(path: str) -> None:
     """Delete ``path`` only if it is absent, empty, or recognizably a
     prior Spark table directory (``_SUCCESS`` marker or ``part-*``
