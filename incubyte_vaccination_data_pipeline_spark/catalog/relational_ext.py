@@ -1664,7 +1664,13 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = hashed.withColumn(
         "r", F.row_number().over(Window.partitionBy("seg").orderBy("h"))
-    )
+    ).localCheckpoint(eager=False)
+    # ^ two branches consume ranked (the per-segment stats and the
+    # theta-filtered retention join) and Spark self-joins duplicate the
+    # subtree: without the checkpoint the hashed->distinct->window
+    # pipeline runs twice per execution (measured 2x on the sub-plan at
+    # sf0.1). Size: distinct (seg, customer) pairs — the same compact
+    # class as the `sel` checkpoint above.
     stats = ranked.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.max(F.when(F.col("r") == _KMV_K, F.col("h"))).alias("kth"),
