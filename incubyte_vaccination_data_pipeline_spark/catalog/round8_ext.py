@@ -1,0 +1,283 @@
+"""Round-8 additions: the two scale-path primitives the LLM-data
+families still lacked.
+
+- ``ann_knn_join`` — k-NN JOIN (a data-scale query SET against the
+  corpus through the shared IVF index, shuffle equi-join on cell id) —
+  dataset-to-dataset retrieval: link two embedded corpora, build a kNN
+  graph, score an eval set. ``topk_ivf`` broadcasts its handful of
+  query rows; a 5%-of-corpus query set must not be broadcast.
+- ``dedup_incremental_batch`` — the daily-ingest dedup shape: a new
+  batch (planted exact copies, near copies, and novel docs) matched
+  against the EXISTING corpus only — batch->corpus band join, never
+  batch x batch or corpus x corpus — with an exact-hash fast path and
+  an exact/near/novel verdict per arriving doc.
+
+Both carry full DuckDB value-check oracles (the IVF oracle is the
+parameterized ``_ivf_oracle``; the incremental oracle reuses the
+minhash CTE arithmetic constants). Registered from
+``catalog/__init__.py``; the growth simulation at 198 queries keeps
+the re-verification gap at ceil(198/50) = 4
+(tests/test_rotation.py::test_simulated_growth_keeps_gap_bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog.dedup import (
+    NEAR_DUP_TAIL,
+    _D1,
+    _D2,
+    _SIG_LIST,
+    _SIG_MINS,
+)
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import ORACLES, QUERIES
+from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+    IVF_N_PROBE,
+    _ivf_index,
+    _ivf_assigned_index,
+    _ivf_oracle,
+)
+from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+    incremental_minhash_matches,
+    minhash_signatures,
+)
+from incubyte_vaccination_data_pipeline_spark.shared_cache import BoundedCache
+from incubyte_vaccination_data_pipeline_spark.operators.similarity import knn_join_ivf
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+#: every 20th vector is a query — a query SET (5% of the corpus), not
+#: the few-probe N_QUERY_VECTORS handful the topk queries use
+KNN_JOIN_QUERY_PRED = "vec_id % 20 = 0"
+KNN_JOIN_K = 5
+
+
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN through the shared IVF index: every 20th corpus vector
+    (a 5% query SET) gets its top-5 neighbors — the dataset-to-dataset
+    retrieval primitive (kNN-graph build, eval-set scoring, corpus
+    linking). Unlike ``ann_ivf_topk``'s broadcast of a handful of
+    query rows, BOTH sides here are data-scale: the candidate join is
+    a plain shuffle equi-join on the cell id (each side exchanges
+    once; candidates form only within probed cells), and the per-query
+    top-k window repartitions by query id. Reuses the cached quantizer
+    + inverted file, so the warm join pays probe + join + window only.
+    Fully deterministic (content-addressed seeds, quantized-integer
+    Lloyd mean, explicit tie-breaks), so the oracle replays the whole
+    index build and the joined probe in SQL."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(KNN_JOIN_QUERY_PRED))
+    return knn_join_ivf(
+        _ivf_assigned_index(spark, sf_dir),
+        _ivf_index(spark, sf_dir),
+        queries,
+        k=KNN_JOIN_K,
+        n_probe=IVF_N_PROBE,
+    )
+
+
+_ANN_KNN_JOIN_ORACLE = _ivf_oracle(query_pred=KNN_JOIN_QUERY_PRED, k=KNN_JOIN_K)
+
+
+#: the arriving batch: exact copies of every 10th doc, near copies
+#: (5-token tail) of every 7th, and genuinely novel docs (reversed
+#: text -> disjoint shingles) from every 13th-plus-1 — id offsets keep
+#: the three slices and the corpus disjoint
+_BATCH_EXACT_OFF = 1_000_000
+_BATCH_NEAR_OFF = 2_000_000
+_BATCH_NOVEL_OFF = 3_000_000
+INCREMENTAL_MIN_EST = 0.5
+
+#: the persisted corpus signature index per (app, corpus) — the thing
+#: a production ingest pipeline writes ONCE and probes with every
+#: day's batch; warm calls pay only the batch-side pipeline + probe
+_SHARED_CORPUS_SIGS = BoundedCache()
+
+
+def _corpus_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return minhash_signatures(docs).persist()
+
+    return _SHARED_CORPUS_SIGS.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: match a NEW document batch against the
+    EXISTING corpus and emit one verdict row per arriving doc —
+    (batch_doc, match_type exact|near|novel, matched_doc_id,
+    est_jaccard). The production shape this encodes: the corpus
+    signature/band table is built once (persisted at warehouse scale)
+    and each day's batch only hashes itself and probes — batch->corpus
+    band equi-join ONLY, never batch x batch or corpus x corpus, so
+    per-ingest cost is O(|batch| + collisions) regardless of corpus
+    size. Exact matches short-circuit via a content-hash equi-join
+    (md5 keyed shuffle, map-side combinable min); near matches come
+    from ``incremental_minhash_matches`` with the best match chosen by
+    (est_jaccard DESC, corpus_doc ASC); everything else is novel.
+    Deterministic end to end — the oracle replays the batch
+    construction, both match paths, and the precedence rule."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + _BATCH_EXACT_OFF).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + _BATCH_NEAR_OFF).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 1).select(
+                (F.col("doc_id") + _BATCH_NOVEL_OFF).alias("doc_id"),
+                F.reverse(F.col("text")).alias("text"),
+            )
+        )
+    )
+    exact = (
+        batch.select(F.col("doc_id").alias("batch_doc"), F.md5("text").alias("h"))
+        .join(docs.select(F.md5("text").alias("h"), "doc_id"), "h")
+        .groupBy("batch_doc")
+        .agg(F.min("doc_id").alias("exact_doc"))
+    )
+    near_all = incremental_minhash_matches(
+        docs,
+        batch,
+        min_est_jaccard=INCREMENTAL_MIN_EST,
+        corpus_sigs=_corpus_sig_index(spark, sf_dir),
+    )
+    w = Window.partitionBy("batch_doc").orderBy(
+        F.col("est_jaccard").desc(), F.col("corpus_doc")
+    )
+    near = (
+        near_all.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "batch_doc",
+            F.col("corpus_doc").alias("near_doc"),
+            F.col("est_jaccard").alias("near_est"),
+        )
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_doc"))
+        .join(exact, "batch_doc", "left")
+        .join(near, "batch_doc", "left")
+        .select(
+            "batch_doc",
+            F.when(F.col("exact_doc").isNotNull(), F.lit("exact"))
+            .when(F.col("near_doc").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("match_type"),
+            F.coalesce("exact_doc", "near_doc").alias("matched_doc_id"),
+            F.when(F.col("exact_doc").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("near_est"))
+            .alias("est_jaccard"),
+        )
+    )
+
+
+_DEDUP_INCREMENTAL_ORACLE = f"""
+    WITH batch AS (
+        SELECT doc_id + {_BATCH_EXACT_OFF} AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + {_BATCH_NEAR_OFF}, text || '{NEAR_DUP_TAIL}'
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + {_BATCH_NOVEL_OFF}, reverse(text)
+        FROM documents WHERE doc_id % 13 = 1
+    ),
+    exact AS (
+        SELECT b.doc_id AS batch_doc, MIN(c.doc_id) AS exact_doc
+        FROM batch b JOIN documents c ON md5(b.text) = md5(c.text)
+        GROUP BY b.doc_id
+    ),
+    alldocs AS (
+        SELECT doc_id AS doc, text FROM documents
+        UNION ALL
+        SELECT doc_id AS doc, text FROM batch
+    ),
+    tok AS (
+        SELECT doc, string_split(lower(text), ' ') AS words FROM alldocs
+    ),
+    sh AS (
+        SELECT doc,
+               list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                              i -> array_to_string(words[i:i+2], ' ')) AS shingles
+        FROM tok
+    ),
+    shex AS (
+        SELECT doc, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ),
+    hm AS (
+        SELECT doc, md5(s) AS m FROM shex
+    ),
+    hv AS (
+        SELECT doc, {_D1} AS v1, {_D2} AS v2 FROM hm
+    ),
+    sigagg AS (
+        SELECT doc, {_SIG_MINS}
+        FROM hv GROUP BY doc
+    ),
+    sig AS (
+        SELECT doc, {_SIG_LIST} AS sig FROM sigagg
+    ),
+    banded AS (
+        SELECT doc, sig,
+               unnest(list_transform(range(0, 4),
+                   b -> CAST(b AS VARCHAR) || '|'
+                        || array_to_string(list_transform(sig[b*3+1:b*3+3],
+                                          x -> CAST(x AS VARCHAR)), '|'))) AS band
+        FROM sig
+    ),
+    cpairs AS (
+        SELECT DISTINCT bb.doc AS batch_doc, cb.doc AS corpus_doc
+        FROM banded bb JOIN banded cb ON bb.band = cb.band
+        WHERE bb.doc >= {_BATCH_EXACT_OFF} AND cb.doc < {_BATCH_EXACT_OFF}
+    ),
+    nest AS (
+        SELECT p.batch_doc, p.corpus_doc,
+               round(CAST(len(list_filter(range(1, 13),
+                                          i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                     / 12, 6) AS est_jaccard
+        FROM cpairs p
+        JOIN sig sa ON sa.doc = p.batch_doc
+        JOIN sig sb ON sb.doc = p.corpus_doc
+    ),
+    near AS (
+        SELECT batch_doc, corpus_doc AS near_doc, est_jaccard AS near_est FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY batch_doc
+                ORDER BY est_jaccard DESC, corpus_doc) AS rn
+            FROM nest WHERE est_jaccard >= {INCREMENTAL_MIN_EST})
+        WHERE rn = 1
+    )
+    SELECT b.doc_id AS batch_doc,
+           CASE WHEN e.exact_doc IS NOT NULL THEN 'exact'
+                WHEN n.near_doc IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS match_type,
+           COALESCE(e.exact_doc, n.near_doc) AS matched_doc_id,
+           CASE WHEN e.exact_doc IS NOT NULL THEN 1.0
+                ELSE n.near_est END AS est_jaccard
+    FROM batch b
+    LEFT JOIN exact e ON b.doc_id = e.batch_doc
+    LEFT JOIN near n ON b.doc_id = n.batch_doc
+    """
+
+
+STAGED = {
+    "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_ORACLE),
+    "dedup_incremental_batch": (dedup_incremental_batch, _DEDUP_INCREMENTAL_ORACLE),
+}
+
+
+def register(names: list[str] | None = None) -> None:
+    """Move the round-8 queries into the live registry (called from
+    catalog/__init__.py)."""
+    for name in (names if names is not None else list(STAGED)):
+        fn, oracle = STAGED[name]
+        QUERIES[name] = fn
+        ORACLES[name] = oracle

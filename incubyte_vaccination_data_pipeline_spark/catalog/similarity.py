@@ -243,7 +243,11 @@ def _lsh_oracle() -> str:
     """
 
 
-def _ivf_oracle(nprobe: int | None = None) -> str:
+def _ivf_oracle(
+    nprobe: int | None = None,
+    query_pred: str | None = None,
+    k: int | None = None,
+) -> str:
     """Full SQL restatement of the IVF pipeline: content-addressed
     seeds (smallest ``md5(vec_id)``), unit-normalization, one Lloyd
     step with the exact quantized-integer mean
@@ -253,10 +257,15 @@ def _ivf_oracle(nprobe: int | None = None) -> str:
     (score DESC, cid ASC) tie-break, then exact cosine re-rank.
     ``nprobe`` defaults to the plain-IVF query's IVF_N_PROBE; the
     IVFADC splice passes IVFPQ_N_PROBE (only the probes CTE's literal
-    differs between the two).
+    differs between the two).  ``query_pred``/``k`` parameterize the
+    query-set predicate and the returned neighbor count — the defaults
+    render byte-identical text to the pre-parameter oracle (the IVFADC
+    splice markers depend on it); ``ann_knn_join`` passes its own.
     """
     nc, scale = IVF_N_CENTROIDS, MEAN_SCALE
     nprobe = IVF_N_PROBE if nprobe is None else nprobe
+    query_pred = f"vec_id < {N_QUERY_VECTORS}" if query_pred is None else query_pred
+    k = TOP_K if k is None else k
     return f"""
     WITH seed_raw AS (
         SELECT sid, embedding FROM (
@@ -327,7 +336,7 @@ def _ivf_oracle(nprobe: int | None = None) -> str:
         SELECT vec_id AS query_id, cid FROM (
             SELECT vec_id, cid, ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
-            FROM a1 WHERE vec_id < {N_QUERY_VECTORS})
+            FROM a1 WHERE {query_pred})
         WHERE rn <= {nprobe}
     ),
     cand AS (
@@ -347,7 +356,7 @@ def _ivf_oracle(nprobe: int | None = None) -> str:
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
 
 

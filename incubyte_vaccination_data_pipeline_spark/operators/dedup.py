@@ -464,6 +464,67 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_minhash_matches(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_est_jaccard: float = 0.5,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW ingest batch against an EXISTING
+    corpus: (batch_doc, corpus_doc, est_jaccard) — the daily-ingest
+    dedup shape, where the corpus index is built (or, in production,
+    already persisted as a table banded by key) and each arriving
+    batch only hashes ITSELF and probes.
+
+    The structural difference from :func:`minhash_candidate_pairs` is
+    the join direction: batch bands equi-join corpus bands ONLY —
+    never batch x batch and never corpus x corpus — so per-ingest cost
+    is O(|batch| + collisions), independent of corpus-squared. At
+    100 TB the corpus side of this join is a bucketed table written
+    once (the signature/band computation amortizes over every future
+    batch); the per-batch work is the batch's own shingle -> signature
+    pipeline plus one keyed shuffle.  Pass ``corpus_sigs`` (a prebuilt
+    ``minhash_signatures(corpus, ...)`` frame, typically persisted) to
+    realize that amortization; without it the corpus side is derived
+    inline.
+
+    Candidate dedup carries both signatures through the shuffle (the
+    same 96 B/side trade as the self-join variant); pairs below
+    ``min_est_jaccard`` are dropped after the signature-agreement
+    estimate."""
+    rows_per_band = n_hashes // bands
+    csig = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signatures(corpus, text_col, id_col, n_hashes, shingle_k)
+    )
+    bsig = minhash_signatures(batch, text_col, id_col, n_hashes, shingle_k)
+    cband = csig.select(
+        F.col("doc").alias("corpus_doc"),
+        F.col("sig").alias("sig_c"),
+        F.explode(lsh_band_keys("sig", bands, rows_per_band)).alias("band"),
+    )
+    bband = bsig.select(
+        F.col("doc").alias("batch_doc"),
+        F.col("sig").alias("sig_b"),
+        F.explode(lsh_band_keys("sig", bands, rows_per_band)).alias("band"),
+    )
+    pairs = (
+        bband.join(cband, on="band")
+        .select("batch_doc", "corpus_doc", "sig_b", "sig_c")
+        .dropDuplicates(["batch_doc", "corpus_doc"])
+    )
+    est = signature_agreement("sig_b", "sig_c", n_hashes)
+    return pairs.select(
+        "batch_doc", "corpus_doc", F.round(est, 6).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= min_est_jaccard)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

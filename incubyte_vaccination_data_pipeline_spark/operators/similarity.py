@@ -498,6 +498,61 @@ def topk_ivf(
     )
 
 
+def knn_join_ivf(
+    assigned_corpus: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN JOIN: every vector of a query SET gets its top-k corpus
+    neighbors through the IVF index — the dataset-to-dataset retrieval
+    primitive (link two embedded corpora, build a kNN graph, score a
+    whole eval set) as opposed to :func:`topk_ivf`'s few-query probe.
+
+    The structural difference is the join strategy: ``topk_ivf``
+    broadcasts its handful of (query, probe-cell) rows, which is wrong
+    when the query side is itself data-scale. Here BOTH sides are
+    keyed by cell id and the candidate join is a plain shuffle
+    equi-join — each side exchanges once on ``cid``, candidates form
+    only within probed cells (never a cross join), and the per-query
+    top-k window repartitions by ``query_id``. At 100 TB with
+    ~sqrt(N) cells the cell key has enough cardinality to spread; AQE
+    skew-split covers hot cells (data-adapted centroids keep cells
+    near-balanced by construction).
+
+    ``assigned_corpus`` is the prebuilt inverted file
+    (:func:`ivf_assigned`) and ``centroids`` its quantizer — the
+    build-once index frames, shared with every other IVF consumer."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
+        F.explode(ivf_probes_expr(vec_col, centroids, n_probe)).alias("cid"),
+    )
+    scored = (
+        assigned_corpus.join(q, on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

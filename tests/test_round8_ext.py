@@ -1,0 +1,165 @@
+"""Round-8 queries (k-NN join + incremental batch dedup): driver-style
+DuckDB side-by-side, the plan-shape guards their scale claims rest on,
+and the semantic anchors (verdict distribution, subset relations to
+the established queries)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark import catalog
+from incubyte_vaccination_data_pipeline_spark.catalog import round8_ext
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+    TESTDATA_TABLES,
+    read_table,
+)
+from tests.test_oracle import _normalize, _values_equal
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_round8_registered():
+    assert set(round8_ext.STAGED) <= set(catalog.QUERIES)
+    assert set(round8_ext.STAGED) <= set(catalog.ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(round8_ext.STAGED))
+def test_round8_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, oracle = round8_ext.STAGED[name]
+    spark_df = fn(spark, sf_dir).toPandas()
+    duck_df = duck.execute(oracle).df()
+    assert len(spark_df) == len(duck_df)
+    spark_df.columns = [c.lower() for c in spark_df.columns]
+    duck_df.columns = [c.lower() for c in duck_df.columns]
+    s, d = _normalize(spark_df), _normalize(duck_df)
+    assert sorted(s.columns) == sorted(d.columns)
+    for col in s.columns:
+        for av, bv in zip(s[col], d[col]):
+            if av is None and bv is None:
+                continue
+            assert _values_equal(av, bv), (name, col, av, bv)
+
+
+def test_knn_join_does_not_force_broadcast(spark, sf_dir):
+    """The k-NN join's whole reason to exist: the query side is
+    data-scale, so the candidate join must not FORCE a broadcast the
+    way topk_ivf's F.broadcast hint does — at a tiny SF AQE may still
+    CHOOSE to broadcast (correct adaptive behavior), but with the
+    broadcast threshold disabled the join must degrade to a shuffle
+    join (a hard-coded hint would override the threshold), while
+    topk_ivf's hinted join must keep broadcasting under the same conf.
+    Neither may ever be a cartesian product."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        knn = catalog.QUERIES["ann_knn_join"](spark, sf_dir)
+        knn_plan = knn._jdf.queryExecution().executedPlan().toString()
+        topk = catalog.QUERIES["ann_ivf_topk"](spark, sf_dir)
+        topk_plan = topk._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in knn_plan, knn_plan
+    assert "CartesianProduct" not in knn_plan, knn_plan
+    assert "BroadcastHashJoin" in topk_plan, "hinted topk path changed shape"
+
+
+def test_knn_join_every_query_ranked_contiguously(spark, sf_dir):
+    """Each query id gets ranks 1..n with n <= k, no gaps, and every
+    query vector (vec_id % 20 == 0, with at least one probed-cell
+    neighbor) appears."""
+    out = catalog.QUERIES["ann_knn_join"](spark, sf_dir)
+    per = (
+        out.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rank").alias("rmin"),
+            F.max("rank").alias("rmax"),
+        )
+        .collect()
+    )
+    assert per, "knn join returned nothing"
+    for r in per:
+        assert r["rmin"] == 1 and r["rmax"] == r["n"] <= round8_ext.KNN_JOIN_K
+    n_queries = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(round8_ext.KNN_JOIN_QUERY_PRED))
+        .count()
+    )
+    # every query has non-empty probed cells on this corpus
+    assert len(per) == n_queries
+
+
+def test_incremental_batch_verdicts(spark, sf_dir):
+    """Semantic anchor for the verdict rule: every exact-copy arrival
+    is matched 'exact' back to its source doc, every near-copy arrival
+    is 'exact-or-near' (a tailed copy can still hash-equal nothing, so
+    it must be near) to its source, and every reversed-novel arrival
+    is 'novel' with null match columns."""
+    rows = {
+        r["batch_doc"]: r
+        for r in catalog.QUERIES["dedup_incremental_batch"](spark, sf_dir).collect()
+    }
+    docs = read_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in docs)
+    exact_ids = [i for i in ids if i % 10 == 0]
+    near_ids = [i for i in ids if i % 7 == 0]
+    novel_ids = [i for i in ids if i % 13 == 1]
+    assert len(rows) == len(exact_ids) + len(near_ids) + len(novel_ids)
+    for i in exact_ids:
+        r = rows[i + 1_000_000]
+        assert r["match_type"] == "exact" and r["matched_doc_id"] == i
+        assert r["est_jaccard"] == 1.0
+    n_near, n_source, n_matched = 0, 0, 0
+    corpus_ids = set(ids)
+    for i in near_ids:
+        r = rows[i + 2_000_000]
+        # a SHORT doc's 5-token tail can legitimately push est_jaccard
+        # below the threshold ('novel'), and the argmax may pick a
+        # corpus doc MORE similar than the source (corpus docs can be
+        # mutually similar) — so pin distributional facts: matches are
+        # valid corpus targets above the threshold, the large majority
+        # of tailed copies ARE detected, and detected ones mostly
+        # match their source
+        if r["match_type"] == "novel":
+            assert r["matched_doc_id"] is None and r["est_jaccard"] is None
+            continue
+        n_matched += 1
+        assert r["matched_doc_id"] in corpus_ids
+        n_source += r["matched_doc_id"] == i
+        if r["match_type"] == "near":
+            n_near += 1
+            assert r["est_jaccard"] >= round8_ext.INCREMENTAL_MIN_EST
+    assert n_near > 0, "no near verdict — the near path is untested"
+    assert n_matched >= 0.7 * len(near_ids), (n_matched, len(near_ids))
+    assert n_source >= 0.8 * n_matched, (n_source, n_matched)
+    for i in novel_ids:
+        r = rows[i + 3_000_000]
+        assert r["match_type"] == "novel"
+        assert r["matched_doc_id"] is None and r["est_jaccard"] is None
+
+
+def test_incremental_batch_never_joins_batch_to_batch(spark, sf_dir):
+    """The incremental claim, pinned as an operator property: the
+    candidate pairs produced by incremental_minhash_matches never pair
+    two batch docs or two corpus docs — only batch -> corpus."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_matches,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    pairs = incremental_minhash_matches(docs, batch).collect()
+    assert pairs, "no candidate pairs at all"
+    for r in pairs:
+        assert r["batch_doc"] >= 1_000_000 > r["corpus_doc"]
