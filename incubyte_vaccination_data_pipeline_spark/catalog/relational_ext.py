@@ -1541,6 +1541,25 @@ def _kmv_hash_sql(instr_fn: str) -> str:
     return f"({d1} * cast(268435456 as bigint) + {d2} % cast(268435456 as bigint))"
 
 
+def _kmv_ranked(sel: DataFrame) -> DataFrame:
+    """The UN-checkpointed distinct-hash + per-segment rank frame the
+    sketch's two branches share (the query checkpoints it; exposed so
+    the plan guard can assert the SEG-partitioned window on the real
+    lineage — a lazy checkpoint swaps the logical plan to a LogicalRDD
+    immediately, hiding the window from every post-checkpoint plan)."""
+    hashed = (
+        sel.select(
+            "seg",
+            F.md5(F.concat(F.lit("kmv-v1"), F.col("ck").cast("string"))).alias("m"),
+        )
+        .select("seg", F.expr(_kmv_hash_sql("instr")).alias("h"))
+        .distinct()
+    )
+    return hashed.withColumn(
+        "r", F.row_number().over(Window.partitionBy("seg").orderBy("h"))
+    )
+
+
 @query(
     "agg_kmv_theta_sketch",
     oracle=f"""
@@ -1655,16 +1674,7 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sel = sel.localCheckpoint(eager=False)  # feeds sketch + exact branches
-    hashed = (
-        sel.select(
-            "seg", F.md5(F.concat(F.lit("kmv-v1"), F.col("ck").cast("string"))).alias("m")
-        )
-        .select("seg", F.expr(_kmv_hash_sql("instr")).alias("h"))
-        .distinct()
-    )
-    ranked = hashed.withColumn(
-        "r", F.row_number().over(Window.partitionBy("seg").orderBy("h"))
-    ).localCheckpoint(eager=False)
+    ranked = _kmv_ranked(sel).localCheckpoint(eager=False)
     # ^ two branches consume ranked (the per-segment stats and the
     # theta-filtered retention join) and Spark self-joins duplicate the
     # subtree: without the checkpoint the hashed->distinct->window

@@ -1056,12 +1056,36 @@ def test_kmv_theta_sketch_bounded_frames(spark, sf_dir):
     """The data-scale side must be the distinct + per-segment k-min
     window (seg-partitioned); every single-partition structure runs
     over sketch-sized (<=2k row) checkpointed frames, and the one-row
-    assemblies broadcast (no cartesian)."""
+    assemblies broadcast (no cartesian). Round 8: the shared ranked
+    frame is checkpointed (both branches consumed it, duplicating the
+    hashed->distinct->window subtree), so the final plan shows ONLY
+    checkpoint scans and no window at all — the seg-partitioning guard
+    moves to the un-checkpointed lineage via _kmv_ranked."""
     plan = _plan(QUERIES["agg_kmv_theta_sketch"](spark, sf_dir))
     assert plan.count("Scan parquet") == 0  # checkpointed inputs feed all branches
     assert plan.count("Scan ExistingRDD") == 4
     assert "CartesianProduct" not in plan
-    specs = re.findall(r"windowspecdefinition\((\S+?)#", plan)
+    # every window ran inside a checkpointed bounded frame
+    assert "windowspecdefinition" not in plan
+    # the data-scale window is seg-partitioned (never a global sort):
+    # assert on the pre-checkpoint lineage the query shares
+    from incubyte_vaccination_data_pipeline_spark.catalog.relational_ext import (
+        _kmv_ranked,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+    from pyspark.sql import functions as F
+
+    sel = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            F.year("o_orderdate").cast("int").alias("seg"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    rplan = _plan(_kmv_ranked(sel))
+    specs = re.findall(r"windowspecdefinition\((\S+?)#", rplan)
     assert specs and all(s == "seg" for s in specs), specs
 
 
