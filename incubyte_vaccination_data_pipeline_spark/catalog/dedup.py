@@ -294,7 +294,11 @@ def dedup_simhash_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # augmentation union) is scanned 6x and the explode+vote aggregate
     # runs twice. Fingerprints are ~12 bytes/doc, so the checkpoint is
     # negligible at any corpus size; the banding/join plan downstream
-    # stays visible to the plan guard.
+    # stays visible to the plan guard. (A round-8 prototype persisted
+    # this frame per-corpus — 0.6s/call warm win at sf0.1 — but the
+    # plan change would displace text_zipf_fit from the round-8 driver
+    # window; deferred to round 9 with the measurement recorded in
+    # ROUND_NOTES.)
     fps = simhash_fingerprints(
         augmented_documents(spark, sf_dir), bits=32
     ).localCheckpoint()

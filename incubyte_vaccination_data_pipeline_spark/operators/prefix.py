@@ -30,7 +30,8 @@ def global_cumsum(
     value_col: str,
     out_col: str = "cumsum",
     n_ranges: int | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Inclusive global running sum of ``value_col`` in ``order_col``
     order, without a single-task global window. ``order_col`` (one
     column name or a list ordered lexicographically) must be a TOTAL
@@ -41,7 +42,13 @@ def global_cumsum(
     range-partitioned frame is lazily checkpointed so the totals pass
     and the final projection share one materialization (range bounds
     come from a sampling pass and must not be re-derived between the
-    two uses)."""
+    two uses).
+
+    ``return_total=True`` additionally returns the GRAND total of
+    ``value_col`` as a plain int — the offsets pass already sums every
+    partition total on the driver, so consumers that need N (bucket
+    arithmetic, normalization) get it for free instead of paying a
+    separate aggregation scan + broadcast at execution time."""
     spark = df.sparkSession
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if n_ranges is None:
@@ -68,8 +75,9 @@ def global_cumsum(
         offsets.append((pid, acc))
         acc += totals[pid] or 0
     off_df = spark.createDataFrame(offsets, "__pid int, __offset bigint")
-    return (
+    out = (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(out_col, (F.col("__offset") + F.col("__local")).cast("bigint"))
         .drop("__pid", "__local", "__offset")
     )
+    return (out, int(acc)) if return_total else out

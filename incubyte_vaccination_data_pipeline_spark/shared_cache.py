@@ -30,6 +30,11 @@ def register_dict_cache(d: dict) -> dict:
 
 
 def _unpersist(value: Any) -> None:
+    if isinstance(value, (tuple, list)):
+        # composite cache entries (frame, metadata) — release each part
+        for v in value:
+            _unpersist(v)
+        return
     if hasattr(value, "unpersist"):
         try:
             value.unpersist()
