@@ -163,3 +163,21 @@ def test_incremental_batch_never_joins_batch_to_batch(spark, sf_dir):
     assert pairs, "no candidate pairs at all"
     for r in pairs:
         assert r["batch_doc"] >= 1_000_000 > r["corpus_doc"]
+
+
+def test_incremental_batch_empty_batch_is_empty_frame(spark, sf_dir):
+    """A day with no arrivals must produce an empty match frame, not an
+    error — the scheduled-ingest edge every production pipeline hits."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_matches,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    empty = docs.filter(F.lit(False))
+    out = incremental_minhash_matches(docs, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "batch_doc",
+        "corpus_doc",
+        "est_jaccard",
+    ]

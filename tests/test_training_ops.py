@@ -1610,6 +1610,12 @@ def test_global_cumsum_matches_serial(spark):
     for k, v in rows:
         acc += v
         assert got[k] == acc, (k, got[k], acc)
+    # return_total: the grand total rides the offsets pass for free
+    ranked2, total = global_cumsum(
+        df, "k", "v", out_col="cum", n_ranges=8, return_total=True
+    )
+    assert total == sum(v for _, v in rows)
+    assert ranked2.count() == len(rows)
 
 
 def test_resize_nearest_semantics():
