@@ -268,9 +268,83 @@ _DEDUP_INCREMENTAL_ORACLE = f"""
     """
 
 
+KCENTER_K = 8
+
+
+def _d2_cols_sql(a: str, b: str) -> str:
+    """In-order squared-L2 between two DuckDB list columns — the same
+    left fold (index order, identical double op sequence) as the Spark
+    side's ``_dist2_lit`` zip_with aggregate."""
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, len({a}) + 1),"
+        f" i -> {diff} * {diff})),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus
+    (farthest-first traversal, k=8): the diversity-sampling primitive
+    of training-data selection — coreset construction, active-learning
+    seeding, prototype picking. Each round's argmax-of-min-distance is
+    a DISTRIBUTED TakeOrdered; only the k chosen centers are collected
+    (the iterative-driver-program pattern of the IVF quantizer). Fully
+    deterministic (min-id seed, index-order distance folds against
+    literal centers, exact min, lowest-id tie-break), so the oracle
+    unrolls all k selection rounds in SQL — the PageRank recipe.
+    Emits (center_rank, vec_id, min_dist2): the coverage radius at
+    selection, i.e. the k-center objective's trajectory."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centers = kcenter_coreset(emb, k=KCENTER_K)
+    out = spark.createDataFrame(
+        centers, "center_rank int, vec_id bigint, min_dist2 double"
+    )
+    return out.select(
+        "center_rank", "vec_id", F.round("min_dist2", 6).alias("min_dist2")
+    )
+
+
+def _kcenter_oracle(k: int = KCENTER_K) -> str:
+    d2 = _d2_cols_sql
+    ctes = [
+        """c0 AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    )"""
+    ]
+    for r in range(1, k):
+        prev = [f"c{j}" for j in range(r)]
+        dists = [d2("e.embedding", f"{p}.embedding") for p in prev]
+        mind = f"LEAST({', '.join(dists)})" if len(dists) > 1 else dists[0]
+        not_chosen = " AND ".join(f"e.vec_id <> {p}.vec_id" for p in prev)
+        ctes.append(
+            f"""c{r} AS (
+        SELECT e.vec_id, e.embedding, {mind} AS d
+        FROM embeddings e, {', '.join(prev)}
+        WHERE {not_chosen}
+        ORDER BY d DESC, e.vec_id LIMIT 1
+    )"""
+        )
+    selects = ["SELECT CAST(0 AS INT) AS center_rank, vec_id, CAST(0.0 AS DOUBLE) AS min_dist2 FROM c0"]
+    selects += [
+        f"SELECT CAST({r} AS INT), vec_id, ROUND(d, 6) FROM c{r}" for r in range(1, k)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+_SAMPLE_KCENTER_ORACLE = _kcenter_oracle()
+
+
 STAGED = {
     "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_ORACLE),
     "dedup_incremental_batch": (dedup_incremental_batch, _DEDUP_INCREMENTAL_ORACLE),
+    "sample_kcenter_coreset": (sample_kcenter_coreset, _SAMPLE_KCENTER_ORACLE),
 }
 
 

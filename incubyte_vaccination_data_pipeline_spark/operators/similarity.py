@@ -498,6 +498,62 @@ def topk_ivf(
     )
 
 
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """Greedy k-center coreset (farthest-first traversal): pick the
+    min-id vector as the seed, then k-1 times pick the vector whose
+    squared-L2 distance to its NEAREST already-chosen center is
+    maximal — the classic 2-approximation to the k-center objective
+    and the diversity-sampling primitive for training-data selection
+    (coresets, active-learning seeds, prototype picks).
+
+    Returns [(center_rank, id, min_dist2_at_selection)] — k rows of
+    driver-side metadata; the argmax each round is a DISTRIBUTED
+    TakeOrdered over the corpus (never a driver-side scan), and the
+    only collected rows are the k chosen centers — the same
+    iterative-driver-program pattern as :func:`ivf_centroids`. At
+    100 TB you run the same loop on a hash-sampled fraction (greedy
+    k-center is provably robust to sampling); the scan path is
+    unchanged.
+
+    Fully deterministic: the seed is the smallest id, per-round
+    distances fold per-dimension in index order against literal
+    center vectors (exact double op sequence, engine-portable), the
+    min-over-centers is exact (no rounding), and the argmax
+    tie-breaks on the lowest id."""
+    seed = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .limit(1)
+        .collect()[0]
+    )
+    centers: list[tuple[int, int, float]] = [(0, seed["__id"], 0.0)]
+    center_vecs = [[float(x) for x in seed["__v"]]]
+    for r in range(1, k):
+        mind = "least(" + ", ".join(
+            _dist2_lit(vec_col, c) for c in center_vecs
+        ) + ")" if len(center_vecs) > 1 else _dist2_lit(vec_col, center_vecs[0])
+        chosen_ids = [c[1] for c in centers]
+        nxt = (
+            df.filter(~F.col(id_col).isin(chosen_ids))
+            .select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                F.expr(mind).alias("__d"),
+            )
+            .orderBy(F.desc("__d"), F.asc("__id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((r, nxt["__id"], float(nxt["__d"])))
+        center_vecs.append([float(x) for x in nxt["__v"]])
+    return centers
+
+
 def knn_join_ivf(
     assigned_corpus: DataFrame,
     centroids: list[list[float]],

@@ -181,3 +181,24 @@ def test_incremental_batch_empty_batch_is_empty_frame(spark, sf_dir):
         "corpus_doc",
         "est_jaccard",
     ]
+
+
+def test_kcenter_radius_monotone_and_distinct(spark, sf_dir):
+    """k-center's defining property: the selection radius (max-min
+    distance) is non-increasing round over round, centers are distinct,
+    and rank 0 is the min-id seed with radius 0."""
+    rows = sorted(
+        (r["center_rank"], r["vec_id"], r["min_dist2"])
+        for r in catalog.QUERIES["sample_kcenter_coreset"](spark, sf_dir).collect()
+    )
+    assert len(rows) == round8_ext.KCENTER_K
+    assert rows[0][0] == 0 and rows[0][2] == 0.0
+    min_id = read_table(spark, sf_dir, "embeddings").agg(
+        F.min("vec_id")
+    ).first()[0]
+    assert rows[0][1] == min_id
+    ids = [r[1] for r in rows]
+    assert len(set(ids)) == len(ids)
+    radii = [r[2] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert radii[-1] > 0
