@@ -202,3 +202,105 @@ def test_kcenter_radius_monotone_and_distinct(spark, sf_dir):
     radii = [r[2] for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:])), radii
     assert radii[-1] > 0
+
+
+def test_knn_join_recall_vs_bruteforce(spark, sf_dir):
+    """Recall floor for the k-NN join, same convention as the
+    topk_lsh/topk_ivf pins: against exact brute force over the SAME
+    query set, the IVF-bucketed join must (a) return only true corpus
+    neighbors per query, and (b) keep aggregate top-k recall above the
+    probe budget's deterministic floor (16 cells / probe 4 on the
+    near-uniform synthetic vectors — clustered real embeddings score
+    far higher)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(round8_ext.KNN_JOIN_QUERY_PRED))
+    exact = topk_bruteforce(emb, queries, k=round8_ext.KNN_JOIN_K).collect()
+    approx = catalog.QUERIES["ann_knn_join"](spark, sf_dir).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx_sets) <= set(exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    hit = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    assert hit / total >= 0.35, f"knn join recall {hit / total:.3f}"
+
+
+def test_incremental_minhash_fuzz_vs_python_reference(spark):
+    """Randomized cross-check of incremental_minhash_matches against a
+    pure-Python MinHash/LSH reference (same md5-half decode, same
+    universal-hash coefficients, same banding): candidate pair sets
+    and 6-dp estimates must match exactly, including documents too
+    short to shingle (dropped on both sides)."""
+    import hashlib
+    import random
+
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+        incremental_minhash_matches,
+    )
+
+    def sig(text, k=3, n=12):
+        words = text.lower().split(" ")
+        if len(words) < k:
+            return None
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        mins = [MINHASH_PRIME] * n
+        for s in shingles:
+            hx = hashlib.md5(s.encode()).hexdigest()
+            v1, v2 = int(hx[:8], 16), int(hx[8:16], 16)
+            for i, (a, b, c) in enumerate(MINHASH_COEFFS[:n]):
+                mins[i] = min(mins[i], (a * v1 + b * v2 + c) % MINHASH_PRIME)
+        return mins
+
+    def bands(s, nb=4, rpb=3):
+        return {
+            f"{b}|" + "|".join(str(x) for x in s[b * rpb : (b + 1) * rpb])
+            for b in range(nb)
+        }
+
+    n_pairs_total = 0
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        corpus = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+            for i in range(20)
+        ]
+        batch = []
+        for j in range(10):
+            if j % 2 == 0 and corpus[j][1]:
+                # mutated copy of a corpus doc — likely near-dup
+                t = corpus[j][1] + " " + rng.choice(vocab)
+            else:
+                t = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+            batch.append((100 + j, t))
+
+        expected = {}
+        for bid, btext in batch:
+            sb = sig(btext)
+            if sb is None:
+                continue
+            for cid, ctext in corpus:
+                sc = sig(ctext)
+                if sc is None or not (bands(sb) & bands(sc)):
+                    continue
+                est = round(sum(x == y for x, y in zip(sb, sc)) / 12, 6)
+                if est >= 0.5:
+                    expected[(bid, cid)] = est
+
+        cdf = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        bdf = spark.createDataFrame(batch, "doc_id bigint, text string")
+        got = {
+            (r["batch_doc"], r["corpus_doc"]): r["est_jaccard"]
+            for r in incremental_minhash_matches(cdf, bdf).collect()
+        }
+        assert got == expected, (seed, got, expected)
+        n_pairs_total += len(expected)
+    assert n_pairs_total > 0, "fuzz produced zero expected pairs — vacuous"
