@@ -304,3 +304,48 @@ def test_incremental_minhash_fuzz_vs_python_reference(spark):
         assert got == expected, (seed, got, expected)
         n_pairs_total += len(expected)
     assert n_pairs_total > 0, "fuzz produced zero expected pairs — vacuous"
+
+
+def test_kcenter_fuzz_vs_numpy_reference(spark):
+    """Randomized cross-check of kcenter_coreset against an independent
+    numpy greedy farthest-first implementation: selected ids, order,
+    and radii (to 1e-9) must match on random float32 corpora — the
+    float-fold determinism claim, pinned against a third
+    implementation (the DuckDB oracle being the second)."""
+    import numpy as np
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    for seed in (3, 41):
+        rng = np.random.default_rng(seed)
+        n, dims, k = 60, 8, 5
+        vecs = rng.standard_normal((n, dims)).astype(np.float32)
+        ids = list(range(100, 100 + n))
+
+        # reference: float64 greedy farthest-first, min-id seed,
+        # lowest-id tie-break
+        v64 = vecs.astype(np.float64)
+        chosen = [0]  # index of min id (ids ascending)
+        mind = ((v64 - v64[0]) ** 2).sum(axis=1)
+        expected = [(0, ids[0], 0.0)]
+        for r in range(1, k):
+            mind[chosen] = -1.0  # exclude already-chosen
+            best = int(np.argmax(mind))  # first max = lowest index/id
+            expected.append((r, ids[best], float(mind[best])))
+            chosen.append(best)
+            mind = np.minimum(mind, ((v64 - v64[best]) ** 2).sum(axis=1))
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        got = kcenter_coreset(df, k=k)
+        assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in expected], (
+            seed,
+            got,
+            expected,
+        )
+        for (_, _, gd), (_, _, ed) in zip(got, expected):
+            assert abs(gd - ed) < 1e-9, (seed, gd, ed)
