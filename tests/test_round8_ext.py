@@ -349,3 +349,62 @@ def test_kcenter_fuzz_vs_numpy_reference(spark):
         )
         for (_, _, gd), (_, _, ed) in zip(got, expected):
             assert abs(gd - ed) < 1e-9, (seed, gd, ed)
+
+
+def test_interval_overlap_sweep_plan_shape(spark, sf_dir):
+    """The sweep's whole claim: ONE lineitem scan, ONE keyed window,
+    NO join anywhere (the enumeration path is output-bound; the count
+    is not). Cross-algorithm value equality vs the O(n^2) join oracle
+    is covered by the parametrized oracle test."""
+    plan = catalog.QUERIES["join_interval_overlap"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, "events must come from one scan"
+    assert "Join" not in plan, "the sweep must not enumerate pairs"
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_fuzz_vs_bruteforce(spark):
+    """Randomized sweep-vs-bruteforce: per-key unordered overlapping
+    pair counts on random integer intervals must equal the O(n^2)
+    Python count, including duplicate intervals, touching endpoints
+    (inclusive overlap), and keys with zero overlaps (omitted)."""
+    import itertools
+    import random
+
+    from incubyte_vaccination_data_pipeline_spark.catalog.round8_ext import (
+        _sweep_overlap_counts,
+    )
+
+    for seed in (5, 99):
+        rng = random.Random(seed)
+        rows = []
+        for key in range(6):
+            for _ in range(rng.randrange(0, 25)):
+                s = rng.randrange(0, 60)
+                rows.append((key, s, s + rng.randrange(0, 8)))
+        expected = {}
+        for key in range(6):
+            ivs = [(s, r) for k, s, r in rows if k == key]
+            n = sum(
+                1
+                for (s1, r1), (s2, r2) in itertools.combinations(ivs, 2)
+                if s1 <= r2 and s2 <= r1
+            )
+            if n:
+                expected[key] = n
+        import datetime as dt
+
+        base = dt.date(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (k, base + dt.timedelta(days=s), base + dt.timedelta(days=r))
+                for k, s, r in rows
+            ],
+            "k bigint, s date, r date",
+        )
+        got = {
+            row["suppkey"]: row["n_overlapping_pairs"]
+            for row in _sweep_overlap_counts(df, key_col="k").collect()
+        }
+        assert got == expected, (seed, got, expected)
