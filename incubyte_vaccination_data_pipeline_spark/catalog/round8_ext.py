@@ -1,5 +1,6 @@
-"""Round-8 additions: the two scale-path primitives the LLM-data
-families still lacked.
+"""Round-8 additions: four queries — the two scale-path primitives
+the LLM-data families still lacked, plus a diversity-sampling
+primitive and a temporal-overlap primitive.
 
 - ``ann_knn_join`` — k-NN JOIN (a data-scale query SET against the
   corpus through the shared IVF index, shuffle equi-join on cell id) —
@@ -12,11 +13,19 @@ families still lacked.
   batch x batch or corpus x corpus — with an exact-hash fast path and
   an exact/near/novel verdict per arriving doc.
 
-Both carry full DuckDB value-check oracles (the IVF oracle is the
+- ``sample_kcenter_coreset`` — greedy farthest-first k-center coreset
+  (distributed TakeOrdered argmax per round; only the k chosen
+  centers reach the driver).
+- ``join_interval_overlap`` — per-supplier overlapping transit-pair
+  COUNT via a distributed sweep line (one scan + one keyed window,
+  no join).
+
+All four carry full DuckDB value-check oracles (the IVF oracle is the
 parameterized ``_ivf_oracle``; the incremental oracle reuses the
-minhash CTE arithmetic constants). Registered from
-``catalog/__init__.py``; the growth simulation at 198 queries keeps
-the re-verification gap at ceil(198/50) = 4
+minhash CTE arithmetic constants; the coreset and sweep-line oracles
+are unrolled-CTE restatements). Registered from
+``catalog/__init__.py``; the growth simulation at 200 queries keeps
+the re-verification gap at ceil(200/50) = 4
 (tests/test_rotation.py::test_simulated_growth_keeps_gap_bounded).
 """
 
@@ -342,8 +351,12 @@ _SAMPLE_KCENTER_ORACLE = _kcenter_oracle()
 
 
 #: deterministic synthesized transit duration in days (the testdata
-#: has no receipt date): 3..16 days from the integer quantity
-_TRANSIT_DAYS_SQL = "(CAST(l_quantity AS INT) % 14) + 3"
+#: has no receipt date): 3..16 days from the quantity. floor() before
+#: the int cast makes the derivation engine-portable by construction:
+#: Spark truncates double->int while DuckDB rounds half-away, so a
+#: bare CAST agrees only while quantities happen to be integral
+#: (ADVICE r8).
+_TRANSIT_DAYS_SQL = "(CAST(floor(l_quantity) AS INT) % 14) + 3"
 
 
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

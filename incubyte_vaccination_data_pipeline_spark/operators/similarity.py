@@ -525,12 +525,15 @@ def kcenter_coreset(
     center vectors (exact double op sequence, engine-portable), the
     min-over-centers is exact (no rounding), and the argmax
     tie-breaks on the lowest id."""
-    seed = (
+    seed_rows = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .orderBy("__id")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not seed_rows:
+        raise ValueError("kcenter_coreset: input frame is empty")
+    seed = seed_rows[0]
     centers: list[tuple[int, int, float]] = [(0, seed["__id"], 0.0)]
     center_vecs = [[float(x) for x in seed["__v"]]]
     for r in range(1, k):
@@ -547,8 +550,14 @@ def kcenter_coreset(
             )
             .orderBy(F.desc("__d"), F.asc("__id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not nxt:
+            # k exceeds the number of distinct ids: every row is
+            # already a center — return the centers found so far
+            # rather than raising from an empty collect (ADVICE r8)
+            break
+        nxt = nxt[0]
         centers.append((r, nxt["__id"], float(nxt["__d"])))
         center_vecs.append([float(x) for x in nxt["__v"]])
     return centers
