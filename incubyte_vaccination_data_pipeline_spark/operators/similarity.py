@@ -525,12 +525,12 @@ def kcenter_coreset(
     center vectors (exact double op sequence, engine-portable), the
     min-over-centers is exact (no rounding), and the argmax
     tie-breaks on the lowest id."""
-    seed_rows = (
-        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy("__id")
-        .limit(1)
-        .collect()
-    )
+    # project + persist once: every greedy round scans this frame (the
+    # TakeOrdered argmax), and without the persist each of the k-1
+    # rounds re-reads the source (parquet scan + decode per round). The
+    # persisted projection is (id, vec) only — the minimal working set.
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).persist()
+    seed_rows = base.orderBy("__id").limit(1).collect()
     if not seed_rows:
         raise ValueError("kcenter_coreset: input frame is empty")
     seed = seed_rows[0]
@@ -538,14 +538,14 @@ def kcenter_coreset(
     center_vecs = [[float(x) for x in seed["__v"]]]
     for r in range(1, k):
         mind = "least(" + ", ".join(
-            _dist2_lit(vec_col, c) for c in center_vecs
-        ) + ")" if len(center_vecs) > 1 else _dist2_lit(vec_col, center_vecs[0])
+            _dist2_lit("__v", c) for c in center_vecs
+        ) + ")" if len(center_vecs) > 1 else _dist2_lit("__v", center_vecs[0])
         chosen_ids = [c[1] for c in centers]
         nxt = (
-            df.filter(~F.col(id_col).isin(chosen_ids))
+            base.filter(~F.col("__id").isin(chosen_ids))
             .select(
-                F.col(id_col).alias("__id"),
-                F.col(vec_col).alias("__v"),
+                "__id",
+                "__v",
                 F.expr(mind).alias("__d"),
             )
             .orderBy(F.desc("__d"), F.asc("__id"))
@@ -560,6 +560,7 @@ def kcenter_coreset(
         nxt = nxt[0]
         centers.append((r, nxt["__id"], float(nxt["__d"])))
         center_vecs.append([float(x) for x in nxt["__v"]])
+    base.unpersist()
     return centers
 
 
