@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Reproducible Nx batch stress for the dedup / containment / ANN
+families: the evidence behind SCALE.md's "candidate generation is a
+bucketed equi-join, index build is amortized" claims at a corpus the
+per-round bench never sees.
+
+Builds a scratch corpus under /tmp whose ``documents.parquet`` holds
+``factor`` copies of the sf0.1 documents with
+
+* DISTINCT doc ids (``doc_id += i * 10_000_000`` — the planted-dup
+  arithmetic in ``catalog/dedup.py`` stays inside each copy's range),
+* DISJOINT shingle spaces (every word of copy i>0 is suffixed with a
+  copy tag, so MinHash/SimHash band buckets and containment grams do
+  NOT collide across copies — the corpus is genuinely Nx the content,
+  with Nx the planted duplicate structure, not one document with Nx
+  identical copies, which would measure the skew path instead of the
+  scale path),
+
+and whose ``embeddings.parquet`` holds ``factor`` copies with distinct
+vec ids and a per-copy dimension ROTATION (norm-preserving, so the
+vectors are distinct but identically distributed).
+
+Two sections:
+
+1. **Dedup family via the registered catalog queries** (their
+   parameters are corpus-size-free).  Prints cold (includes each
+   per-corpus shared-index build) and warm wall time at 1x and Nx.
+   The honest expectation is ~linear cold and ~linear-or-better warm
+   for every query except ``dedup_ngram_jaccard`` — that operator is
+   the documented PRECISION/verify pass (operators/dedup.py docstring:
+   recall-oriented discovery belongs to MinHash+LSH) whose blocked
+   self-join grows quadratically within (lang, length-bucket) blocks;
+   at Nx corpus with the same language mix its candidate set grows
+   ~N^2/blocks, and the knob is a narrower ``len_bucket_width`` or
+   content-refined block keys.
+2. **ANN via the operators with corpus-tracking parameters**: the
+   catalog pins IVF_N_CENTROIDS=16 as a small-SF choice; the docstring
+   contract is that cell count tracks ~sqrt(N) at warehouse scale.
+   This section builds the quantizer at 16 cells AND at
+   ``round(16 * sqrt(factor))`` cells over the Nx corpus and times the
+   k-NN JOIN through each, printing the per-cell candidate blow-up the
+   fixed quantizer causes and the restored ratio with the tracked one.
+
+Usage:
+    python scripts/stress_batch_10x.py [--factor 10] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+
+DEDUP_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_cleaned_corpus",
+    "dedup_simhash_hamming",
+    "dedup_ngram_jaccard",
+    "text_containment_dedup",
+    "dedup_incremental_batch",
+]
+
+
+def build_scratch(spark, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix=f"ivdp-batchstress{factor}x-")
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+
+    doc_parts = []
+    for i in range(factor):
+        if i == 0:
+            c = docs
+        else:
+            salted = F.expr(
+                f"array_join(transform(split(text, ' '), w -> concat(w, '·{i}')), ' ')"
+            )
+            c = docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                salted.alias("text"),
+                "lang",
+                "source",
+                F.length(salted).alias("n_chars"),
+            )
+        doc_parts.append(c)
+    big_docs = doc_parts[0]
+    for c in doc_parts[1:]:
+        big_docs = big_docs.unionByName(c)
+    big_docs.repartition(max(8, factor)).write.mode("overwrite").parquet(
+        os.path.join(root, "documents.parquet")
+    )
+
+    emb_parts = []
+    for i in range(factor):
+        if i == 0:
+            c = emb
+        else:
+            r = i % 63 + 1  # rotation offset 1..63 (dims=64), never 0
+            rotated = F.expr(
+                f"concat(slice(embedding, {r + 1}, 64 - {r}), slice(embedding, 1, {r}))"
+            )
+            c = emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        emb_parts.append(c)
+    big_emb = emb_parts[0]
+    for c in emb_parts[1:]:
+        big_emb = big_emb.unionByName(c)
+    big_emb.repartition(max(8, factor)).write.mode("overwrite").parquet(
+        os.path.join(root, "embeddings.parquet")
+    )
+
+    # tables the dedup family never touches, present for read_table
+    for t in ("events",):
+        os.symlink(f"{BASE_SF}/{t}.parquet", os.path.join(root, f"{t}.parquet"))
+    return root
+
+
+def run_dedup_family(spark, sf_dir: str) -> dict[str, tuple[float, float]]:
+    """(cold, warm) per query; shared per-corpus caches released after."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+    from incubyte_vaccination_data_pipeline_spark.shared_cache import (
+        release_shared_state,
+    )
+
+    out: dict[str, tuple[float, float]] = {}
+    for name in DEDUP_QUERIES:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = (round(runs[0], 3), round(runs[1], 3))
+    release_shared_state(sf_dir)
+    return out
+
+
+def run_ann(spark, sf_dir: str, n_centroids: int, label: str) -> None:
+    """Build the IVF quantizer + inverted file at ``n_centroids`` and
+    run the k-NN JOIN of the 5%% query set; print build/join wall and
+    the average per-cell candidate count the join scans."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_assigned,
+        ivf_centroids,
+        knn_join_ivf,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    cents = ivf_centroids(emb, n_centroids=n_centroids)
+    assigned = ivf_assigned(emb, cents).persist()
+    n_corpus = assigned.count()
+    t_build = time.perf_counter() - t0
+
+    queries = emb.filter(F.col("vec_id") % 20 == 3)  # 5% query set
+    t0 = time.perf_counter()
+    joined = knn_join_ivf(assigned, cents, queries, k=5, n_probe=4)
+    joined.write.format("noop").mode("overwrite").save()
+    t_join = time.perf_counter() - t0
+
+    avg_cell = n_corpus / n_centroids
+    print(
+        f"  [{label}] cells={n_centroids:4d} corpus={n_corpus:7d} "
+        f"avg_cell={avg_cell:8.0f} build={t_build:6.2f}s knn_join={t_join:6.2f}s"
+    )
+    assigned.unpersist()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from incubyte_vaccination_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="ivdp-stress-batch")
+    scratch = build_scratch(spark, args.factor)
+    try:
+        # untimed session warmup: the first pass pays JVM/codegen/scan
+        # warmup that would otherwise inflate the 1x colds and invert
+        # the ratios (run_dedup_family releases the per-corpus caches,
+        # so the timed 1x pass still pays every index build)
+        print("== session warmup (untimed 1x pass) ==")
+        run_dedup_family(spark, BASE_SF)
+        print(f"== dedup family, 1x ({BASE_SF}) ==")
+        base = run_dedup_family(spark, BASE_SF)
+        print(f"== dedup family, {args.factor}x ({scratch}) ==")
+        big = run_dedup_family(spark, scratch)
+        print(
+            f"{'query':28s} {'1x cold':>8s} {'1x warm':>8s} "
+            f"{str(args.factor) + 'x cold':>9s} {str(args.factor) + 'x warm':>9s} "
+            f"{'cold r':>7s} {'warm r':>7s}"
+        )
+        for name in DEDUP_QUERIES:
+            bc, bw = base[name]
+            gc, gw = big[name]
+            rc = gc / bc if bc else float("inf")
+            rw = gw / bw if bw else float("inf")
+            print(
+                f"{name:28s} {bc:8.2f} {bw:8.2f} {gc:9.2f} {gw:9.2f} "
+                f"{rc:7.2f} {rw:7.2f}"
+            )
+
+        tracked = max(1, round(16 * math.sqrt(args.factor)))
+        print("== ANN k-NN JOIN (operators, corpus-tracking cells) ==")
+        run_ann(spark, BASE_SF, 16, "1x warmup (discard)")
+        run_ann(spark, BASE_SF, 16, "1x, 16 cells")
+        run_ann(spark, scratch, 16, f"{args.factor}x, FIXED 16 cells")
+        run_ann(spark, scratch, tracked, f"{args.factor}x, sqrt-tracked {tracked} cells")
+    finally:
+        if args.keep:
+            print(f"scratch kept at {scratch}")
+        else:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
