@@ -65,3 +65,47 @@ def test_stress_scratch_builds_and_widths_scale(spark, sf_dir):
         assert w_big >= w_base
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_batch_stress_scratch_builds(spark, sf_dir):
+    """scripts/stress_batch_10x.py scratch-builder invariants: distinct
+    ids per copy, disjoint shingle spaces (word salting), rotated
+    embeddings with preserved dimensionality."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "stress_batch_10x",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "stress_batch_10x.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    factor = 2
+    scratch = mod.build_scratch(spark, factor)
+    try:
+        base_docs = spark.read.parquet(f"{mod.BASE_SF}/documents.parquet")
+        big_docs = spark.read.parquet(os.path.join(scratch, "documents.parquet"))
+        assert big_docs.count() == factor * base_docs.count()
+        assert (
+            big_docs.select("doc_id").distinct().count()
+            == factor * base_docs.select("doc_id").distinct().count()
+        )
+        # word salting makes copy texts disjoint from the base corpus:
+        # no text collides across copies
+        assert (
+            big_docs.select("text").distinct().count()
+            == factor * base_docs.select("text").distinct().count()
+        )
+        base_emb = spark.read.parquet(f"{mod.BASE_SF}/embeddings.parquet")
+        big_emb = spark.read.parquet(os.path.join(scratch, "embeddings.parquet"))
+        assert big_emb.count() == factor * base_emb.count()
+        from pyspark.sql import functions as F
+
+        dims = big_emb.select(F.size("embedding").alias("d")).distinct().collect()
+        assert [r["d"] for r in dims] == [64]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
