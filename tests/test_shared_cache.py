@@ -91,3 +91,32 @@ def test_ann_warm_path_probes_cached_index(spark, sf_dir):
         "scanning the checkpointed code table"
     )
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
+def test_cluster_and_gram_caches_return_same_frame(spark, sf_dir):
+    """Round-9 per-corpus caches: the cluster-label frame, the 32-bit
+    simhash fingerprint frame, and the containment gram index build
+    once per (app, corpus) and hand back the SAME object on a warm
+    call — the fingerprint-stability contract (a cached frame's
+    analyzed plan is unchanged) plus the perf contract (no rebuild)."""
+    import incubyte_vaccination_data_pipeline_spark.shared_cache as sc
+    from incubyte_vaccination_data_pipeline_spark.catalog.dedup import (
+        _shared_simhash32,
+        shared_duplicate_clusters,
+    )
+    from incubyte_vaccination_data_pipeline_spark.catalog.round5_ext import (
+        _shared_doc_grams,
+    )
+
+    c1 = shared_duplicate_clusters(spark, sf_dir)
+    assert shared_duplicate_clusters(spark, sf_dir) is c1
+    s1 = _shared_simhash32(spark, sf_dir)
+    assert _shared_simhash32(spark, sf_dir) is s1
+    g1, df1 = _shared_doc_grams(spark, sf_dir)
+    g2, df2 = _shared_doc_grams(spark, sf_dir)
+    assert g1 is g2 and df1 is df2
+    # the sweep drops all three entries (they key sf_dir as an element)
+    dropped = sc.release_shared_state(sf_dir)
+    assert dropped >= 3
+    assert shared_duplicate_clusters(spark, sf_dir) is not c1
+    sc.release_shared_state(sf_dir)
