@@ -57,9 +57,14 @@ def main() -> None:
     spark = get_spark(app_name="ivdp-bench")
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread = 0.0  # sum over queries of (worst - best) timed run: the
+    # session-noise floor of this sample — the r8->r9 lesson is that a
+    # loaded machine reads as "broad shallow drift" on the total, and
+    # a large spread flags exactly that condition in the artifact
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
         best = None
+        worst = 0.0
         for i in range(RUNS + 1):
             t0 = time.perf_counter()
             # foreach-noop forces full materialization without driver collect
@@ -72,7 +77,9 @@ def main() -> None:
                 cold[name] = round(dt, 4)
                 continue
             best = dt if best is None else min(best, dt)
+            worst = max(worst, dt)
         timings[name] = round(best, 4)
+        spread += worst - best
 
     # release every shared frame keyed to this corpus: the cache bounds
     # entry count, but persisted RDDs pin executor storage memory until
@@ -90,6 +97,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "noise_spread_sec": round(spread, 4),
         "sf": sf,
     }
     line = json.dumps(payload)

@@ -217,7 +217,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--skip",
+        default="",
+        help="comma-separated query names to exclude (e.g. the documented-"
+        "quadratic dedup_ngram_jaccard at factors past 10, where its "
+        "within-block candidate set alone would dominate the run)",
+    )
     args = ap.parse_args()
+    skip = {q for q in args.skip.split(",") if q}
+    if skip:
+        DEDUP_QUERIES[:] = [q for q in DEDUP_QUERIES if q not in skip]
+        print(f"(skipping: {sorted(skip)})")
 
     from incubyte_vaccination_data_pipeline_spark.session import get_spark
 
@@ -251,8 +262,12 @@ def main() -> None:
 
         print("== SimHash banding (operators, corpus-tracking band width) ==")
         run_simhash(spark, BASE_SF, bits=32, label="1x, 32-bit/8-bit bands")
-        run_simhash(spark, scratch, bits=32,
-                    label=f"{args.factor}x, FIXED 32-bit/8-bit bands")
+        if args.factor <= 10:
+            # past 10x the saturated 32-bit config's output pairs alone
+            # grow quadratically (measured 2.65M at 10x) — the point is
+            # already made; only the tracked width is meaningful
+            run_simhash(spark, scratch, bits=32,
+                        label=f"{args.factor}x, FIXED 32-bit/8-bit bands")
         run_simhash(spark, scratch, bits=56,
                     label=f"{args.factor}x, tracked 56-bit/14-bit bands")
 
