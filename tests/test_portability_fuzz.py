@@ -36,6 +36,14 @@ FUZZED_QUERIES = [
     "text_pii_redaction",
     "text_chunk_overlap",
     "text_filter_funnel",
+    # round 9: the cluster family and containment run through the new
+    # per-corpus caches (labels / simhash / gram index); each fuzz
+    # seed's temp dir forces a fresh cache build, so this also fuzzes
+    # the cache keying on hostile corpora
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_cleaned_corpus",
+    "text_containment_dedup",
 ]
 
 EDGE_TEXTS = [

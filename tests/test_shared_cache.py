@@ -120,3 +120,33 @@ def test_cluster_and_gram_caches_return_same_frame(spark, sf_dir):
     assert dropped >= 3
     assert shared_duplicate_clusters(spark, sf_dir) is not c1
     sc.release_shared_state(sf_dir)
+
+
+def test_shared_cluster_labels_match_fresh_computation(spark, sf_dir):
+    """Cache coherence: the per-corpus cluster-label frame must equal a
+    from-scratch propagation over a freshly built candidate-pair frame
+    (no shared state) — a keying bug (wrong corpus, stale app) would
+    show up as a label diff here before it could reach the driver."""
+    import incubyte_vaccination_data_pipeline_spark.shared_cache as sc
+    from incubyte_vaccination_data_pipeline_spark.catalog.dedup import (
+        augmented_documents,
+        shared_duplicate_clusters,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_candidate_pairs,
+    )
+
+    cached = sorted(
+        map(tuple, shared_duplicate_clusters(spark, sf_dir).collect())
+    )
+    fresh_pairs = minhash_candidate_pairs(
+        augmented_documents(spark, sf_dir),
+        n_hashes=12,
+        bands=4,
+        shingle_k=3,
+        min_est_jaccard=0.5,
+    )
+    fresh = sorted(map(tuple, duplicate_clusters(fresh_pairs).collect()))
+    assert cached == fresh
+    sc.release_shared_state(sf_dir)
