@@ -408,3 +408,27 @@ def test_interval_overlap_fuzz_vs_bruteforce(spark):
             for row in _sweep_overlap_counts(df, key_col="k").collect()
         }
         assert got == expected, (seed, got, expected)
+
+
+def test_kcenter_guard_paths(spark):
+    """ADVICE r8: empty input raises a clear ValueError (not a bare
+    IndexError from an empty collect); k exceeding the distinct-row
+    count returns every row as a center instead of raising."""
+    import pytest as _pytest
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    schema = "vec_id bigint, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    with _pytest.raises(ValueError, match="empty"):
+        kcenter_coreset(empty, k=3)
+
+    three = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])], schema
+    )
+    centers = kcenter_coreset(three, k=8)
+    assert [c[1] for c in centers[:1]] == [1]  # min-id seed
+    assert sorted(c[1] for c in centers) == [1, 2, 3]
+    assert len(centers) == 3  # stopped at the distinct-row count
