@@ -834,6 +834,24 @@ def pq_encoded(
     )
 
 
+#: topk_pq / topk_ivfpq build per-query ADC lookup tables DRIVER-side
+#: (n_sub x n_codes doubles per query) — correct for the bounded-batch
+#: contract their docstrings state, catastrophically wrong for a
+#: data-scale query set. Enforce the contract loudly instead of OOMing
+#: the driver: past this many collected queries the right operator is
+#: the distributed ``knn_join_ivf`` (cell-id shuffle equi-join).
+MAX_ADC_QUERY_BATCH = 100_000
+
+
+def _check_adc_batch(q_rows: list, op: str) -> None:
+    if len(q_rows) > MAX_ADC_QUERY_BATCH:
+        raise ValueError(
+            f"{op}: {len(q_rows)} query vectors exceed the bounded-batch "
+            f"contract ({MAX_ADC_QUERY_BATCH}) for driver-side ADC LUT "
+            f"construction — use knn_join_ivf for data-scale query sets"
+        )
+
+
 def topk_pq(
     corpus: DataFrame | None,
     queries: DataFrame,
@@ -881,6 +899,7 @@ def topk_pq(
     raw = rerank_corpus if rerank_corpus is not None else corpus
     sub_dim = len(codebooks[0][0])
     q_rows = queries.select(id_col, vec_col).collect()
+    _check_adc_batch(q_rows, "topk_pq")
     lut_rows = []
     for r in q_rows:
         vec = [float(x) for x in r[1]]
@@ -982,6 +1001,7 @@ def topk_ivfpq(
     n_codes = len(codebooks[0])
     n_sub = len(codebooks)
     q_rows = queries.select(id_col, vec_col).collect()
+    _check_adc_batch(q_rows, "topk_ivfpq")
     lut_rows = []
     for r in q_rows:
         vec = [float(x) for x in r[1]]

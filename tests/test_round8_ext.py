@@ -432,3 +432,22 @@ def test_kcenter_guard_paths(spark):
     assert [c[1] for c in centers[:1]] == [1]  # min-id seed
     assert sorted(c[1] for c in centers) == [1, 2, 3]
     assert len(centers) == 3  # stopped at the distinct-row count
+
+
+def test_adc_bounded_batch_guard(spark):
+    """The topk_pq/topk_ivfpq driver-side LUT build enforces its
+    bounded-batch docstring contract loudly instead of OOMing the
+    driver on a data-scale query set (r8 verdict watch item)."""
+    import pytest as _pytest
+
+    from incubyte_vaccination_data_pipeline_spark.operators import similarity as sim
+
+    orig = sim.MAX_ADC_QUERY_BATCH
+    sim.MAX_ADC_QUERY_BATCH = 3
+    try:
+        rows = [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(8)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        with _pytest.raises(ValueError, match="bounded-batch"):
+            sim.topk_pq(df, df, k=2, n_sub=2, n_codes=2)
+    finally:
+        sim.MAX_ADC_QUERY_BATCH = orig
