@@ -21,6 +21,7 @@ from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     md5_half_decode_sql,
     minhash_candidate_pairs,
+    ngram_gram_sets,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
@@ -197,6 +198,24 @@ def shared_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: LogicalRDD plan shape — the banding/join plan downstream stays
 #: visible to the plan guard and the driver fingerprint is unchanged.
 _SHARED_SIMHASH32 = BoundedCache()
+
+#: Per-document char-3-gram sets with (lang, 20-char length-bucket)
+#: block keys, built once per (app, corpus): the explode ->
+#: collect_set aggregate is ``dedup_ngram_jaccard``'s dominant
+#: per-call cost and depends only on the corpus (the Jaccard
+#: threshold and the blocked join run per call). Same checkpointed
+#: LogicalRDD shape as the per-call build.
+_SHARED_NGRAMS = BoundedCache()
+
+
+def _shared_ngram_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _SHARED_NGRAMS.get_or_build(
+        key,
+        lambda: ngram_gram_sets(
+            augmented_documents(spark, sf_dir), n=3, len_bucket_width=20
+        ),
+    )
 
 
 def _shared_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,12 +396,17 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard over (lang, 20-char-length-bucket)
     blocks: the precision-style verify pass (MinHash+LSH is the
     recall-style discovery pass; a near-dup whose length crosses a
-    bucket boundary is deliberately out of scope here)."""
+    bucket boundary is deliberately out of scope here). The per-doc
+    gram-set frame builds once per corpus (:data:`_SHARED_NGRAMS` —
+    the explode->collect_set aggregate is the dominant per-call cost
+    and is pair-threshold-independent); the blocked verify join runs
+    per call."""
     return ngram_jaccard_pairs(
         augmented_documents(spark, sf_dir),
         n=3,
         min_jaccard=0.5,
         len_bucket_width=20,
+        gram_sets=_shared_ngram_grams(spark, sf_dir),
     )
 
 

@@ -525,33 +525,38 @@ def incremental_minhash_matches(
     ).filter(F.col("est_jaccard") >= min_est_jaccard)
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    block_cols: list[str] | None = None,
-    n: int = 3,
-    min_jaccard: float = 0.3,
-    len_bucket_width: int = 100,
-) -> DataFrame:
-    """Exact character-n-gram Jaccard over blocked candidate pairs.
-
-    Blocking (default: language + length bucket) keeps the pair join
-    far from O(n^2); the set intersection runs per-pair as an array
-    expression. Narrower ``len_bucket_width`` cuts candidate pairs
-    quadratically at the cost of missing near-dups whose lengths
-    straddle a bucket boundary (recall-oriented discovery belongs to
-    MinHash+LSH; this is the precision/verify-style operator).
-    Returns (doc_a, doc_b, jaccard)."""
+def _resolve_block_cols(
+    df: DataFrame, block_cols: list[str] | None, len_bucket_width: int
+) -> tuple[DataFrame, list[str]]:
     if block_cols is None:
         block_cols = ["lang", "len_bucket"]
         df = df.withColumn(
             "len_bucket", (F.col("n_chars") / len_bucket_width).cast("int")
         )
-    # explode to one row per (doc, position), substring in codegen,
-    # rebuild the distinct gram set with collect_set — avoids the
-    # interpreted per-element lower(text) re-evaluation of an
-    # array-lambda formulation.
+    return df, block_cols
+
+
+def ngram_gram_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    n: int = 3,
+    len_bucket_width: int = 100,
+) -> DataFrame:
+    """The per-document distinct character-n-gram sets with their
+    block keys — the corpus-level structure :func:`ngram_jaccard_pairs`
+    joins on. Split out so a catalog can build it once per corpus
+    (ANALYZE-style) and run the blocked verify join per call.
+
+    Explodes to one row per (doc, position), substrings in codegen,
+    and rebuilds the distinct gram set with collect_set — avoids the
+    interpreted per-element lower(text) re-evaluation of an
+    array-lambda formulation. The frame is localCheckpointed because
+    both sides of the downstream self-join reference it (Spark
+    self-joins duplicate the subtree: without it the source is scanned
+    twice and the explode -> collect_set aggregate runs twice)."""
+    df, block_cols = _resolve_block_cols(df, block_cols, len_bucket_width)
     lowered = fanout_repartition(
         df.select(
             F.col(id_col).alias("doc"),
@@ -566,14 +571,45 @@ def ngram_jaccard_pairs(
         F.explode(F.expr(f"sequence(1, length(lt) - {n - 1})")).alias("pos"),
         "lt",
     ).select("doc", *block_cols, F.expr(f"substring(lt, pos, {n})").alias("gram"))
-    # materialize the per-doc gram sets before the blocked self-join:
-    # both join sides reference this frame and Spark self-joins
-    # duplicate the subtree, so without the checkpoint the source is
-    # scanned twice and the explode -> collect_set aggregate (the
-    # expensive stage) runs twice per execution
-    grams = gram_rows.groupBy("doc", *block_cols).agg(
+    return gram_rows.groupBy("doc", *block_cols).agg(
         F.collect_set("gram").alias("grams")
     ).localCheckpoint()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    n: int = 3,
+    min_jaccard: float = 0.3,
+    len_bucket_width: int = 100,
+    gram_sets: DataFrame | None = None,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard over blocked candidate pairs.
+
+    Blocking (default: language + length bucket) keeps the pair join
+    far from O(n^2); the set intersection runs per-pair as an array
+    expression. Narrower ``len_bucket_width`` cuts candidate pairs
+    quadratically at the cost of missing near-dups whose lengths
+    straddle a bucket boundary (recall-oriented discovery belongs to
+    MinHash+LSH; this is the precision/verify-style operator).
+    ``gram_sets`` short-circuits the gram build with a precomputed
+    :func:`ngram_gram_sets` frame (per-corpus cache path).
+    Returns (doc_a, doc_b, jaccard)."""
+    _, block_cols = _resolve_block_cols(df, block_cols, len_bucket_width)
+    grams = (
+        gram_sets
+        if gram_sets is not None
+        else ngram_gram_sets(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            block_cols=None if block_cols == ["lang", "len_bucket"] else block_cols,
+            n=n,
+            len_bucket_width=len_bucket_width,
+        )
+    )
     a = grams.select(
         *block_cols, F.col("doc").alias("doc_a"), F.col("grams").alias("ga")
     )
