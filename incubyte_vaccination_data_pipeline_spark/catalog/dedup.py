@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
+
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
 from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
     MINHASH_COEFFS,
@@ -222,9 +226,9 @@ def _shared_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     return _SHARED_SIMHASH32.get_or_build(
         key,
-        lambda: simhash_fingerprints(
-            augmented_documents(spark, sf_dir), bits=32
-        ).localCheckpoint(),
+        lambda: durable_checkpoint(
+            simhash_fingerprints(augmented_documents(spark, sf_dir), bits=32)
+        ),
     )
 
 

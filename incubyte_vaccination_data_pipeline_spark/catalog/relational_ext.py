@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
+
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
 from incubyte_vaccination_data_pipeline_spark.shared_cache import BoundedCache
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
@@ -1612,9 +1616,9 @@ def _shared_kmv_frames(spark: SparkSession, sf_dir: str):
                 F.col("o_custkey").alias("ck"),
             )
             .distinct()
-            .localCheckpoint(eager=False)  # feeds sketch + exact branches
         )
-        ranked = _kmv_ranked(sel).localCheckpoint(eager=False)
+        sel = durable_checkpoint(sel, eager=False)  # feeds sketch + exact branches
+        ranked = durable_checkpoint(_kmv_ranked(sel), eager=False)
         return sel, ranked
 
     return _SHARED_KMV.get_or_build(
@@ -1923,13 +1927,13 @@ _SHARED_BASKETS = BoundedCache()
 
 def _shared_basket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
-        return (
+        return durable_checkpoint(
             read_table(spark, sf_dir, "lineitem")
             .select(
                 F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
             )
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
+            eager=False,
         )
 
     return _SHARED_BASKETS.get_or_build(

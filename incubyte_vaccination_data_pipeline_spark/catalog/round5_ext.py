@@ -44,6 +44,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
+
 from incubyte_vaccination_data_pipeline_spark.catalog import quality
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import QUERIES, ORACLES
 from incubyte_vaccination_data_pipeline_spark.operators.dedup import md5_half_decode_sql
@@ -453,9 +457,11 @@ _SHARED_DOC_GRAMS = BoundedCache()
 def _shared_doc_grams(spark: SparkSession, sf_dir: str):
     def build():
         toks = _containment_tokens(spark, sf_dir)
-        dgrams = _containment_grams(
-            toks.select(F.col("doc_id").alias("doc"), "ws"), "doc", "ws"
-        ).localCheckpoint()
+        dgrams = durable_checkpoint(
+            _containment_grams(
+                toks.select(F.col("doc_id").alias("doc"), "ws"), "doc", "ws"
+            )
+        )
         df_counts = (
             dgrams.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).persist()
         )

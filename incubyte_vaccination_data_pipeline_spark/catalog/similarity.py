@@ -35,6 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
+
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
 from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
     MEAN_SCALE,
@@ -435,8 +439,8 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # drops 1.7s -> 1.15s at sf0.1 (the rest is the search's own
         # jobs). Two short columns per row — the checkpoint size
         # class this repo allows.
-        return pq_encoded(emb, _pq_codebooks(spark, sf_dir)).localCheckpoint(
-            eager=False
+        return durable_checkpoint(
+            pq_encoded(emb, _pq_codebooks(spark, sf_dir)), eager=False
         )
 
     return _SHARED_PQ_INDEX.get_or_build(

@@ -33,6 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
+
 
 class ComponentsNotConverged(RuntimeError):
     """max_rounds exhausted with labels still changing."""
@@ -56,11 +60,11 @@ def connected_components(
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionAll(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
-    labels = (
+    labels = durable_checkpoint(
         sym.select(F.col("s").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=False)
+        .select("node", F.col("node").alias("lbl")),
+        eager=False,
     )
     for round_i in range(max_rounds):
         # 1) propagate: each node offers its label to every neighbor
@@ -87,8 +91,8 @@ def connected_components(
                     F.col("lbl"), F.coalesce(F.col("__jl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=False)
         )
+        jumped = durable_checkpoint(jumped, eager=False)
         # 3) zero-change certificate (bounded: one count over the
         # label table, which has one row per node). The first two
         # rounds are never stable on a graph with any edge spanning

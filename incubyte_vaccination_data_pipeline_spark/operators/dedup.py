@@ -45,6 +45,10 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
+
 from incubyte_vaccination_data_pipeline_spark.operators.partitioning import (
     fanout_repartition,
 )
@@ -439,7 +443,9 @@ def minhash_candidate_pairs(
     carry expensive).
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).localCheckpoint()
+    sigs = durable_checkpoint(
+        minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    )
     # sig is an aggregation output attribute here, so the band-key
     # lambda slices a materialized 12-element array — cheap per band.
     banded = sigs.select(
@@ -571,9 +577,11 @@ def ngram_gram_sets(
         F.explode(F.expr(f"sequence(1, length(lt) - {n - 1})")).alias("pos"),
         "lt",
     ).select("doc", *block_cols, F.expr(f"substring(lt, pos, {n})").alias("gram"))
-    return gram_rows.groupBy("doc", *block_cols).agg(
-        F.collect_set("gram").alias("grams")
-    ).localCheckpoint()
+    return durable_checkpoint(
+        gram_rows.groupBy("doc", *block_cols).agg(
+            F.collect_set("gram").alias("grams")
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -697,9 +705,11 @@ def duplicate_clusters(
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     # edges materialize at FULL conf width — this executes the whole
     # upstream candidate-pair pipeline (the heavy stage)
-    edges = fwd.unionByName(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).localCheckpoint()
+    edges = durable_checkpoint(
+        fwd.unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+    )
     # The propagation loop operates on PAIRS-scale data (orders of
     # magnitude below corpus scale), but its shuffles would otherwise
     # run at the session's corpus-scale width — mostly task-scheduling
@@ -720,13 +730,12 @@ def duplicate_clusters(
     n_edges = edges.count()
     sess_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     loop_width = max(1, min(sess_width, n_edges // 20000 + 1))
-    edges = edges.repartition(loop_width, "dst").localCheckpoint()
-    labels = (
+    edges = durable_checkpoint(edges.repartition(loop_width, "dst"))
+    labels = durable_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(loop_width, "node")
-        .localCheckpoint()
     )
     changed = None
     for _ in range(max_iters + 1):  # +1: the convergence-confirming round
@@ -751,8 +760,8 @@ def duplicate_clusters(
                 ),
             )
             .select("node", "label")
-            .localCheckpoint()
         )
+        new_labels = durable_checkpoint(new_labels)
         labels = new_labels
         changed = obs.get["changed"] or 0
         if changed == 0:

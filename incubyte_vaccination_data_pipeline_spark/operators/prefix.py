@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
+
 
 def global_cumsum(
     df: DataFrame,
@@ -53,10 +57,10 @@ def global_cumsum(
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (
+    ranged = durable_checkpoint(
         df.repartitionByRange(n_ranges, *[F.col(c) for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .withColumn("__pid", F.spark_partition_id()),
+        eager=False,
     )
     w = (
         Window.partitionBy("__pid")

@@ -28,6 +28,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from incubyte_vaccination_data_pipeline_spark.shared_cache import register_dict_cache
@@ -513,9 +517,11 @@ def run_foreach_batch_upsert(
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.withColumn(
-            "__kh", F.pmod(F.hash(*key_cols), F.lit(n_buckets))
-        ).localCheckpoint()
+        batch_df = durable_checkpoint(
+            batch_df.withColumn(
+                "__kh", F.pmod(F.hash(*key_cols), F.lit(n_buckets))
+            )
+        )
         try:
             existing = spark.read.option("basePath", target_path).parquet(
                 target_path
@@ -542,7 +548,7 @@ def run_foreach_batch_upsert(
         )
         # materialize before the write: the survivors' lineage reads the
         # same path the dynamic overwrite is about to replace
-        out = survivors.unionByName(batch_df).localCheckpoint()
+        out = durable_checkpoint(survivors.unionByName(batch_df))
         (
             out.repartition(min(n_buckets, max(len(touched), 1)), "__kh")
             .write.mode("overwrite")
