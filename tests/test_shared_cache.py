@@ -115,9 +115,21 @@ def test_cluster_and_gram_caches_return_same_frame(spark, sf_dir):
     g1, df1 = _shared_doc_grams(spark, sf_dir)
     g2, df2 = _shared_doc_grams(spark, sf_dir)
     assert g1 is g2 and df1 is df2
-    # the sweep drops all three entries (they key sf_dir as an element)
+    from incubyte_vaccination_data_pipeline_spark.catalog.dedup import _shared_ngram_grams
+    from incubyte_vaccination_data_pipeline_spark.catalog.relational_ext import (
+        _shared_basket_frame,
+        _shared_kmv_frames,
+    )
+
+    n1 = _shared_ngram_grams(spark, sf_dir)
+    assert _shared_ngram_grams(spark, sf_dir) is n1
+    b1 = _shared_basket_frame(spark, sf_dir)
+    assert _shared_basket_frame(spark, sf_dir) is b1
+    k1 = _shared_kmv_frames(spark, sf_dir)
+    assert _shared_kmv_frames(spark, sf_dir) is k1
+    # the sweep drops every entry (they all key sf_dir as an element)
     dropped = sc.release_shared_state(sf_dir)
-    assert dropped >= 3
+    assert dropped >= 6
     assert shared_duplicate_clusters(spark, sf_dir) is not c1
     sc.release_shared_state(sf_dir)
 
