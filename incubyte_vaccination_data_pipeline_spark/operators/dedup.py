@@ -533,13 +533,19 @@ def incremental_minhash_matches(
 
 def _resolve_block_cols(
     df: DataFrame, block_cols: list[str] | None, len_bucket_width: int
-) -> tuple[DataFrame, list[str]]:
-    if block_cols is None:
+) -> tuple[DataFrame, list[str], bool]:
+    """Returns (df, block_cols, defaulted). ``defaulted`` distinguishes
+    "caller omitted block_cols" (we synthesize len_bucket from n_chars)
+    from "caller explicitly passed the default list" (their own columns
+    are used verbatim) — comparing against the default VALUE would
+    silently rewrite an explicit ["lang", "len_bucket"] (ADVICE r9)."""
+    defaulted = block_cols is None
+    if defaulted:
         block_cols = ["lang", "len_bucket"]
         df = df.withColumn(
             "len_bucket", (F.col("n_chars") / len_bucket_width).cast("int")
         )
-    return df, block_cols
+    return df, block_cols, defaulted
 
 
 def ngram_gram_sets(
@@ -562,7 +568,7 @@ def ngram_gram_sets(
     both sides of the downstream self-join reference it (Spark
     self-joins duplicate the subtree: without it the source is scanned
     twice and the explode -> collect_set aggregate runs twice)."""
-    df, block_cols = _resolve_block_cols(df, block_cols, len_bucket_width)
+    df, block_cols, _ = _resolve_block_cols(df, block_cols, len_bucket_width)
     lowered = fanout_repartition(
         df.select(
             F.col(id_col).alias("doc"),
@@ -605,7 +611,7 @@ def ngram_jaccard_pairs(
     ``gram_sets`` short-circuits the gram build with a precomputed
     :func:`ngram_gram_sets` frame (per-corpus cache path).
     Returns (doc_a, doc_b, jaccard)."""
-    _, block_cols = _resolve_block_cols(df, block_cols, len_bucket_width)
+    _, block_cols, defaulted = _resolve_block_cols(df, block_cols, len_bucket_width)
     grams = (
         gram_sets
         if gram_sets is not None
@@ -613,7 +619,7 @@ def ngram_jaccard_pairs(
             df,
             text_col=text_col,
             id_col=id_col,
-            block_cols=None if block_cols == ["lang", "len_bucket"] else block_cols,
+            block_cols=None if defaulted else block_cols,
             n=n,
             len_bucket_width=len_bucket_width,
         )

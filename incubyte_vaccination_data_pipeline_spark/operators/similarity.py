@@ -530,37 +530,42 @@ def kcenter_coreset(
     # rounds re-reads the source (parquet scan + decode per round). The
     # persisted projection is (id, vec) only — the minimal working set.
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).persist()
-    seed_rows = base.orderBy("__id").limit(1).collect()
-    if not seed_rows:
-        raise ValueError("kcenter_coreset: input frame is empty")
-    seed = seed_rows[0]
-    centers: list[tuple[int, int, float]] = [(0, seed["__id"], 0.0)]
-    center_vecs = [[float(x) for x in seed["__v"]]]
-    for r in range(1, k):
-        mind = "least(" + ", ".join(
-            _dist2_lit("__v", c) for c in center_vecs
-        ) + ")" if len(center_vecs) > 1 else _dist2_lit("__v", center_vecs[0])
-        chosen_ids = [c[1] for c in centers]
-        nxt = (
-            base.filter(~F.col("__id").isin(chosen_ids))
-            .select(
-                "__id",
-                "__v",
-                F.expr(mind).alias("__d"),
+    # try/finally: a Spark failure mid-greedy-round (or the empty-input
+    # raise below) must not leave the projection persisted for the rest
+    # of a long-lived session (ADVICE r9)
+    try:
+        seed_rows = base.orderBy("__id").limit(1).collect()
+        if not seed_rows:
+            raise ValueError("kcenter_coreset: input frame is empty")
+        seed = seed_rows[0]
+        centers: list[tuple[int, int, float]] = [(0, seed["__id"], 0.0)]
+        center_vecs = [[float(x) for x in seed["__v"]]]
+        for r in range(1, k):
+            mind = "least(" + ", ".join(
+                _dist2_lit("__v", c) for c in center_vecs
+            ) + ")" if len(center_vecs) > 1 else _dist2_lit("__v", center_vecs[0])
+            chosen_ids = [c[1] for c in centers]
+            nxt = (
+                base.filter(~F.col("__id").isin(chosen_ids))
+                .select(
+                    "__id",
+                    "__v",
+                    F.expr(mind).alias("__d"),
+                )
+                .orderBy(F.desc("__d"), F.asc("__id"))
+                .limit(1)
+                .collect()
             )
-            .orderBy(F.desc("__d"), F.asc("__id"))
-            .limit(1)
-            .collect()
-        )
-        if not nxt:
-            # k exceeds the number of distinct ids: every row is
-            # already a center — return the centers found so far
-            # rather than raising from an empty collect (ADVICE r8)
-            break
-        nxt = nxt[0]
-        centers.append((r, nxt["__id"], float(nxt["__d"])))
-        center_vecs.append([float(x) for x in nxt["__v"]])
-    base.unpersist()
+            if not nxt:
+                # k exceeds the number of distinct ids: every row is
+                # already a center — return the centers found so far
+                # rather than raising from an empty collect (ADVICE r8)
+                break
+            nxt = nxt[0]
+            centers.append((r, nxt["__id"], float(nxt["__d"])))
+            center_vecs.append([float(x) for x in nxt["__v"]])
+    finally:
+        base.unpersist()
     return centers
 
 

@@ -22,18 +22,48 @@ keep the local path with zero behavior change.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
 def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate ``df``'s lineage: reliable ``checkpoint`` when the
     session has a checkpoint dir configured, ``localCheckpoint``
-    otherwise.  Identical analyzed-plan shape either way."""
+    otherwise.  Identical analyzed-plan shape either way.
+
+    On the reliable path an eager checkpoint runs as a SEPARATE job
+    from the computation that defined ``df`` — without a persist the
+    checkpoint-write job recomputes the full lineage (~2x compute plus
+    the distributed-FS write).  We therefore persist the frame for the
+    duration of the eager materialization and release it immediately
+    after (the checkpointed RDD is its own storage from then on).  A
+    lazy reliable checkpoint (``eager=False``) materializes at the
+    caller's first action, outside this function's scope, so no
+    persist is taken there — callers on that path should persist
+    around their own first action if the lineage is expensive.
+
+    Retention: reliable checkpoint files are NOT removed by
+    ``unpersist()``; the session factory (``session.get_spark``) sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so the
+    ContextCleaner deletes a checkpoint's files once its RDD is
+    garbage-collected (e.g. after shared-cache eviction drops the last
+    frame reference).  Long-lived deployments that disable the cleaner
+    must sweep the checkpoint dir themselves.
+    """
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None
     except Exception:
         has_dir = False
     if has_dir:
-        return df.checkpoint(eager=eager)
+        if eager:
+            already_persisted = df.storageLevel != StorageLevel.NONE
+            if not already_persisted:
+                df.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                return df.checkpoint(eager=True)
+            finally:
+                if not already_persisted:
+                    df.unpersist()
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)

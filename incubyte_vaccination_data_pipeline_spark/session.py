@@ -46,6 +46,13 @@ def get_spark(
         # becomes NULL (then dead-lettered by the validators) instead of
         # failing the job — a 100 TB batch must not abort on one bad cell.
         .config("spark.sql.ansi.enabled", "false")
+        # Reliable checkpoints (plans/checkpoints.durable_checkpoint on
+        # clusters with a checkpoint dir) leave files behind that
+        # unpersist() does not remove; let the ContextCleaner delete a
+        # checkpoint's files once its RDD is garbage-collected so
+        # long-lived sessions (shared_cache evictions, per-round loop
+        # checkpoints) don't accumulate them unboundedly.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

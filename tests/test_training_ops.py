@@ -68,6 +68,27 @@ def test_ngram_jaccard_scores_planted_pairs_high(spark, sf_dir):
     assert min(by_pair[p] for p in planted) > 0.6
 
 
+def test_ngram_jaccard_explicit_block_cols_used_verbatim(spark):
+    """An explicitly passed block_cols=["lang", "len_bucket"] must use
+    the caller's own columns — not be silently rewritten to the
+    n_chars-derived default (ADVICE r9). The input here has a
+    caller-computed len_bucket and NO n_chars column, so the old
+    value-compare rewrite would raise AnalysisException."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "en", 0, "the quick brown fox jumps over the lazy dog"),
+        (2, "en", 0, "the quick brown fox jumps over the lazy dogs"),
+        (3, "en", 1, "completely different text that should not pair"),
+        (4, "de", 0, "der schnelle braune fuchs springt"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "len_bucket", "text"])
+    out = ngram_jaccard_pairs(
+        df, block_cols=["lang", "len_bucket"], min_jaccard=0.3
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(1, 2)}
+
+
 def _ann_inputs(spark, sf_dir):
     from incubyte_vaccination_data_pipeline_spark.catalog.similarity import N_QUERY_VECTORS
     from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
