@@ -75,6 +75,14 @@ from incubyte_vaccination_data_pipeline_spark.catalog import round8_ext  # noqa:
 
 round8_ext.register()
 
+# round 10: the corpus-scale-safe n-gram-Jaccard verify pass (content-
+# prefix-refined default blocks). Registered AFTER round8_ext so the
+# four round-8 queries keep their promised round-10 driver slots; the
+# growth sim at 201 keeps the gap at ceil(201/50) = 5
+from incubyte_vaccination_data_pipeline_spark.catalog import round10_ext  # noqa: E402
+
+round10_ext.register()
+
 FLAGSHIP_COUNTRY = vax.FLAGSHIP_COUNTRY
 
 # The driver verifies the first N registered queries per round (observed

@@ -213,11 +213,22 @@ _SHARED_NGRAMS = BoundedCache()
 
 
 def _shared_ngram_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # block_cols pinned EXPLICITLY (with len_bucket precomputed exactly
+    # as the operator default used to): the operator's defaulted
+    # blocking is now prefix-refined for scale (operators/dedup.py
+    # _resolve_block_cols), while this catalog query keeps the original
+    # 2-column blocking as its driver-verified oracle contract — the
+    # analyzed plan (and so the query fingerprint) is unchanged.
     key = (spark.sparkContext.applicationId, sf_dir)
     return _SHARED_NGRAMS.get_or_build(
         key,
         lambda: ngram_gram_sets(
-            augmented_documents(spark, sf_dir), n=3, len_bucket_width=20
+            augmented_documents(spark, sf_dir).withColumn(
+                "len_bucket", (F.col("n_chars") / 20).cast("int")
+            ),
+            block_cols=["lang", "len_bucket"],
+            n=3,
+            len_bucket_width=20,
         ),
     )
 
@@ -407,6 +418,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per call."""
     return ngram_jaccard_pairs(
         augmented_documents(spark, sf_dir),
+        block_cols=["lang", "len_bucket"],
         n=3,
         min_jaccard=0.5,
         len_bucket_width=20,

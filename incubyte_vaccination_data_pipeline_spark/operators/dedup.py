@@ -531,19 +531,51 @@ def incremental_minhash_matches(
     ).filter(F.col("est_jaccard") >= min_est_jaccard)
 
 
+#: chars of the lowered, left-trimmed text prefix used as the
+#: content-refined third block key when ``block_cols`` is defaulted
+DEFAULT_PREFIX_LEN = 12
+
+
 def _resolve_block_cols(
-    df: DataFrame, block_cols: list[str] | None, len_bucket_width: int
+    df: DataFrame,
+    block_cols: list[str] | None,
+    len_bucket_width: int,
+    text_col: str = "text",
 ) -> tuple[DataFrame, list[str], bool]:
     """Returns (df, block_cols, defaulted). ``defaulted`` distinguishes
-    "caller omitted block_cols" (we synthesize len_bucket from n_chars)
-    from "caller explicitly passed the default list" (their own columns
-    are used verbatim) — comparing against the default VALUE would
-    silently rewrite an explicit ["lang", "len_bucket"] (ADVICE r9)."""
+    "caller omitted block_cols" (we synthesize the block columns) from
+    "caller explicitly passed a list" (their own columns are used
+    verbatim) — comparing against the default VALUE would silently
+    rewrite an explicit list (ADVICE r9).
+
+    The DEFAULT block key is (lang, len_bucket, text_prefix): language
+    + ``len_bucket_width``-char length bucket + the first
+    ``DEFAULT_PREFIX_LEN`` chars of ``lower(ltrim(text))``. The
+    content prefix is what keeps the verify join sub-quadratic at
+    scale: within a fixed (lang, length-bucket) block the population
+    grows linearly with the corpus and the pair join quadratically
+    (round-9 stress measured 28x cold at 10x data); the prefix key's
+    cardinality grows WITH the corpus, so block sizes stay bounded by
+    boilerplate-sharing rather than corpus size. Semantics trade-off,
+    documented exactly like the length bucket: near-dups whose edits
+    touch the first ``DEFAULT_PREFIX_LEN`` chars land in different
+    blocks and are out of scope for this precision/verify operator —
+    recall-oriented discovery (any-position edits) belongs to
+    MinHash+LSH. ``ltrim`` + ``lower`` absorb the most common benign
+    prefix perturbations (leading whitespace, case). Callers wanting
+    the historical 2-column blocking pass
+    ``block_cols=["lang", "len_bucket"]`` with ``len_bucket``
+    precomputed (the catalog's ``dedup_ngram_jaccard`` pins this for
+    oracle-contract stability; ``dedup_ngram_jaccard_prefix``
+    exercises this default)."""
     defaulted = block_cols is None
     if defaulted:
-        block_cols = ["lang", "len_bucket"]
+        block_cols = ["lang", "len_bucket", "text_prefix"]
         df = df.withColumn(
             "len_bucket", (F.col("n_chars") / len_bucket_width).cast("int")
+        ).withColumn(
+            "text_prefix",
+            F.substring(F.ltrim(F.lower(F.col(text_col))), 1, DEFAULT_PREFIX_LEN),
         )
     return df, block_cols, defaulted
 
@@ -568,7 +600,9 @@ def ngram_gram_sets(
     both sides of the downstream self-join reference it (Spark
     self-joins duplicate the subtree: without it the source is scanned
     twice and the explode -> collect_set aggregate runs twice)."""
-    df, block_cols, _ = _resolve_block_cols(df, block_cols, len_bucket_width)
+    df, block_cols, _ = _resolve_block_cols(
+        df, block_cols, len_bucket_width, text_col=text_col
+    )
     lowered = fanout_repartition(
         df.select(
             F.col(id_col).alias("doc"),
@@ -602,16 +636,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact character-n-gram Jaccard over blocked candidate pairs.
 
-    Blocking (default: language + length bucket) keeps the pair join
-    far from O(n^2); the set intersection runs per-pair as an array
+    Blocking (default: language + length bucket + content prefix,
+    see :func:`_resolve_block_cols`) keeps the pair join sub-quadratic
+    at corpus scale; the set intersection runs per-pair as an array
     expression. Narrower ``len_bucket_width`` cuts candidate pairs
     quadratically at the cost of missing near-dups whose lengths
-    straddle a bucket boundary (recall-oriented discovery belongs to
+    straddle a bucket boundary, and the default content-prefix key
+    additionally scopes out near-dups edited within their first
+    ``DEFAULT_PREFIX_LEN`` chars (recall-oriented discovery belongs to
     MinHash+LSH; this is the precision/verify-style operator).
     ``gram_sets`` short-circuits the gram build with a precomputed
     :func:`ngram_gram_sets` frame (per-corpus cache path).
     Returns (doc_a, doc_b, jaccard)."""
-    _, block_cols, defaulted = _resolve_block_cols(df, block_cols, len_bucket_width)
+    _, block_cols, defaulted = _resolve_block_cols(
+        df, block_cols, len_bucket_width, text_col=text_col
+    )
     grams = (
         gram_sets
         if gram_sets is not None

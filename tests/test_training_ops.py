@@ -68,6 +68,30 @@ def test_ngram_jaccard_scores_planted_pairs_high(spark, sf_dir):
     assert min(by_pair[p] for p in planted) > 0.6
 
 
+def test_ngram_jaccard_prefix_keeps_planted_recall(spark, sf_dir):
+    """The prefix-refined default blocks (scale path) must not lose the
+    planted tail-append near-dups: the 15-char tail never touches the
+    12-char content prefix, so every pair the pinned 2-column blocking
+    finds above threshold survives the refinement."""
+    pinned = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    refined = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard_prefix"](spark, sf_dir).collect()
+    }
+    planted = [(a, b) for (a, b) in pinned if b >= 2000000 and a == b - 2000000]
+    assert planted
+    for p in planted:
+        assert refined.get(p) == pinned[p]
+    # the refinement only ever REMOVES pairs (identical jaccard values
+    # on the survivors) — it never invents one
+    assert set(refined) <= set(pinned)
+    for p, j in refined.items():
+        assert j == pinned[p]
+
+
 def test_ngram_jaccard_explicit_block_cols_used_verbatim(spark):
     """An explicitly passed block_cols=["lang", "len_bucket"] must use
     the caller's own columns — not be silently rewritten to the
