@@ -300,8 +300,10 @@ _SIMHASH_CTES = f"""aug AS ({AUG_SQL}),
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (identical texts collide; near-dups
-    land within small Hamming distance)."""
-    return simhash_fingerprints(augmented_documents(spark, sf_dir))
+    land within small Hamming distance). Width pinned explicitly: the
+    operator's default is corpus-derived (derived_simhash_bits), this
+    query's oracle contract is the fixed small-SF width."""
+    return simhash_fingerprints(augmented_documents(spark, sf_dir), bits=16)
 
 
 # 32-bit SimHash mirror for the Hamming-pair query (the 16-bit

@@ -206,10 +206,60 @@ def simhash16(tokens_col: str) -> Column:
     )
 
 
+def derived_simhash_bits(
+    n_docs: int,
+    bands: int = 4,
+    target_bucket_docs: int = 16,
+    min_bits: int = 16,
+    max_bits: int = 60,
+) -> int:
+    """The corpus-tracking SimHash width: the narrowest fingerprint
+    whose PER-BAND bucket space ``2^(bits/bands)`` holds at least
+    ``n_docs / target_bucket_docs`` buckets, i.e.
+    ``bits = bands * ceil(log2(n_docs / target_bucket_docs))``,
+    rounded up to a multiple of 4 (hex-digit decode granularity) and
+    clamped to ``[min_bits, max_bits]`` (the hex decode caps at 60;
+    past ~2^14 buckets/band a production system moves to 64-bit
+    fingerprints with bigint bit ops).
+
+    Rationale: banded Hamming blocking generates candidates inside
+    band buckets, so expected bucket population is
+    ``n_docs / 2^(bits/bands)`` — a FIXED width saturates as the
+    corpus grows (round-9 stress: the 32-bit/8-bit-band config
+    produced 2.65M junk pairs at 10x where the tracked width produced
+    55.7k, and was slower). Holding population at
+    ``target_bucket_docs`` makes within-bucket pair work ~linear in
+    corpus size. The result is always a multiple of ``bands`` times a
+    whole bits-per-band and a multiple of 4, so both the hex decode
+    and the band slicing stay exact."""
+    import math
+
+    need = max(1, math.ceil(math.log2(max(n_docs, 1) / target_bucket_docs)))
+    bits = bands * need
+    while bits % 4:
+        bits += bands
+    lo = min_bits
+    while lo % bands or lo % 4:
+        lo += 1
+    hi = max_bits - (max_bits % (bands * 4 // math.gcd(bands, 4)))
+    return int(min(hi, max(lo, bits)))
+
+
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int | None = None,
 ) -> DataFrame:
     """(doc_id, simhash) ``bits``-bit SimHash per document, distributed.
+
+    ``bits=None`` (the default) derives the width from the corpus size
+    via :func:`derived_simhash_bits` — one ``count()`` aggregate, paid
+    once per fingerprint build. Pass an explicit width to pin a
+    configuration: the catalog pins 16 (``dedup_simhash``) and 32
+    (``dedup_simhash_hamming``) as its small-SF oracle-portable
+    contracts, and the 10x stress harness measures fixed-vs-tracked
+    widths side by side (scripts/stress_batch_10x.py).
 
     Tokens explode to rows and are FIRST reduced to (doc, distinct
     token, count) — on natural-language corpora tokens repeat within a
@@ -230,6 +280,8 @@ def simhash_fingerprints(
     so a 16-bit fingerprint caps at 16 buckets/band (quadratic bucket
     growth with corpus size) while 32-bit with 8-bit bands gives 256
     and a 64-bit production config 65k."""
+    if bits is None:
+        bits = derived_simhash_bits(df.count())
     if bits % 4 or not 4 <= bits <= 60:
         raise ValueError("bits must be a multiple of 4 in [4, 60] (hex decode)")
     digits = bits // 4

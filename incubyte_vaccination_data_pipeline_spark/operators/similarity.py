@@ -312,14 +312,43 @@ def _dot_lit(vec_col: str, centroid: list[float]) -> Column:
     )
 
 
+def derived_ivf_cells(
+    n_vectors: int, min_cells: int = 16, max_cells: int = 1 << 20
+) -> int:
+    """The sqrt(N)-tracking IVF cell count: ``round(sqrt(N))`` clamped
+    to ``[min_cells, max_cells]``.
+
+    With cells ~ sqrt(N) both per-cell population AND quantizer size
+    grow as sqrt(N), so the probe join's per-query candidate count
+    (n_probe * N / cells) grows sub-linearly and the k-NN join's
+    shuffle keys keep enough cardinality to spread — the round-9
+    stress measured the FIXED 16-cell quantizer degrading 9.4s ->
+    66.3s at 30x corpus while the sqrt-tracked one held ~linear
+    (SCALE.md). ``min_cells`` keeps tiny corpora at the historical
+    small-SF behavior; ``max_cells`` (2^20) caps the literal-vector
+    assign expression at a size codegen still swallows — past that a
+    corpus wants a two-level quantizer, not more flat cells."""
+    import math
+
+    return int(min(max_cells, max(min_cells, round(math.sqrt(max(n_vectors, 0))))))
+
+
 def ivf_centroids(
     df: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 1,
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: unit-norm centroids.
+
+    ``n_centroids=None`` (the default) derives the cell count from the
+    corpus size via :func:`derived_ivf_cells` — one ``count()``
+    aggregate, paid once per index build (the same scan the seed
+    selection pays anyway). Pass an explicit value to pin a
+    configuration; the catalog pins ``IVF_N_CENTROIDS=16`` as its
+    small-SF oracle-portable contract (catalog/similarity.py), and the
+    10x stress harness exercises both (scripts/stress_batch_10x.py).
 
     Seeds are the ``n_centroids`` vectors with the smallest
     ``md5(id)`` (a content-addressed "random" sample — same seeds on
@@ -342,6 +371,8 @@ def ivf_centroids(
     this is what lets ``ann_ivf_topk`` carry a full value-check
     DuckDB oracle instead of a recall certificate.
     """
+    if n_centroids is None:
+        n_centroids = derived_ivf_cells(df.count())
     seeds = [
         _unit([float(x) for x in r[0]])
         for r in (
@@ -435,7 +466,7 @@ def topk_ivf(
     corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -461,6 +492,9 @@ def topk_ivf(
     the quantizer AND the inverted file once, not per search (the
     catalog caches both per corpus).  ``assigned_corpus`` requires
     ``centroids`` (the probe expressions need the literal vectors).
+    ``n_centroids=None`` (default) derives the cell count from the
+    corpus size (:func:`derived_ivf_cells`, sqrt(N)-tracking) when no
+    prebuilt ``centroids`` are given.
     """
     from pyspark.sql import Window
 

@@ -26,20 +26,24 @@ Two sections:
    parameters are corpus-size-free).  Prints cold (includes each
    per-corpus shared-index build) and warm wall time at 1x and Nx.
    The honest expectation is ~linear cold and ~linear-or-better warm
-   for every query except ``dedup_ngram_jaccard`` — that operator is
-   the documented PRECISION/verify pass (operators/dedup.py docstring:
-   recall-oriented discovery belongs to MinHash+LSH) whose blocked
-   self-join grows quadratically within (lang, length-bucket) blocks;
-   at Nx corpus with the same language mix its candidate set grows
-   ~N^2/blocks, and the knob is a narrower ``len_bucket_width`` or
-   content-refined block keys.
+   for every query except ``dedup_ngram_jaccard`` — the query that
+   PINS the historical 2-column (lang, length-bucket) blocking, whose
+   blocked self-join grows quadratically within blocks (at Nx corpus
+   with the same language mix its candidate set grows ~N^2/blocks).
+   ``dedup_ngram_jaccard_prefix`` is the round-10 answer: the
+   operator's DEFAULT blocking adds a 12-char content-prefix key whose
+   cardinality grows with the corpus, so the same exact verify join
+   stays ~linear — the two rows side by side are the point of this
+   section.
 2. **ANN via the operators with corpus-tracking parameters**: the
-   catalog pins IVF_N_CENTROIDS=16 as a small-SF choice; the docstring
-   contract is that cell count tracks ~sqrt(N) at warehouse scale.
-   This section builds the quantizer at 16 cells AND at
-   ``round(16 * sqrt(factor))`` cells over the Nx corpus and times the
+   catalog pins IVF_N_CENTROIDS=16 as a small-SF choice; the OPERATOR
+   default is now corpus-derived (``derived_ivf_cells`` = sqrt(N),
+   round 10). This section builds the quantizer at 16 cells AND at
+   the operator-default cell count over the Nx corpus and times the
    k-NN JOIN through each, printing the per-cell candidate blow-up the
-   fixed quantizer causes and the restored ratio with the tracked one.
+   fixed quantizer causes and the restored ratio with the derived one.
+   The SimHash section likewise measures the pinned widths against the
+   operator-default ``derived_simhash_bits`` width.
 
 Usage:
     python scripts/stress_batch_10x.py [--factor 10] [--keep]
@@ -48,7 +52,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import shutil
 import sys
@@ -67,6 +70,7 @@ DEDUP_QUERIES = [
     "dedup_cleaned_corpus",
     "dedup_simhash_hamming",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
     "text_containment_dedup",
     "dedup_incremental_batch",
 ]
@@ -163,14 +167,17 @@ def run_simhash(spark, sf_dir: str, bits: int, label: str) -> None:
         augmented_documents,
     )
     from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        derived_simhash_bits,
         simhash_fingerprints,
         simhash_near_pairs,
     )
 
+    aug = augmented_documents(spark, sf_dir)
+    if bits is None:  # the operator default: corpus-derived width
+        bits = derived_simhash_bits(aug.count())
+        label += f" (derived {bits}-bit)"
     t0 = time.perf_counter()
-    fps = simhash_fingerprints(
-        augmented_documents(spark, sf_dir), bits=bits
-    ).localCheckpoint()
+    fps = simhash_fingerprints(aug, bits=bits).localCheckpoint()
     pairs = simhash_near_pairs(fps, max_hamming=3, bits=bits, bands=4)
     n_pairs = pairs.count()
     dt = time.perf_counter() - t0
@@ -268,15 +275,27 @@ def main() -> None:
             # already made; only the tracked width is meaningful
             run_simhash(spark, scratch, bits=32,
                         label=f"{args.factor}x, FIXED 32-bit/8-bit bands")
-        run_simhash(spark, scratch, bits=56,
-                    label=f"{args.factor}x, tracked 56-bit/14-bit bands")
+        run_simhash(spark, scratch, bits=None,
+                    label=f"{args.factor}x, OPERATOR-DEFAULT width")
 
-        tracked = max(1, round(16 * math.sqrt(args.factor)))
+        from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+            derived_ivf_cells,
+        )
+
+        n_big = spark.read.parquet(
+            os.path.join(scratch, "embeddings.parquet")
+        ).count()
+        tracked = derived_ivf_cells(n_big)
         print("== ANN k-NN JOIN (operators, corpus-tracking cells) ==")
         run_ann(spark, BASE_SF, 16, "1x warmup (discard)")
-        run_ann(spark, BASE_SF, 16, "1x, 16 cells")
+        run_ann(spark, BASE_SF, 16, "1x, 16 cells (catalog pin)")
         run_ann(spark, scratch, 16, f"{args.factor}x, FIXED 16 cells")
-        run_ann(spark, scratch, tracked, f"{args.factor}x, sqrt-tracked {tracked} cells")
+        run_ann(
+            spark,
+            scratch,
+            tracked,
+            f"{args.factor}x, OPERATOR-DEFAULT derived_ivf_cells({n_big})={tracked}",
+        )
     finally:
         if args.keep:
             print(f"scratch kept at {scratch}")

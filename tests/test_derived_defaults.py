@@ -1,0 +1,92 @@
+"""Round-10: corpus-derived operator defaults for SimHash width and
+IVF cell count (VERDICT r9 item 3).
+
+The catalog keeps its pinned small-SF values as explicit,
+oracle-portable overrides; the OPERATOR defaults now derive from
+corpus size — these tests pin the derivation laws (sqrt(N) tracking
+for IVF cells, ~constant band-bucket population for SimHash width)
+and that the default paths produce valid, working configurations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+    derived_simhash_bits,
+    simhash_fingerprints,
+)
+from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+    derived_ivf_cells,
+    ivf_centroids,
+)
+
+
+def test_ivf_cells_track_sqrt_n():
+    # in the unclamped region the derived cell count is sqrt(N): a 10x
+    # corpus (the stress harness's scratch factor) gets ~sqrt(10) =
+    # 3.16x the cells, so per-cell population ALSO grows only sqrt(10)x
+    for n in (2_560, 60_000, 1_000_000, 50_000_000):
+        r = derived_ivf_cells(10 * n) / derived_ivf_cells(n)
+        assert 3.0 <= r <= 3.4, f"n={n}: 10x ratio {r} not ~sqrt(10)"
+        assert derived_ivf_cells(n) == round(math.sqrt(n))
+
+
+def test_ivf_cells_clamps():
+    assert derived_ivf_cells(0) == 16
+    assert derived_ivf_cells(100) == 16  # sqrt(100)=10 < min
+    assert derived_ivf_cells(10**14) == 1 << 20  # capped
+    assert derived_ivf_cells(400, min_cells=4) == 20
+
+
+def test_simhash_bits_hold_bucket_population():
+    # bucket space per band (2^(bits/bands)) must reach
+    # n / target_bucket_docs in the unclamped region -> expected
+    # within-bucket population stays <= target as the corpus grows
+    for n in (10_000, 60_000, 600_000):
+        bits = derived_simhash_bits(n)
+        if bits < 60:  # unclamped
+            assert 2 ** (bits // 4) >= n / 16
+            # and not gratuitously wide: one band-step narrower would
+            # NOT hold the population bound
+            assert 2 ** (bits // 4 - 1) < n / 16
+        assert bits % 4 == 0 and 16 <= bits <= 60
+
+
+def test_simhash_bits_clamps_and_granularity():
+    assert derived_simhash_bits(1) == 16  # floor
+    assert derived_simhash_bits(10**12) == 60  # hex-decode ceiling
+    # non-default band count: result divisible by bands AND by 4
+    b = derived_simhash_bits(1_000_000, bands=6)
+    assert b % 6 == 0 and b % 4 == 0 and b <= 60
+    # monotone in n
+    prev = 0
+    for n in (10, 1_000, 100_000, 10_000_000):
+        cur = derived_simhash_bits(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_simhash_default_width_derives_and_works(spark):
+    rows = [(i, f"document body number {i} with words {i * 7}") for i in range(40)]
+    rows.append((1000, rows[0][1]))  # exact copy of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    bits = derived_simhash_bits(len(rows))
+    assert bits == 16  # tiny corpus -> floor
+    assert out[1000] == out[0]
+    assert all(0 <= v < 2**bits for v in out.values())
+
+
+def test_ivf_default_cells_derive_from_corpus(spark, sf_dir):
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents = ivf_centroids(emb)  # default: derived
+    assert len(cents) == min(derived_ivf_cells(n), n)
+    # each centroid is unit-norm (search math relies on it)
+    for c in cents[:3]:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
