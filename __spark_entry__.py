@@ -28,7 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for every query (200/200 —
+    """DuckDB-runnable ANSI SQL equivalent for every query (201/201 —
     non-SQL-expressible operators emit in-query boolean certificates
     the oracle states as literal TRUE; see README)."""
     return catalog.oracle_sql()

@@ -2,8 +2,11 @@
 """Benchmark harness: runs the engine's headline queries and prints one
 JSON line (driver contract). Protocol per BASELINE.md: local Spark with
 AQE on, parquet inputs from $SPARK_GRAFT_SF_DIR (default sf0.1),
-wall-clock per named query, warmup run discarded, best of the
-subsequent runs recorded.
+wall-clock per named query, warmup run discarded, MEDIAN of the
+subsequent 3 runs recorded (round 10: medians + per-query spread make
+round-over-round regressions attributable — a best-of sample hides
+which query moved when the machine is loaded; best-of is still
+recorded alongside for continuity with rounds 1-9).
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from incubyte_vaccination_data_pipeline_spark.session import get_spark  # noqa: 
 #: rotation reshuffling who pays the warm-up (r3 verdict, finding #4).
 HEADLINE = sorted(catalog.QUERIES)
 
-RUNS = 2  # timed runs after the discarded warmup
+RUNS = 3  # timed runs after the discarded warmup (median recorded)
 
 #: the driver keeps only this many trailing stdout chars; the LAST
 #: printed line must parse from inside that window
@@ -40,7 +43,11 @@ COMPACT_TOP_N = 25
 def compact_payload(payload: dict, timings: dict[str, float]) -> dict:
     """A copy of the bench payload with only the slowest queries, sized
     to fit the driver's tail window (regression-tested)."""
-    compact = {k: v for k, v in payload.items() if k != "queries_cold"}
+    compact = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("queries_cold", "queries_best", "queries_spread")
+    }
     compact["queries"] = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:COMPACT_TOP_N]
     )
@@ -56,15 +63,17 @@ def main() -> None:
 
     spark = get_spark(app_name="ivdp-bench")
     timings: dict[str, float] = {}
+    best_of: dict[str, float] = {}
+    per_spread: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread = 0.0  # sum over queries of (worst - best) timed run: the
     # session-noise floor of this sample — the r8->r9 lesson is that a
     # loaded machine reads as "broad shallow drift" on the total, and
-    # a large spread flags exactly that condition in the artifact
+    # a large spread flags exactly that condition in the artifact;
+    # per-query spreads (BENCH_local only) attribute it
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
-        best = None
-        worst = 0.0
+        runs: list[float] = []
         for i in range(RUNS + 1):
             t0 = time.perf_counter()
             # foreach-noop forces full materialization without driver collect
@@ -76,10 +85,12 @@ def main() -> None:
                 # stay comparable round-over-round
                 cold[name] = round(dt, 4)
                 continue
-            best = dt if best is None else min(best, dt)
-            worst = max(worst, dt)
-        timings[name] = round(best, 4)
-        spread += worst - best
+            runs.append(dt)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)  # median of RUNS
+        best_of[name] = round(runs[0], 4)
+        per_spread[name] = round(runs[-1] - runs[0], 4)
+        spread += runs[-1] - runs[0]
 
     # release every shared frame keyed to this corpus: the cache bounds
     # entry count, but persisted RDDs pin executor storage memory until
@@ -96,6 +107,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_best": best_of,
+        "queries_spread": per_spread,
         "queries_cold": cold,
         "noise_spread_sec": round(spread, 4),
         "sf": sf,

@@ -333,6 +333,27 @@ def derived_ivf_cells(
     return int(min(max_cells, max(min_cells, round(math.sqrt(max(n_vectors, 0))))))
 
 
+def derived_ivf_probes(
+    n_cells: int, probe_frac: float = 0.25, min_probe: int = 4
+) -> int:
+    """The cell-tracking probe count: ``round(n_cells * probe_frac)``,
+    at least ``min_probe``, at most every cell.
+
+    Recall is monotone in the probed FRACTION of the corpus, so a
+    fixed ``n_probe`` under a sqrt(N)-tracked cell count silently
+    shrinks that fraction and decays recall as the corpus grows —
+    measured on the 10x scratch corpus: recall@5 fell 0.62 -> 0.25
+    with n_probe pinned at 4 while cells grew 16 -> 141, and holding
+    the fraction at the small-SF contract (4/16 = 25%, n_probe =
+    cells/4 = 36) restored it to 0.77 (SCALE.md). The default
+    therefore preserves the probed fraction: per-query candidate work
+    is ``probe_frac * N`` (a constant-factor win over brute force that
+    holds recall on ANY distribution — the synthetic near-uniform
+    corpus is the worst case); strongly clustered real corpora can
+    lower ``probe_frac`` for the classical sub-linear probe regime."""
+    return int(max(min_probe, min(n_cells, round(n_cells * probe_frac))))
+
+
 def ivf_centroids(
     df: DataFrame,
     n_centroids: int | None = None,
@@ -467,7 +488,7 @@ def topk_ivf(
     queries: DataFrame,
     k: int = 10,
     n_centroids: int | None = None,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -502,6 +523,8 @@ def topk_ivf(
         centroids = ivf_centroids(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
+    if n_probe is None:
+        n_probe = derived_ivf_probes(len(centroids))
     c = (
         assigned_corpus
         if assigned_corpus is not None
@@ -608,7 +631,7 @@ def knn_join_ivf(
     centroids: list[list[float]],
     queries: DataFrame,
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -633,6 +656,8 @@ def knn_join_ivf(
     build-once index frames, shared with every other IVF consumer."""
     from pyspark.sql import Window
 
+    if n_probe is None:
+        n_probe = derived_ivf_probes(len(centroids))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -1002,7 +1027,7 @@ def topk_pq(
 def topk_ivfpq(
     queries: DataFrame,
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     shortlist: int = PQ_SHORTLIST,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1036,6 +1061,8 @@ def topk_ivfpq(
     ``topk_pq``."""
     from pyspark.sql import Window
 
+    if n_probe is None:
+        n_probe = derived_ivf_probes(len(centroids))
     sub_dim = len(codebooks[0][0])
     n_codes = len(codebooks[0])
     n_sub = len(codebooks)

@@ -184,17 +184,36 @@ def run_simhash(spark, sf_dir: str, bits: int, label: str) -> None:
     print(f"  [{label}] bits={bits:3d} near_pairs={n_pairs:8d} wall={dt:6.2f}s")
 
 
-def run_ann(spark, sf_dir: str, n_centroids: int, label: str) -> None:
+def run_ann(
+    spark,
+    sf_dir: str,
+    n_centroids: int,
+    label: str,
+    recall: bool = False,
+    n_probe: int | None = 4,
+) -> None:
     """Build the IVF quantizer + inverted file at ``n_centroids`` and
     run the k-NN JOIN of the 5%% query set; print build/join wall and
-    the average per-cell candidate count the join scans."""
+    the average per-cell candidate count the join scans.
+
+    ``recall=True`` additionally measures recall@k against exact
+    brute force on a ~10%% deterministic subsample of the query set —
+    the round-9 IVFADC recall pin (0.76-0.86) is a small-SF number;
+    this is the certificate that recall HOLDS as the corpus and the
+    derived cell count grow together (VERDICT r9 item 6)."""
     from pyspark.sql import functions as F
 
     from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        derived_ivf_probes,
         ivf_assigned,
         ivf_centroids,
         knn_join_ivf,
+        topk_bruteforce,
     )
+
+    if n_probe is None:  # the operator default: cell-tracking probes
+        n_probe = derived_ivf_probes(n_centroids)
+        label += f" n_probe={n_probe}"
     from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
         read_table,
     )
@@ -208,14 +227,31 @@ def run_ann(spark, sf_dir: str, n_centroids: int, label: str) -> None:
 
     queries = emb.filter(F.col("vec_id") % 20 == 3)  # 5% query set
     t0 = time.perf_counter()
-    joined = knn_join_ivf(assigned, cents, queries, k=5, n_probe=4)
+    joined = knn_join_ivf(assigned, cents, queries, k=5, n_probe=n_probe)
     joined.write.format("noop").mode("overwrite").save()
     t_join = time.perf_counter() - t0
 
     avg_cell = n_corpus / n_centroids
+    rec = ""
+    if recall:
+        # deterministic ~10% subsample of the query set; exact brute
+        # force as ground truth, recall@k = |ivf ∩ exact| / |exact|
+        sample = queries.filter(F.col("vec_id") % 200 == 3)
+        exact = topk_bruteforce(emb, sample, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        approx = knn_join_ivf(
+            assigned, cents, sample, k=5, n_probe=n_probe
+        ).select(
+            "query_id", "neighbor_id"
+        )
+        n_exact = exact.count()
+        n_hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
+        rec = f" recall@5={n_hit / max(n_exact, 1):.3f} ({n_hit}/{n_exact})"
     print(
         f"  [{label}] cells={n_centroids:4d} corpus={n_corpus:7d} "
         f"avg_cell={avg_cell:8.0f} build={t_build:6.2f}s knn_join={t_join:6.2f}s"
+        f"{rec}"
     )
     assigned.unpersist()
 
@@ -231,7 +267,15 @@ def main() -> None:
         "quadratic dedup_ngram_jaccard at factors past 10, where its "
         "within-block candidate set alone would dominate the run)",
     )
+    ap.add_argument(
+        "--sections",
+        default="dedup,simhash,ann",
+        help="comma-separated subset of {dedup,simhash,ann} to run "
+        "(e.g. --sections ann re-measures the recall certificate "
+        "without re-paying the ~10-min dedup table)",
+    )
     args = ap.parse_args()
+    sections = {x for x in args.sections.split(",") if x}
     skip = {q for q in args.skip.split(",") if q}
     if skip:
         DEDUP_QUERIES[:] = [q for q in DEDUP_QUERIES if q not in skip]
@@ -242,41 +286,48 @@ def main() -> None:
     spark = get_spark(app_name="ivdp-stress-batch")
     scratch = build_scratch(spark, args.factor)
     try:
-        # untimed session warmup: the first pass pays JVM/codegen/scan
-        # warmup that would otherwise inflate the 1x colds and invert
-        # the ratios (run_dedup_family releases the per-corpus caches,
-        # so the timed 1x pass still pays every index build)
-        print("== session warmup (untimed 1x pass) ==")
-        run_dedup_family(spark, BASE_SF)
-        print(f"== dedup family, 1x ({BASE_SF}) ==")
-        base = run_dedup_family(spark, BASE_SF)
-        print(f"== dedup family, {args.factor}x ({scratch}) ==")
-        big = run_dedup_family(spark, scratch)
-        print(
-            f"{'query':28s} {'1x cold':>8s} {'1x warm':>8s} "
-            f"{str(args.factor) + 'x cold':>9s} {str(args.factor) + 'x warm':>9s} "
-            f"{'cold r':>7s} {'warm r':>7s}"
-        )
-        for name in DEDUP_QUERIES:
-            bc, bw = base[name]
-            gc, gw = big[name]
-            rc = gc / bc if bc else float("inf")
-            rw = gw / bw if bw else float("inf")
+        if "dedup" in sections:
+            # untimed session warmup: the first pass pays JVM/codegen/
+            # scan warmup that would otherwise inflate the 1x colds and
+            # invert the ratios (run_dedup_family releases the
+            # per-corpus caches, so the timed 1x pass still pays every
+            # index build)
+            print("== session warmup (untimed 1x pass) ==")
+            run_dedup_family(spark, BASE_SF)
+            print(f"== dedup family, 1x ({BASE_SF}) ==")
+            base = run_dedup_family(spark, BASE_SF)
+            print(f"== dedup family, {args.factor}x ({scratch}) ==")
+            big = run_dedup_family(spark, scratch)
             print(
-                f"{name:28s} {bc:8.2f} {bw:8.2f} {gc:9.2f} {gw:9.2f} "
-                f"{rc:7.2f} {rw:7.2f}"
+                f"{'query':28s} {'1x cold':>8s} {'1x warm':>8s} "
+                f"{str(args.factor) + 'x cold':>9s} "
+                f"{str(args.factor) + 'x warm':>9s} "
+                f"{'cold r':>7s} {'warm r':>7s}"
             )
+            for name in DEDUP_QUERIES:
+                bc, bw = base[name]
+                gc, gw = big[name]
+                rc = gc / bc if bc else float("inf")
+                rw = gw / bw if bw else float("inf")
+                print(
+                    f"{name:28s} {bc:8.2f} {bw:8.2f} {gc:9.2f} {gw:9.2f} "
+                    f"{rc:7.2f} {rw:7.2f}"
+                )
 
-        print("== SimHash banding (operators, corpus-tracking band width) ==")
-        run_simhash(spark, BASE_SF, bits=32, label="1x, 32-bit/8-bit bands")
-        if args.factor <= 10:
-            # past 10x the saturated 32-bit config's output pairs alone
-            # grow quadratically (measured 2.65M at 10x) — the point is
-            # already made; only the tracked width is meaningful
-            run_simhash(spark, scratch, bits=32,
-                        label=f"{args.factor}x, FIXED 32-bit/8-bit bands")
-        run_simhash(spark, scratch, bits=None,
-                    label=f"{args.factor}x, OPERATOR-DEFAULT width")
+        if "simhash" in sections:
+            print("== SimHash banding (operators, corpus-tracking band width) ==")
+            run_simhash(spark, BASE_SF, bits=32, label="1x, 32-bit/8-bit bands")
+            if args.factor <= 10:
+                # past 10x the saturated 32-bit config's output pairs
+                # alone grow quadratically (measured 2.65M at 10x) — the
+                # point is already made; only the tracked width matters
+                run_simhash(spark, scratch, bits=32,
+                            label=f"{args.factor}x, FIXED 32-bit/8-bit bands")
+            run_simhash(spark, scratch, bits=None,
+                        label=f"{args.factor}x, OPERATOR-DEFAULT width")
+
+        if "ann" not in sections:
+            return
 
         from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
             derived_ivf_cells,
@@ -288,13 +339,22 @@ def main() -> None:
         tracked = derived_ivf_cells(n_big)
         print("== ANN k-NN JOIN (operators, corpus-tracking cells) ==")
         run_ann(spark, BASE_SF, 16, "1x warmup (discard)")
-        run_ann(spark, BASE_SF, 16, "1x, 16 cells (catalog pin)")
+        run_ann(spark, BASE_SF, 16, "1x, 16 cells (catalog pin)", recall=True)
         run_ann(spark, scratch, 16, f"{args.factor}x, FIXED 16 cells")
         run_ann(
             spark,
             scratch,
             tracked,
-            f"{args.factor}x, OPERATOR-DEFAULT derived_ivf_cells({n_big})={tracked}",
+            f"{args.factor}x, FIXED 4 probes, derived {tracked} cells",
+            recall=True,
+        )
+        run_ann(
+            spark,
+            scratch,
+            tracked,
+            f"{args.factor}x, OPERATOR-DEFAULT cells={tracked}",
+            recall=True,
+            n_probe=None,
         )
     finally:
         if args.keep:
