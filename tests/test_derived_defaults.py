@@ -69,6 +69,52 @@ def test_simhash_bits_clamps_and_granularity():
         prev = cur
 
 
+def test_derivation_laws_fuzz():
+    """Property fuzz over the derivation laws: granularity, clamps,
+    monotonicity, and the population/sqrt bounds hold on arbitrary
+    corpus sizes and band counts — not just the hand-picked cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=10**15),
+        bands=st.integers(min_value=1, max_value=10),
+    )
+    def check_simhash(n, bands):
+        b = derived_simhash_bits(n, bands=bands)
+        assert b % 4 == 0 and b % bands == 0 and 4 <= b <= 60
+        # monotone in n at fixed bands
+        assert derived_simhash_bits(n + max(1, n // 7), bands=bands) >= b
+        # population bound holds whenever the width is below the
+        # band-specific ceiling (the largest multiple of lcm(4, bands)
+        # that the 60-bit hex decode allows — e.g. 36 for bands=9);
+        # AT the ceiling the bound is physically out of reach and the
+        # docstring's "move to 64-bit fingerprints" note applies
+        step = 4 * bands // math.gcd(4, bands)
+        ceiling = 60 - (60 % step)
+        per_band = b // bands
+        if b < ceiling and b > 16 and n > 16:
+            assert 2**per_band >= n / 16
+
+    @settings(max_examples=300, deadline=None)
+    @given(n=st.integers(min_value=0, max_value=10**15))
+    def check_ivf(n):
+        c = derived_ivf_cells(n)
+        assert 16 <= c <= 1 << 20
+        if 16**2 <= n <= (1 << 20) ** 2:
+            assert abs(c - math.sqrt(n)) <= 0.5 + 1e-9
+        from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+            derived_ivf_probes,
+        )
+
+        p = derived_ivf_probes(c)
+        assert 4 <= p <= c  # never probes more cells than exist
+
+    check_simhash()
+    check_ivf()
+
+
 def test_simhash_default_width_derives_and_works(spark):
     rows = [(i, f"document body number {i} with words {i * 7}") for i in range(40)]
     rows.append((1000, rows[0][1]))  # exact copy of doc 0
