@@ -35,6 +35,13 @@ from incubyte_vaccination_data_pipeline_spark.catalog.dedup import (
     AUG_SQL,
     augmented_documents,
 )
+from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import ORACLES, QUERIES
 from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
     DEFAULT_PREFIX_LEN,
@@ -122,5 +129,136 @@ def register(names: list[str] | None = None) -> None:
     catalog/__init__.py)."""
     for name in (names if names is not None else list(STAGED)):
         fn, oracle = STAGED[name]
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+
+
+# --- staged for round 11: the WIDE SimHash pairs path --------------------
+#
+# The round-10 30x stress priced the catalog's oracle-pinned 32-bit
+# dedup_simhash_hamming at 184s/63x (saturated band buckets, ~24M junk
+# pairs) while the operator-default derived width did the same corpus
+# in 14.1s/134k pairs (SCALE.md). This query makes the WIDE path
+# driver-value-checkable: 48-bit fingerprints (the width
+# derived_simhash_bits picks for the 10x corpus) with 12-bit bands —
+# same decode/vote/pack arithmetic as the 32-bit oracle, generated at
+# 12 hex digits. STAGED (not registered) in round 10 so the four
+# round-8 queries and dedup_ngram_jaccard_prefix keep their promised
+# round-10 window slots; round 11 registers it (growth sim at 202
+# keeps the gap bound at ceil(202/50)=5).
+
+_WIDE_BITS = 48
+_WIDE_DIGITS = _WIDE_BITS // 4
+# full 12-digit positional decode (48 bits < 63, fits BIGINT exactly) —
+# the 12-digit generalization of md5_half_decode_sql's 8-digit decode,
+# mirroring operators/dedup._simhash_decode_col at digits=12
+_SVW_DECODE = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(m, {p + 1}, 1)) - 1)"
+    f" * CAST({16 ** (_WIDE_DIGITS - 1 - p)} AS BIGINT)"
+    for p in range(_WIDE_DIGITS)
+) + ")"
+
+_SVOTESW = ",\n               ".join(
+    f"SUM(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(_WIDE_BITS)
+)
+_SPACKW = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST({1 << (_WIDE_BITS - 1 - j)} AS BIGINT)"
+    f" ELSE CAST(0 AS BIGINT) END)"
+    for j in range(_WIDE_BITS)
+)
+
+_SIMHASHW_CTES = f"""aug AS ({AUG_SQL}),
+    stokw AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM aug
+    ),
+    shmw AS (
+        SELECT doc_id, md5(t) AS m FROM stokw
+    ),
+    svw AS (
+        SELECT doc_id, {_SVW_DECODE} AS v FROM shmw
+    ),
+    svotw AS (
+        SELECT doc_id, {_SVOTESW}
+        FROM svw GROUP BY doc_id
+    ),
+    fpw AS (
+        SELECT doc_id, {_SPACKW} AS simhash FROM svotw
+    )"""
+
+_WIDE_BAND_W = _WIDE_BITS // 4  # 4 bands of 12 bits
+_WIDE_MASK = (1 << _WIDE_BAND_W) - 1
+
+_SIMHASH_WIDE_ORACLE = f"""
+    WITH {_SIMHASHW_CTES},
+    wbanded AS (
+        SELECT doc_id, simhash,
+               unnest(list_transform(range(0, 4),
+                   b -> CAST(b AS VARCHAR) || '|'
+                        || CAST((simhash >> (b * {_WIDE_BAND_W})) & {_WIDE_MASK}
+                                AS VARCHAR))) AS band
+        FROM fpw
+    ),
+    wpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM wbanded a JOIN wbanded b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+    FROM wpairs p
+    JOIN fpw fa ON fa.doc_id = p.doc_a
+    JOIN fpw fb ON fb.doc_id = p.doc_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+"""
+
+#: per-(app, corpus) 48-bit fingerprint frame (both sides of the band
+#: self-join reference it — same caching rationale as _SHARED_SIMHASH32)
+_SHARED_SIMHASH48 = BoundedCache()
+
+
+def _shared_simhash48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _SHARED_SIMHASH48.get_or_build(
+        key,
+        lambda: durable_checkpoint(
+            simhash_fingerprints(
+                augmented_documents(spark, sf_dir), bits=_WIDE_BITS
+            )
+        ),
+    )
+
+
+def dedup_simhash_hamming_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) over a 48-BIT fingerprint
+    with 12-bit bands — the production-width path the 30x stress
+    showed is the difference between 14.1s and 184s at 30x data
+    (SCALE.md): per-band bucket space 4096 vs the 32-bit query's 256,
+    so band buckets keep ~constant population as the corpus grows.
+    48 bits is exactly what the operator default
+    (``derived_simhash_bits``) picks for the 10x corpus; the width is
+    pinned here as this query's oracle contract, with the SAME
+    decode/vote/pack arithmetic as the 32-bit oracle generated at 12
+    hex digits."""
+    return simhash_near_pairs(
+        _shared_simhash48(spark, sf_dir),
+        max_hamming=3,
+        bits=_WIDE_BITS,
+        bands=4,
+    )
+
+
+#: round-11 registrations: staged now (window protection — see module
+#: docstring), moved into the live registry by catalog/__init__.py
+#: NEXT round via register_r11().
+STAGED_R11 = {
+    "dedup_simhash_hamming_wide": (dedup_simhash_hamming_wide_q, _SIMHASH_WIDE_ORACLE),
+}
+
+
+def register_r11(names: list[str] | None = None) -> None:
+    """Move the round-11 staged queries into the live registry (to be
+    called from catalog/__init__.py in round 11)."""
+    for name in (names if names is not None else list(STAGED_R11)):
+        fn, oracle = STAGED_R11[name]
         QUERIES[name] = fn
         ORACLES[name] = oracle
