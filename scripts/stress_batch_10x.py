@@ -277,6 +277,17 @@ def main() -> None:
     args = ap.parse_args()
     sections = {x for x in args.sections.split(",") if x}
     skip = {q for q in args.skip.split(",") if q}
+    if args.factor > 10:
+        # past 10x the two queries whose small-SF pins are the
+        # DOCUMENTED saturation cases would dominate the run (r9: the
+        # 2-col ngram blocking; r10: 32-bit simhash at 184s/63x) — the
+        # operator-default variants cover both paths, so auto-skip the
+        # pins unless explicitly kept
+        for q in ("dedup_ngram_jaccard", "dedup_simhash_hamming"):
+            if q not in skip:
+                skip.add(q)
+                print(f"(auto-skip at factor>{10}: {q} — pinned small-SF "
+                      "config, documented saturation; pass --skip '' to keep)")
     if skip:
         DEDUP_QUERIES[:] = [q for q in DEDUP_QUERIES if q not in skip]
         print(f"(skipping: {sorted(skip)})")

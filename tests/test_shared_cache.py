@@ -133,12 +133,18 @@ def test_cluster_and_gram_caches_return_same_frame(spark, sf_dir):
 
     p1 = _shared_prefix_grams(spark, sf_dir)
     assert _shared_prefix_grams(spark, sf_dir) is p1
+    from incubyte_vaccination_data_pipeline_spark.catalog.round10_ext import (
+        _shared_simhash48,
+    )
+
+    w1 = _shared_simhash48(spark, sf_dir)
+    assert _shared_simhash48(spark, sf_dir) is w1
     # the refined gram frame carries the prefix block key the pinned
     # 2-column frame does not — the two caches must stay distinct
     assert "text_prefix" in p1.columns and "text_prefix" not in n1.columns
     # the sweep drops every entry (they all key sf_dir as an element)
     dropped = sc.release_shared_state(sf_dir)
-    assert dropped >= 7
+    assert dropped >= 8
     assert shared_duplicate_clusters(spark, sf_dir) is not c1
     sc.release_shared_state(sf_dir)
 
