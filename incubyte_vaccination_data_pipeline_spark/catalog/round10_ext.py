@@ -1,4 +1,6 @@
-"""Round-10 additions: the scale-safe default verify pass.
+"""Round-10 additions: the scale-safe default verify pass (registered)
+plus the wide-SimHash pairs path (STAGED_R11, registration deferred to
+round 11 — see the staging section at the bottom).
 
 - ``dedup_ngram_jaccard_prefix`` — exact char-3-gram Jaccard through
   the operator's NEW defaulted blocking (language + 20-char length
