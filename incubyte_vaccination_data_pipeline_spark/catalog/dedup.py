@@ -311,34 +311,63 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate growth with corpus size; 32-bit/8-bit bands gives 256).
 # Same one-md5-per-token decode as Spark (md5_half_decode_sql reused
 # with strpos) and an aggregation-form vote sum — bit-identical.
-_SV32_DECODE = md5_half_decode_sql("m", 1, instr_fn="strpos")
-_SVOTES32 = ",\n               ".join(
-    f"SUM(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-    for j in range(32)
-)
-_SPACK32 = " + ".join(
-    f"(CASE WHEN s{j} > 0 THEN CAST({1 << (31 - j)} AS BIGINT)"
-    f" ELSE CAST(0 AS BIGINT) END)"
-    for j in range(32)
-)
+def _simhash_decode_sql(digits: int) -> str:
+    """DuckDB decode of the first ``digits`` md5 hex chars into one
+    BIGINT — the ``digits``-parametric generalization of
+    ``md5_half_decode_sql`` (byte-identical to it at digits=8)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring(m, {1 + k}, 1)) - 1)"
+        f" * cast({16 ** (digits - 1 - k)} as bigint)"
+        for k in range(digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
-_SIMHASH32_CTES = f"""aug AS ({AUG_SQL}),
-    stok32 AS (
+
+def _simhash_votes_sql(bits: int) -> str:
+    return ",\n               ".join(
+        f"SUM(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+
+
+def _simhash_pack_sql(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << (bits - 1 - j)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+
+
+def simhash_oracle_ctes(bits: int, suffix: str) -> str:
+    """The full DuckDB fingerprint pipeline (tokenize -> md5 -> decode
+    -> per-bit votes -> pack) at any width, CTE names suffixed so two
+    widths can coexist in one statement namespace. ONE generator
+    serves every width (32-bit here, 48-bit in round10_ext) so the
+    decode/vote/pack arithmetic can never diverge between them —
+    at bits=32, suffix="32" the output is byte-identical to the
+    pre-round-10 hand-written _SIMHASH32_CTES (oracle text feeds the
+    driver fingerprint, so this refactor is certified no-op by
+    tests/test_fingerprints.py)."""
+    return f"""aug AS ({AUG_SQL}),
+    stok{suffix} AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM aug
     ),
-    shm32 AS (
-        SELECT doc_id, md5(t) AS m FROM stok32
+    shm{suffix} AS (
+        SELECT doc_id, md5(t) AS m FROM stok{suffix}
     ),
-    sv32 AS (
-        SELECT doc_id, {_SV32_DECODE} AS v FROM shm32
+    sv{suffix} AS (
+        SELECT doc_id, {_simhash_decode_sql(bits // 4)} AS v FROM shm{suffix}
     ),
-    svot32 AS (
-        SELECT doc_id, {_SVOTES32}
-        FROM sv32 GROUP BY doc_id
+    svot{suffix} AS (
+        SELECT doc_id, {_simhash_votes_sql(bits)}
+        FROM sv{suffix} GROUP BY doc_id
     ),
-    fp32 AS (
-        SELECT doc_id, {_SPACK32} AS simhash FROM svot32
+    fp{suffix} AS (
+        SELECT doc_id, {_simhash_pack_sql(bits)} AS simhash FROM svot{suffix}
     )"""
+
+
+_SIMHASH32_CTES = simhash_oracle_ctes(32, "32")
 
 
 @query(

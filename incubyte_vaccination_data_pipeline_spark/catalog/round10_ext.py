@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from incubyte_vaccination_data_pipeline_spark.catalog.dedup import (
     AUG_SQL,
     augmented_documents,
+    simhash_oracle_ctes,
 )
 from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
     simhash_fingerprints,
@@ -150,43 +151,10 @@ def register(names: list[str] | None = None) -> None:
 # keeps the gap bound at ceil(202/50)=5).
 
 _WIDE_BITS = 48
-_WIDE_DIGITS = _WIDE_BITS // 4
-# full 12-digit positional decode (48 bits < 63, fits BIGINT exactly) —
-# the 12-digit generalization of md5_half_decode_sql's 8-digit decode,
-# mirroring operators/dedup._simhash_decode_col at digits=12
-_SVW_DECODE = "(" + " + ".join(
-    f"(strpos('0123456789abcdef', substr(m, {p + 1}, 1)) - 1)"
-    f" * CAST({16 ** (_WIDE_DIGITS - 1 - p)} AS BIGINT)"
-    for p in range(_WIDE_DIGITS)
-) + ")"
-
-_SVOTESW = ",\n               ".join(
-    f"SUM(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-    for j in range(_WIDE_BITS)
-)
-_SPACKW = " + ".join(
-    f"(CASE WHEN s{j} > 0 THEN CAST({1 << (_WIDE_BITS - 1 - j)} AS BIGINT)"
-    f" ELSE CAST(0 AS BIGINT) END)"
-    for j in range(_WIDE_BITS)
-)
-
-_SIMHASHW_CTES = f"""aug AS ({AUG_SQL}),
-    stokw AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM aug
-    ),
-    shmw AS (
-        SELECT doc_id, md5(t) AS m FROM stokw
-    ),
-    svw AS (
-        SELECT doc_id, {_SVW_DECODE} AS v FROM shmw
-    ),
-    svotw AS (
-        SELECT doc_id, {_SVOTESW}
-        FROM svw GROUP BY doc_id
-    ),
-    fpw AS (
-        SELECT doc_id, {_SPACKW} AS simhash FROM svotw
-    )"""
+# ONE shared generator (catalog/dedup.simhash_oracle_ctes) produces the
+# decode/vote/pack SQL for every width — the 32-bit oracle and this one
+# can never diverge arithmetically (round-10 review finding)
+_SIMHASHW_CTES = simhash_oracle_ctes(_WIDE_BITS, "w")
 
 _WIDE_BAND_W = _WIDE_BITS // 4  # 4 bands of 12 bits
 _WIDE_MASK = (1 << _WIDE_BAND_W) - 1

@@ -234,6 +234,16 @@ def derived_simhash_bits(
     and the band slicing stay exact."""
     import math
 
+    step = bands * 4 // math.gcd(bands, 4)  # lcm(bands, 4)
+    if step > max_bits:
+        # no width can satisfy both granularities within the hex
+        # decode ceiling (e.g. bands=17 -> lcm 68 > 60): an impossible
+        # configuration must fail loudly, not return a 0-bit width
+        # whose empty band mask degenerates the join to all-pairs
+        raise ValueError(
+            f"bands={bands}: no width that is a multiple of both 4 and "
+            f"bands fits the {max_bits}-bit hex decode"
+        )
     need = max(1, math.ceil(math.log2(max(n_docs, 1) / target_bucket_docs)))
     bits = bands * need
     while bits % 4:
@@ -241,7 +251,7 @@ def derived_simhash_bits(
     lo = min_bits
     while lo % bands or lo % 4:
         lo += 1
-    hi = max_bits - (max_bits % (bands * 4 // math.gcd(bands, 4)))
+    hi = max_bits - (max_bits % step)
     return int(min(hi, max(lo, bits)))
 
 

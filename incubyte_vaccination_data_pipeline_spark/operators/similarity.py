@@ -351,7 +351,9 @@ def derived_ivf_probes(
     holds recall on ANY distribution — the synthetic near-uniform
     corpus is the worst case); strongly clustered real corpora can
     lower ``probe_frac`` for the classical sub-linear probe regime."""
-    return int(max(min_probe, min(n_cells, round(n_cells * probe_frac))))
+    # the cell cap wins over min_probe: a 3-cell quantizer probes at
+    # most 3 cells, never a "minimum" 4 that silently scans everything
+    return int(min(n_cells, max(min_probe, round(n_cells * probe_frac))))
 
 
 def ivf_centroids(
@@ -1061,6 +1063,12 @@ def topk_ivfpq(
     ``topk_pq``."""
     from pyspark.sql import Window
 
+    if centroids is None or codebooks is None or assigned_corpus is None:
+        raise ValueError(
+            "topk_ivfpq requires a prebuilt index: centroids + "
+            "assigned_corpus (ivf_centroids/ivf_assigned) and codebooks "
+            "(+ encoded_corpus) — build once per corpus, probe many times"
+        )
     if n_probe is None:
         n_probe = derived_ivf_probes(len(centroids))
     sub_dim = len(codebooks[0][0])

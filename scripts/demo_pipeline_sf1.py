@@ -156,25 +156,28 @@ def main() -> None:
     data_dir = os.path.join(root, "csv")
     os.makedirs(data_dir)
     rows_per_country = args.rows // len(COUNTRIES)
-
-    t0 = time.perf_counter()
-    for idx, country in enumerate(COUNTRIES):
-        df = _gen_country(spark, country, idx, rows_per_country)
-        tmp_out = os.path.join(root, f"_gen_{country}")
-        df.coalesce(1).write.option("header", True).mode("overwrite").csv(tmp_out)
-        part = glob.glob(os.path.join(tmp_out, "part-*.csv"))[0]
-        shutil.move(part, os.path.join(data_dir, f"{country}.csv"))
-        shutil.rmtree(tmp_out)
-    t_gen = time.perf_counter() - t0
-    csv_bytes = sum(
-        os.path.getsize(os.path.join(data_dir, f)) for f in os.listdir(data_dir)
-    )
-    print(
-        f"generated {args.rows:,} rows across {len(COUNTRIES)} CSVs "
-        f"({csv_bytes / 1e9:.2f} GB) in {t_gen:.1f}s"
-    )
+    # the actually-generated total (integer division remainder is NOT
+    # generated and must not be misattributed to the pipeline's drops)
+    n_rows = rows_per_country * len(COUNTRIES)
 
     try:
+        t0 = time.perf_counter()
+        for idx, country in enumerate(COUNTRIES):
+            df = _gen_country(spark, country, idx, rows_per_country)
+            tmp_out = os.path.join(root, f"_gen_{country}")
+            df.coalesce(1).write.option("header", True).mode("overwrite").csv(tmp_out)
+            part = glob.glob(os.path.join(tmp_out, "part-*.csv"))[0]
+            shutil.move(part, os.path.join(data_dir, f"{country}.csv"))
+            shutil.rmtree(tmp_out)
+        t_gen = time.perf_counter() - t0
+        csv_bytes = sum(
+            os.path.getsize(os.path.join(data_dir, f)) for f in os.listdir(data_dir)
+        )
+        print(
+            f"generated {n_rows:,} rows across {len(COUNTRIES)} CSVs "
+            f"({csv_bytes / 1e9:.2f} GB) in {t_gen:.1f}s"
+        )
+
         t0 = time.perf_counter()
         stored, views = run_pipeline(
             spark,
@@ -186,18 +189,18 @@ def main() -> None:
         n_warehouse = stored.count()
         t_pipe = time.perf_counter() - t0
         n_dead = spark.read.parquet(os.path.join(root, "dead_letter")).count()
-        n_dropped = args.rows - n_warehouse - n_dead
+        n_dropped = n_rows - n_warehouse - n_dead
         print(
             f"pipeline: {n_warehouse:,} warehouse rows + {n_dead:,} "
             f"dead-lettered + {n_dropped:,} mandatory-filtered of "
-            f"{args.rows:,} in {t_pipe:.1f}s "
-            f"({args.rows / t_pipe / 1e6:.2f}M rows/s end-to-end)"
+            f"{n_rows:,} in {t_pipe:.1f}s "
+            f"({n_rows / t_pipe / 1e6:.2f}M rows/s end-to-end)"
         )
         # planted dirt: bad Open_Date (gid % 53 == 7) -> dead-letter;
         # NULL name (gid % 97 == 13, minus the % 53 overlap already
         # dead) -> silently dropped by the P8 mandatory filter
-        expect_dead = args.rows / 53
-        expect_dropped = args.rows / 97 * (1 - 1 / 53)
+        expect_dead = n_rows / 53
+        expect_dropped = n_rows / 97 * (1 - 1 / 53)
         assert 0.9 * expect_dead <= n_dead <= 1.1 * expect_dead, (
             f"dead-letter count {n_dead} outside expected ~{expect_dead:.0f}"
         )

@@ -155,7 +155,7 @@ def run_dedup_family(spark, sf_dir: str) -> dict[str, tuple[float, float]]:
     return out
 
 
-def run_simhash(spark, sf_dir: str, bits: int, label: str) -> None:
+def run_simhash(spark, sf_dir: str, bits: int | None, label: str) -> None:
     """SimHash fingerprints + banded Hamming pairs via the OPERATORS at
     a given fingerprint width: the catalog pins 32-bit/4-band (8-bit
     bands, 256 buckets/band — an oracle-portable small-SF choice,
@@ -173,10 +173,12 @@ def run_simhash(spark, sf_dir: str, bits: int, label: str) -> None:
     )
 
     aug = augmented_documents(spark, sf_dir)
-    if bits is None:  # the operator default: corpus-derived width
+    t0 = time.perf_counter()
+    if bits is None:  # the operator default: corpus-derived width —
+        # the count() it pays is part of the default path, so it is
+        # INSIDE the timed wall
         bits = derived_simhash_bits(aug.count())
         label += f" (derived {bits}-bit)"
-    t0 = time.perf_counter()
     fps = simhash_fingerprints(aug, bits=bits).localCheckpoint()
     pairs = simhash_near_pairs(fps, max_hamming=3, bits=bits, bands=4)
     n_pairs = pairs.count()
@@ -261,6 +263,13 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument(
+        "--keep-pinned",
+        action="store_true",
+        help="keep the pinned small-SF configs (dedup_ngram_jaccard, "
+        "dedup_simhash_hamming) in the table at factor > 10 despite "
+        "their documented saturation",
+    )
+    ap.add_argument(
         "--skip",
         default="",
         help="comma-separated query names to exclude (e.g. the documented-"
@@ -277,17 +286,17 @@ def main() -> None:
     args = ap.parse_args()
     sections = {x for x in args.sections.split(",") if x}
     skip = {q for q in args.skip.split(",") if q}
-    if args.factor > 10:
+    if args.factor > 10 and not args.keep_pinned:
         # past 10x the two queries whose small-SF pins are the
         # DOCUMENTED saturation cases would dominate the run (r9: the
         # 2-col ngram blocking; r10: 32-bit simhash at 184s/63x) — the
         # operator-default variants cover both paths, so auto-skip the
-        # pins unless explicitly kept
+        # pins unless --keep-pinned
         for q in ("dedup_ngram_jaccard", "dedup_simhash_hamming"):
             if q not in skip:
                 skip.add(q)
                 print(f"(auto-skip at factor>{10}: {q} — pinned small-SF "
-                      "config, documented saturation; pass --skip '' to keep)")
+                      "config, documented saturation; --keep-pinned to keep)")
     if skip:
         DEDUP_QUERIES[:] = [q for q in DEDUP_QUERIES if q not in skip]
         print(f"(skipping: {sorted(skip)})")

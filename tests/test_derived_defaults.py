@@ -76,6 +76,28 @@ def test_derivation_laws_fuzz():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        derived_ivf_probes,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=10**15),
+        bands=st.integers(min_value=16, max_value=64),
+    )
+    def check_simhash_impossible_bands(n, bands):
+        # widths must be multiples of lcm(4, bands) <= 60; when none
+        # exists the function must RAISE, never return a 0-bit width
+        # whose empty band mask degenerates the join to all-pairs
+        step = 4 * bands // math.gcd(4, bands)
+        if step > 60:
+            with pytest.raises(ValueError):
+                derived_simhash_bits(n, bands=bands)
+        else:
+            assert derived_simhash_bits(n, bands=bands) % bands == 0
+
+    check_simhash_impossible_bands()
+
     @settings(max_examples=300, deadline=None)
     @given(
         n=st.integers(min_value=0, max_value=10**15),
@@ -104,12 +126,18 @@ def test_derivation_laws_fuzz():
         assert 16 <= c <= 1 << 20
         if 16**2 <= n <= (1 << 20) ** 2:
             assert abs(c - math.sqrt(n)) <= 0.5 + 1e-9
-        from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
-            derived_ivf_probes,
-        )
-
         p = derived_ivf_probes(c)
         assert 4 <= p <= c  # never probes more cells than exist
+
+    @settings(max_examples=200, deadline=None)
+    @given(cells=st.integers(min_value=1, max_value=10**6))
+    def check_probes_capped(cells):
+        # the cell cap must win over min_probe: a 2-cell quantizer
+        # probes at most 2 cells (round-10 review finding)
+        p = derived_ivf_probes(cells)
+        assert 1 <= p <= cells
+
+    check_probes_capped()
 
     check_simhash()
     check_ivf()

@@ -63,6 +63,14 @@ def test_wide_simhash_finds_exact_planted_pairs(spark, sf_dir):
     )
 
     rows = round10_ext.dedup_simhash_hamming_wide_q(spark, sf_dir).collect()
+    # the junk bound the wide path exists for: the 48-bit band space
+    # must not spray candidates — the 32-bit catalog query at the same
+    # corpus and threshold is the saturation baseline, and the wide
+    # result must not exceed it (at 10x/30x the measured gap is
+    # 2.65M/24M vs 134k-274k pairs; at test SF both are small but the
+    # ordering must already hold)
+    n32 = catalog.QUERIES["dedup_simhash_hamming"](spark, sf_dir).count()
+    assert len(rows) <= n32, (len(rows), n32)
     found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
     planted = [
         (r["doc_id"] - 1000000, r["doc_id"])
