@@ -32,6 +32,7 @@ re-verification gap at ceil(201/50) = 5
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from incubyte_vaccination_data_pipeline_spark.catalog.dedup import (
     AUG_SQL,
@@ -217,11 +218,59 @@ def dedup_simhash_hamming_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- staged for round 11: radius search through the IVF index ------------
+
+def ann_radius_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search THROUGH the shared IVF index: every
+    neighbor with cosine >= 0.25 for the query vectors, scoring only
+    each query's probed cells — the indexed twin of
+    ``ann_cosine_range`` (whose broadcast-queries x full-corpus scan
+    is exactly what a 100 TB corpus cannot afford per query batch).
+    Candidates outside the probed cells are missed (the IVF trade);
+    every returned pair carries its exact cosine, so results are a
+    subset of the brute-force range query with identical scores —
+    pinned in tests. The oracle replays the whole index pipeline in
+    SQL (seeds -> integer-Lloyd -> assign -> probe) with a threshold
+    tail instead of the rank window."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        IVF_N_PROBE,
+        N_QUERY_VECTORS,
+        RANGE_THRESHOLD,
+        _ivf_assigned_index,
+        _ivf_index,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        radius_search_ivf,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return radius_search_ivf(
+        None,
+        queries,
+        threshold=RANGE_THRESHOLD,
+        n_probe=IVF_N_PROBE,
+        centroids=_ivf_index(spark, sf_dir),
+        assigned_corpus=_ivf_assigned_index(spark, sf_dir),
+    )
+
+
+def _radius_oracle() -> str:
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        RANGE_THRESHOLD,
+        _ivf_oracle,
+    )
+
+    return _ivf_oracle(radius=RANGE_THRESHOLD)
+
+
 #: round-11 registrations: staged now (window protection — see module
 #: docstring), moved into the live registry by catalog/__init__.py
 #: NEXT round via register_r11().
 STAGED_R11 = {
     "dedup_simhash_hamming_wide": (dedup_simhash_hamming_wide_q, _SIMHASH_WIDE_ORACLE),
+    "ann_radius_ivf": (ann_radius_ivf_q, _radius_oracle()),
 }
 
 

@@ -251,6 +251,7 @@ def _ivf_oracle(
     nprobe: int | None = None,
     query_pred: str | None = None,
     k: int | None = None,
+    radius: float | None = None,
 ) -> str:
     """Full SQL restatement of the IVF pipeline: content-addressed
     seeds (smallest ``md5(vec_id)``), unit-normalization, one Lloyd
@@ -270,6 +271,16 @@ def _ivf_oracle(
     nprobe = IVF_N_PROBE if nprobe is None else nprobe
     query_pred = f"vec_id < {N_QUERY_VECTORS}" if query_pred is None else query_pred
     k = TOP_K if k is None else k
+    # ``radius`` swaps the tail from the rank window to a threshold
+    # filter over the same exact-cosine candidates (staged
+    # ``ann_radius_ivf``); radius=None renders byte-identical text to
+    # the pre-parameter oracle (the IVFADC splice markers depend on it)
+    tail = (
+        f"SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"
+        if radius is None
+        else f"SELECT query_id, neighbor_id, cosine FROM scored"
+        f" WHERE cosine >= {radius}"
+    )
     return f"""
     WITH seed_raw AS (
         SELECT sid, embedding FROM (
@@ -360,7 +371,7 @@ def _ivf_oracle(
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    {tail}
     """
 
 

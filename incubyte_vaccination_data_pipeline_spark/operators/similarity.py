@@ -557,6 +557,61 @@ def topk_ivf(
     )
 
 
+def radius_search_ivf(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    threshold: float,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    assigned_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Range (radius) search THROUGH the IVF index: every neighbor
+    with cosine >= ``threshold``, scoring only the query's ``n_probe``
+    probed cells — the indexed twin of :func:`range_search`, for
+    corpora too large to scan per query batch. Same probe machinery
+    and index-sharing contract as :func:`topk_ivf` (pass the prebuilt
+    ``centroids`` + ``assigned_corpus``; build once, probe many), but
+    the tail is a threshold FILTER instead of the per-query rank
+    window — no shuffle at all after the broadcast probe join.
+    Approximation semantics: candidates outside the probed cells are
+    missed (exactly top-k IVF's trade); every RETURNED pair carries
+    its exact cosine, so results are a subset of :func:`range_search`
+    with identical scores. Returns (query_id, neighbor_id, cosine)."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col)
+    if n_probe is None:
+        n_probe = derived_ivf_probes(len(centroids))
+    c = (
+        assigned_corpus
+        if assigned_corpus is not None
+        else ivf_assigned(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
+        F.explode(ivf_probes_expr(vec_col, centroids, n_probe)).alias("cid"),
+    )
+    return (
+        c.join(F.broadcast(q), on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+        # same optimizer fence as range_search: evaluate the dot fold
+        # once, never inside a scan-level predicate
+        .withColumn("__fence", F.rand(seed=0))
+        .filter((F.col("cosine") >= threshold) | (F.col("__fence") < -1))
+        .drop("__fence")
+    )
+
+
 def kcenter_coreset(
     df: DataFrame,
     k: int = 8,

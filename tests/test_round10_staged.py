@@ -51,6 +51,25 @@ def test_staged_r11_query_matches_oracle(spark, sf_dir, duck, name):
             assert _values_equal(av, bv), (name, col, av, bv)
 
 
+def test_radius_ivf_subset_of_bruteforce_with_equal_scores(spark, sf_dir):
+    """IVF radius search only PRUNES candidates: every returned pair
+    must appear in the brute-force range result with the identical
+    rounded cosine, and the planted high-similarity structure must
+    survive the probe pruning (non-empty result)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in catalog.QUERIES["ann_cosine_range"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in round10_ext.ann_radius_ivf_q(spark, sf_dir).collect()
+    }
+    assert ivf, "radius-IVF returned nothing — probe pruning too aggressive"
+    assert set(ivf) <= set(brute)
+    for pair, cos in ivf.items():
+        assert cos == brute[pair], (pair, cos, brute[pair])
+
+
 def test_wide_simhash_finds_exact_planted_pairs(spark, sf_dir):
     """Exact copies collide at any width: every planted exact-dup pair
     (d, d+1000000) must appear with hamming 0; and the 48-bit band
