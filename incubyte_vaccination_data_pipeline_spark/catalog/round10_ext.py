@@ -273,6 +273,13 @@ STAGED_R11 = {
     "ann_radius_ivf": (ann_radius_ivf_q, _radius_oracle()),
 }
 
+# second staging batch (substring dedup + BM25) — see that module's
+# docstring; merged here so register_r11() and the staged-query test
+# parametrization cover every round-11 registration in one place.
+from incubyte_vaccination_data_pipeline_spark.catalog import round11_staged  # noqa: E402
+
+STAGED_R11.update(round11_staged.STAGED)
+
 
 def register_r11(names: list[str] | None = None) -> None:
     """Move the round-11 staged queries into the live registry (to be

@@ -1,0 +1,219 @@
+"""Second round-11 staging batch (registration deferred — window
+protection, same rationale as ``round10_ext.STAGED_R11``): two
+training-data curation operators the catalog lacked.
+
+- ``text_substring_dedup`` — per-document duplicated-substring
+  statistics: the exact cross-document word-8-gram duplication signal
+  behind "strip verbatim-repeated passages before training" (the
+  position-level complement of the doc-level dedup family: MinHash
+  finds near-duplicate DOCUMENTS; this finds duplicated PASSAGES
+  inside otherwise-unique documents). Exact integer arithmetic plus
+  one int/int division, so the DuckDB oracle value-checks every row.
+- ``text_bm25_topk`` — BM25 (k1=1.2, b=0.75) relevance ranking of the
+  corpus for a CORPUS-DERIVED query (the 5 highest-document-frequency
+  tokens of length >= 4, ties by token): the retrieval primitive
+  behind relevance-filtered corpus selection and RAG candidate
+  generation. Two-pass plan: one token aggregate derives df / the
+  query terms / corpus stats, then a broadcast of the 5-term query
+  frame scores only matching postings.
+
+Both are registered in round 11 via ``round10_ext.register_r11()``
+(this module's STAGED dict is merged into ``round10_ext.STAGED_R11``
+at import); the growth simulation at 205 registered queries keeps the
+re-verification gap at ceil(205/50) = 5.
+
+Reference parity note: the reference (a 1,172-LoC pandas+Snowflake
+ETL, see SURVEY.md) has no corpus-analysis surface; these extend the
+engine's training-data family per the build charter, like the rest of
+the text/dedup catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+    md5_half_decode_sql,
+    substring_dup_stats,
+)
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+#: substring-dedup contract: word-8-gram positions, duplicated =
+#: appears in >= 2 distinct docs, flag at 20% duplicated positions.
+SUBSTR_K = 8
+SUBSTR_MIN_DOCS = 2
+SUBSTR_FLAG_FRAC = 0.2
+
+
+def text_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring statistics over word-8-gram
+    positions (``operators/dedup.substring_dup_stats``): n_shingles =
+    k-gram positions, dup_shingles = positions whose k-gram occurs in
+    >= 2 distinct documents, dup_frac rounded to 6 dp, dup_heavy at
+    20%. The synthetic corpus's planted exact/near duplicates make the
+    flag discriminate (pinned in tests) instead of being constant."""
+    return substring_dup_stats(
+        read_table(spark, sf_dir, "documents"),
+        k=SUBSTR_K,
+        min_docs=SUBSTR_MIN_DOCS,
+        flag_frac=SUBSTR_FLAG_FRAC,
+    )
+
+
+_SUBSTR_V1 = md5_half_decode_sql("m", 1, "strpos")
+_SUBSTR_V2 = md5_half_decode_sql("m", 9, "strpos")
+
+_SUBSTR_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               md5(unnest(list_transform(
+                   range(1, greatest(len(w) - {SUBSTR_K - 1}, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(w, i, i + {SUBSTR_K - 1}), ' ')))) AS m
+        FROM ws
+    ),
+    h AS (
+        SELECT doc_id, {_SUBSTR_V1} AS v1, {_SUBSTR_V2} AS v2 FROM sh
+    ),
+    per AS (
+        SELECT v1, v2, doc_id, CAST(COUNT(*) AS BIGINT) AS occ
+        FROM h GROUP BY v1, v2, doc_id
+    ),
+    nd AS (
+        SELECT v1, v2, CAST(COUNT(*) AS BIGINT) AS nd
+        FROM per GROUP BY v1, v2
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(SUM(occ) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN nd >= {SUBSTR_MIN_DOCS} THEN occ
+                             ELSE 0 END) AS BIGINT) AS dup_shingles
+        FROM per JOIN nd USING (v1, v2)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, dup_shingles,
+           round(CAST(dup_shingles AS DOUBLE) / n_shingles, 6) AS dup_frac,
+           CAST(round(CAST(dup_shingles AS DOUBLE) / n_shingles, 6)
+                >= {SUBSTR_FLAG_FRAC} AS INT) AS dup_heavy
+    FROM stats
+"""
+
+
+#: BM25 contract: standard Okapi parameters, 5 corpus-derived query
+#: terms (highest df, len >= 4, ties by token), top 20 documents.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_TERMS = 5
+BM25_TOP_K = 20
+BM25_MIN_TOK_LEN = 4
+
+
+def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for the corpus-derived 5-term query.
+
+    Plan shape (the retrieval-filtering pass of corpus curation at
+    scale): ONE (doc, token) aggregate feeds both document frequency
+    and the query-term derivation; the 5-term query frame and the
+    1-row corpus stats broadcast, so scoring touches only the postings
+    of the 5 query terms (a broadcast-join prune, never a full-corpus
+    re-scan); the global top-20 is ``orderBy().limit()`` — Spark's
+    TakeOrdered, a per-partition heap + driver merge of 20-row heads,
+    NOT a single-partition global sort — and the dense rank is a
+    window over only the 20 surviving rows. idf = ln(1 + (N - df +
+    0.5)/(df + 0.5)) (the non-negative Okapi variant); the 6-dp round
+    of a <= 5-term double sum is engine-stable (same precedent as
+    ``events_value_trend``)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") >= BM25_MIN_TOK_LEN)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "tok").limit(BM25_N_TERMS)
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_query_terms"),
+        )
+    )
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOP_K)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+_BM25_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE length(tok) >= {BM25_MIN_TOK_LEN}
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    q AS (
+        SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT {BM25_N_TERMS}
+    ),
+    dl AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               round(SUM(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {BM25_K1 + 1.0})
+                   / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))
+               ), 6) AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_query_terms
+        FROM tf
+        JOIN q USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, n_query_terms,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT doc_id, bm25, n_query_terms,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {BM25_TOP_K}
+"""
+
+
+STAGED = {
+    "text_substring_dedup": (text_substring_dedup_q, _SUBSTR_ORACLE),
+    "text_bm25_topk": (text_bm25_topk_q, _BM25_ORACLE),
+}

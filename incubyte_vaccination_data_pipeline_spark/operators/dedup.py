@@ -882,3 +882,86 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    flag_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document duplicated-substring statistics — the exact
+    cross-document substring-dedup signal (the long-k-gram analysis
+    behind "remove verbatim-repeated passages from the training set"):
+    every word ``k``-gram OCCURRENCE (positions, not distinct grams)
+    is hashed once; a k-gram is DUPLICATED when it occurs in at least
+    ``min_docs`` distinct documents; each document reports its total
+    k-gram positions, how many of them carry a duplicated k-gram, the
+    duplicated fraction, and a ``dup_heavy`` flag at ``flag_frac``.
+
+    Scale notes (the same contract as the rest of this module): the
+    k-gram explode runs after :func:`fanout_repartition` so the
+    100-1000x expansion uses every core; each shingle is md5'd ONCE in
+    codegen and the shuffle key is its two decoded 32-bit halves
+    (64 bits of discrimination, two bigints — never the raw k-word
+    string, which at k=8 averages ~50 bytes); both aggregations are
+    map-side combinable, and the (v1, v2) grouping reuses nothing from
+    the doc layout so it is the one unavoidable corpus-wide shuffle —
+    O(total token count) rows of three ints. A same-hash collision
+    would mark an unrelated k-gram duplicated; at 64 bits that needs
+    ~2^32 distinct k-grams in one corpus, and the DuckDB oracle states
+    the identical decode so the certificate is exact either way.
+
+    Returns (doc_id, n_shingles, dup_shingles, dup_frac, dup_heavy);
+    documents with fewer than ``k`` words carry no k-gram and are
+    absent, matching the empty ``range()`` in the SQL restatement.
+    """
+    words = fanout_repartition(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.split(F.lower(F.col(text_col)), " ").alias("words"),
+        ).filter(F.size("words") >= k),
+        "doc",
+    )
+    shingles = words.select(
+        "doc",
+        F.expr(
+            f"""
+            explode(transform(sequence(1, size(words) - {k - 1}),
+                              i -> array_join(slice(words, i, {k}), ' ')))
+            """
+        ).alias("shingle"),
+    )
+    hashed = shingles.select("doc", F.md5("shingle").alias("m")).select(
+        "doc",
+        F.expr(f"cast({md5_half_decode_sql('m', 1)} as bigint)").alias("v1"),
+        F.expr(f"cast({md5_half_decode_sql('m', 9)} as bigint)").alias("v2"),
+    )
+    per_doc_gram = hashed.groupBy("v1", "v2", "doc").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    # per_doc_gram is already unique on (v1, v2, doc), so the distinct-doc
+    # count per gram is a plain count — map-side combinable.
+    gram_docs = per_doc_gram.groupBy("v1", "v2").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    stats = (
+        per_doc_gram.join(gram_docs, ["v1", "v2"])
+        .groupBy("doc")
+        .agg(
+            F.sum("occ").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("nd") >= min_docs, F.col("occ")).otherwise(F.lit(0))
+            ).alias("dup_shingles"),
+        )
+    )
+    dup_frac = F.round(F.col("dup_shingles") / F.col("n_shingles"), 6)
+    return stats.select(
+        F.col("doc").alias("doc_id"),
+        "n_shingles",
+        "dup_shingles",
+        dup_frac.alias("dup_frac"),
+        (dup_frac >= F.lit(flag_frac)).cast("int").alias("dup_heavy"),
+    )

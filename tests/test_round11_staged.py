@@ -1,0 +1,135 @@
+"""Semantic pins for the second round-11 staging batch
+(catalog/round11_staged.py): the DuckDB value side-by-side runs in
+tests/test_round10_staged.py (parametrized over the merged
+STAGED_R11); these tests pin the properties the oracle alone cannot
+state — hash-collision-freedom at test scale, discrimination of the
+dup_heavy flag, and the BM25 ranking laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.catalog import round11_staged as r11
+from incubyte_vaccination_data_pipeline_spark.catalog import round10_ext
+from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+    substring_dup_stats,
+)
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+
+def test_second_batch_merged_into_staged_r11():
+    """register_r11() must pick up the second batch: the merged dict is
+    the single round-11 registration source."""
+    assert set(r11.STAGED) <= set(round10_ext.STAGED_R11)
+
+
+def test_substring_dedup_hash_equals_raw_shingles(spark, sf_dir):
+    """The 64-bit (v1, v2) shingle key must be collision-free at test
+    scale: recomputing the same statistics grouped by the RAW k-gram
+    string (the arbitrarily-wide shuffle key the operator exists to
+    avoid) gives identical rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = {
+        row["doc_id"]: (row["n_shingles"], row["dup_shingles"])
+        for row in r11.text_substring_dedup_q(spark, sf_dir).collect()
+    }
+    words = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("words")
+    ).filter(F.size("words") >= r11.SUBSTR_K)
+    sh = words.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(1, size(words) - {r11.SUBSTR_K - 1}),"
+            f" i -> array_join(slice(words, i, {r11.SUBSTR_K}), ' ')))"
+        ).alias("shingle"),
+    )
+    per = sh.groupBy("shingle", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    nd = per.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    raw = {
+        row["doc_id"]: (row["n"], row["d"])
+        for row in per.join(nd, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n"),
+            F.sum(
+                F.when(F.col("nd") >= r11.SUBSTR_MIN_DOCS, F.col("occ")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("d"),
+        )
+        .collect()
+    }
+    assert hashed == raw
+
+
+def test_substring_dedup_flag_discriminates(spark, sf_dir):
+    """The planted duplicate structure must make dup_heavy a real
+    signal: some flagged, most not, bounds respected."""
+    rows = r11.text_substring_dedup_q(spark, sf_dir).collect()
+    assert rows
+    heavy = [row for row in rows if row["dup_heavy"] == 1]
+    assert 0 < len(heavy) < len(rows) / 2
+    for row in rows:
+        assert 0 <= row["dup_shingles"] <= row["n_shingles"]
+        assert 0.0 <= row["dup_frac"] <= 1.0
+        assert row["dup_heavy"] == int(row["dup_frac"] >= r11.SUBSTR_FLAG_FRAC)
+
+
+def test_bm25_ranking_laws(spark, sf_dir):
+    """Ranks contiguous from 1, scores non-increasing along the rank,
+    matched-term count within [1, BM25_N_TERMS], and every returned
+    document really contains at least one derived query term."""
+    out = r11.text_bm25_topk_q(spark, sf_dir).collect()
+    assert len(out) == min(r11.BM25_TOP_K, len(out))
+    ranks = sorted(row["rank"] for row in out)
+    assert ranks == list(range(1, len(out) + 1))
+    by_rank = sorted(out, key=lambda row: row["rank"])
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a["bm25"], -a["doc_id"]) >= (b["bm25"], -b["doc_id"])
+    assert all(1 <= row["n_query_terms"] <= r11.BM25_N_TERMS for row in out)
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") >= r11.BM25_MIN_TOK_LEN)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    qterms = {
+        row["tok"]
+        for row in tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(r11.BM25_N_TERMS)
+        .collect()
+    }
+    assert len(qterms) == r11.BM25_N_TERMS
+    assert all(len(t) >= r11.BM25_MIN_TOK_LEN for t in qterms)
+    doc_terms = {
+        row["doc_id"]: row["ts"]
+        for row in tf.filter(F.col("tok").isin(list(qterms)))
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("ts"))
+        .collect()
+    }
+    for row in out:
+        assert row["doc_id"] in doc_terms
+        assert len(doc_terms[row["doc_id"]]) == row["n_query_terms"]
+
+
+def test_substring_dedup_operator_edge_short_docs(spark):
+    """Documents with fewer than k words contribute no k-gram and are
+    absent; a corpus of two identical long docs reports dup_frac 1.0
+    on both."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),  # < k words: absent
+            (2, "one two three four five six seven eight nine"),
+            (3, "one two three four five six seven eight nine"),
+            (4, "totally different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {row["doc_id"]: row for row in substring_dup_stats(df).collect()}
+    assert set(out) == {2, 3, 4}
+    assert out[2]["dup_frac"] == 1.0 and out[3]["dup_frac"] == 1.0
+    assert out[2]["dup_heavy"] == 1
+    assert out[4]["dup_shingles"] == 0 and out[4]["dup_heavy"] == 0
