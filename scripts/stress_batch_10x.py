@@ -76,6 +76,44 @@ DEDUP_QUERIES = [
 ]
 
 
+#: round-10 staged text queries (registration lands in round 11):
+#: both are single-pass token pipelines — substring dedup's only
+#: corpus-wide shuffle is the (v1, v2) gram aggregate (O(tokens) rows,
+#: no self-join anywhere), and BM25 scores only the 5 query terms'
+#: postings behind a broadcast prune — so the honest expectation is
+#: ~linear cold/warm at Nx. (With the salted scratch corpus the df
+#: top-5 query terms stay copy-0's unsalted tokens, so BM25's postings
+#: stay 1x-sized while its token aggregate grows Nx — the aggregate IS
+#: the dominant cost, which is what this measures.)
+STAGED_TEXT_QUERIES = [
+    "text_substring_dedup",
+    "text_bm25_topk",
+]
+
+
+def run_staged_text(spark, sf_dir: str) -> dict[str, tuple[float, float]]:
+    """(cold, warm) per staged text query — same protocol as
+    run_dedup_family (3 runs: cold + best-of-2 warm)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.round10_ext import (
+        STAGED_R11,
+    )
+    from incubyte_vaccination_data_pipeline_spark.shared_cache import (
+        release_shared_state,
+    )
+
+    out: dict[str, tuple[float, float]] = {}
+    for name in STAGED_TEXT_QUERIES:
+        fn = STAGED_R11[name][0]
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = (round(runs[0], 3), round(min(runs[1:]), 3))
+    release_shared_state(sf_dir)
+    return out
+
+
 def build_scratch(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
@@ -278,8 +316,8 @@ def main() -> None:
     )
     ap.add_argument(
         "--sections",
-        default="dedup,simhash,ann",
-        help="comma-separated subset of {dedup,simhash,ann} to run "
+        default="dedup,simhash,ann,staged",
+        help="comma-separated subset of {dedup,simhash,ann,staged} to run "
         "(e.g. --sections ann re-measures the recall certificate "
         "without re-paying the ~10-min dedup table)",
     )
@@ -345,6 +383,26 @@ def main() -> None:
                             label=f"{args.factor}x, FIXED 32-bit/8-bit bands")
             run_simhash(spark, scratch, bits=None,
                         label=f"{args.factor}x, OPERATOR-DEFAULT width")
+
+        if "staged" in sections:
+            print("== staged text queries (round-11 registrations) ==")
+            run_staged_text(spark, BASE_SF)  # untimed session warmup
+            base = run_staged_text(spark, BASE_SF)
+            big = run_staged_text(spark, scratch)
+            print(
+                f"{'query':28s} {'1x cold':>8s} {'1x warm':>8s} "
+                f"{str(args.factor) + 'x cold':>9s} "
+                f"{str(args.factor) + 'x warm':>9s} "
+                f"{'cold r':>7s} {'warm r':>7s}"
+            )
+            for name in STAGED_TEXT_QUERIES:
+                bc, bw = base[name]
+                gc, gw = big[name]
+                print(
+                    f"{name:28s} {bc:8.2f} {bw:8.2f} {gc:9.2f} {gw:9.2f} "
+                    f"{gc / bc if bc else float('inf'):7.2f} "
+                    f"{gw / bw if bw else float('inf'):7.2f}"
+                )
 
         if "ann" not in sections:
             return

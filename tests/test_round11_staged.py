@@ -133,3 +133,47 @@ def test_substring_dedup_operator_edge_short_docs(spark):
     assert out[2]["dup_frac"] == 1.0 and out[3]["dup_frac"] == 1.0
     assert out[2]["dup_heavy"] == 1
     assert out[4]["dup_shingles"] == 0 and out[4]["dup_heavy"] == 0
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_substring_dedup_plan_shape(spark, sf_dir):
+    """100 TB posture: the corpus-wide shuffles ride the two decoded
+    bigint halves — the raw k-word shingle string never appears in a
+    hashpartitioning key — and no join degrades to a nested loop or
+    cartesian; the documents scan reads only (doc_id, text)."""
+    import re
+
+    plan = _plan(
+        __import__(
+            "incubyte_vaccination_data_pipeline_spark.catalog.round11_staged",
+            fromlist=["text_substring_dedup_q"],
+        ).text_substring_dedup_q(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "shingle" not in m.group(1), (
+            "shingle string must be hashed to (v1, v2) before any shuffle"
+        )
+    scan = plan[plan.index("Scan parquet") :]
+    read_cols = re.match(r"Scan parquet \[([^\]]*)\]", scan).group(1).split(",")
+    assert sorted(c.split("#")[0] for c in read_cols if c) == ["doc_id", "text"]
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """100 TB posture: the 5-term query frame and 1-row stats broadcast
+    (>=2 BroadcastHashJoins; the single nested-loop is the 1-row stats
+    cross join), and the global top-20 is TakeOrderedAndProject — a
+    per-partition heap, never a single-partition global sort."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.round11_staged import (
+        text_bm25_topk_q,
+    )
+
+    plan = _plan(text_bm25_topk_q(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
