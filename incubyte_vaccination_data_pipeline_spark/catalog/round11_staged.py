@@ -213,7 +213,56 @@ _BM25_ORACLE = f"""
 """
 
 
+#: semantic-dedup-through-the-index contract: top-2 multi-assignment
+#: over the shared 16-cell IVF quantizer, same near-dup threshold as
+#: the label-blocked query (family consistency).
+EMB_IVF_ASSIGN_M = 2
+
+
+def dedup_embedding_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs THROUGH the shared IVF index
+    (``operators/similarity.cosine_near_dup_pairs_ivf``): every vector
+    lands in its 2 nearest cells (multi-assignment — the boundary
+    mitigation), candidate pairs share a cell, exact cosine >= the
+    family threshold. This is the content-derived-block answer to
+    ``dedup_embedding_cosine``'s metadata block: candidate volume is
+    O(sum of cell sizes squared), ~linear with corpus-tracking cell
+    counts, where the label-blocked query needs a trusted label column
+    and all-pairs needs O(n^2). Pairs whose members' assigned cells
+    are disjoint are missed (the IVF trade; every RETURNED pair is
+    exact and the oracle replays the whole quantizer, so the
+    certificate is exact). Index builds once per corpus
+    (``_ivf_index`` shared cache)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        NEAR_DUP_THRESHOLD,
+        _ivf_index,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_ivf,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_ivf(
+        emb,
+        centroids=_ivf_index(spark, sf_dir),
+        threshold=NEAR_DUP_THRESHOLD,
+        assign_m=EMB_IVF_ASSIGN_M,
+    )
+
+
+def _emb_ivf_oracle() -> str:
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        NEAR_DUP_THRESHOLD,
+        _ivf_oracle,
+    )
+
+    return _ivf_oracle(
+        pair_threshold=NEAR_DUP_THRESHOLD, assign_m=EMB_IVF_ASSIGN_M
+    )
+
+
 STAGED = {
     "text_substring_dedup": (text_substring_dedup_q, _SUBSTR_ORACLE),
     "text_bm25_topk": (text_bm25_topk_q, _BM25_ORACLE),
+    "dedup_embedding_ivf": (dedup_embedding_ivf_q, _emb_ivf_oracle()),
 }

@@ -252,6 +252,8 @@ def _ivf_oracle(
     query_pred: str | None = None,
     k: int | None = None,
     radius: float | None = None,
+    pair_threshold: float | None = None,
+    assign_m: int = 2,
 ) -> str:
     """Full SQL restatement of the IVF pipeline: content-addressed
     seeds (smallest ``md5(vec_id)``), unit-normalization, one Lloyd
@@ -281,6 +283,38 @@ def _ivf_oracle(
         else f"SELECT query_id, neighbor_id, cosine FROM scored"
         f" WHERE cosine >= {radius}"
     )
+    # ``pair_threshold`` swaps the query-centric tail for the SEMANTIC
+    # DEDUP tail (staged ``dedup_embedding_ivf``): every vector lands
+    # in its ``assign_m`` nearest cells (same a1 scores, same
+    # score-DESC/cid tie-break as ``assigned``), candidate pairs share
+    # a cell, and the exact-cosine threshold filters — the SQL
+    # restatement of ``cosine_near_dup_pairs_ivf``. pair_threshold=None
+    # renders byte-identical text to the pre-parameter oracle.
+    extra = (
+        ""
+        if pair_threshold is None
+        else f""",
+    massign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+            FROM a1)
+        WHERE rn <= {assign_m}
+    ),
+    mpairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM massign a JOIN massign b USING (cid)
+        WHERE a.vec_id < b.vec_id
+    )"""
+    )
+    if pair_threshold is not None:
+        tail = f"""SELECT p.vec_a, p.vec_b,
+           round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
+    FROM mpairs p
+    JOIN embeddings ea ON ea.vec_id = p.vec_a
+    JOIN embeddings eb ON eb.vec_id = p.vec_b
+    WHERE round({_cos_sql('ea.embedding', 'eb.embedding')}, 6)
+          >= {pair_threshold}"""
     return f"""
     WITH seed_raw AS (
         SELECT sid, embedding FROM (
@@ -370,7 +404,7 @@ def _ivf_oracle(
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
-    )
+    ){extra}
     {tail}
     """
 

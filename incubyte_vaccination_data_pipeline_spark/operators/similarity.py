@@ -1197,3 +1197,68 @@ def topk_ivfpq(
     return reranked.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def cosine_near_dup_pairs_ivf(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    assign_m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs THROUGH the IVF index —
+    the corpus-scale path for semantic dedup. ``cosine_near_dup_pairs``
+    needs a metadata block key (or degrades to all-pairs); this one
+    derives the block from CONTENT: every vector lands in its
+    ``assign_m`` nearest cells (multi-assignment — the spill-tree /
+    FAISS-style boundary mitigation: a near-dup pair split by a cell
+    boundary still meets when either member's second cell is the
+    other's first), candidate pairs share at least one cell, and every
+    survivor carries its exact cosine. Candidate volume is
+    O(sum of cell sizes squared) — with corpus-tracking cell counts
+    (``derived_ivf_cells``) that is ~linear in the corpus, vs the
+    O(n^2) all-pairs scoring a 100 TB corpus cannot afford. Pairs both
+    of whose members agree that their ``assign_m`` cells are elsewhere
+    are missed — the documented IVF trade, same as the probe tail of
+    ``topk_ivf``.
+
+    The pair dedup runs on bare (vec_a, vec_b) ids BEFORE the vectors
+    re-attach (a pair sharing two cells appears twice): two extra
+    id-keyed joins cost less than carrying two raw vectors through the
+    distinct's shuffle at production dims. Returns
+    (vec_a, vec_b, cosine >= threshold)."""
+    cells = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.explode(ivf_probes_expr(vec_col, centroids, assign_m)).alias("cid"),
+    )
+    a = cells.select(F.col("vid").alias("vec_a"), "cid")
+    b = cells.select(F.col("vid").alias("vec_b"), "cid")
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
+    )
+    ea = corpus.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(vec_col).alias("na"),
+    )
+    eb = corpus.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(vec_col).alias("nb"),
+    )
+    cos = F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        # non-foldable rand fence: keeps the threshold filter from
+        # being substituted below the projection, which would evaluate
+        # the dot fold twice per pair (see functions/dates.py)
+        .withColumn("__fence", F.rand(seed=0))
+        .filter((F.col("cosine") >= threshold) | (F.col("__fence") < -1))
+        .drop("__fence")
+    )

@@ -114,6 +114,45 @@ def run_staged_text(spark, sf_dir: str) -> dict[str, tuple[float, float]]:
     return out
 
 
+def run_emb_ivf_dedup(spark, sf_dir: str, label: str) -> None:
+    """Semantic dedup through the IVF index (staged
+    ``dedup_embedding_ivf``) at the OPERATOR-DEFAULT cell count
+    (``derived_ivf_cells`` = sqrt(N)): candidate volume is
+    O(sum of cell sizes squared) = O(n^1.5) at sqrt-N cells — already
+    the difference between feasible and O(n^2) all-pairs; a dedup-
+    tuned deployment holds cell POPULATION constant (cells ~ n /
+    target_size) for ~linear volume, at which point assignment moves
+    from codegen'd centroid literals to a broadcast-join argmin
+    (documented in SCALE.md). The catalog query pins 16 cells as its
+    small-SF oracle contract — at 10x data that pin is the same
+    documented saturation case as fixed-width SimHash, so the stress
+    measures the tracking default."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        NEAR_DUP_THRESHOLD,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_ivf,
+        ivf_centroids,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    cents = ivf_centroids(emb)  # derived sqrt(N) cells, count() inside wall
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pairs = cosine_near_dup_pairs_ivf(
+        emb, cents, threshold=NEAR_DUP_THRESHOLD
+    ).count()
+    t_pairs = time.perf_counter() - t0
+    print(
+        f"  [{label}] cells={len(cents):4d} pairs>=thr={n_pairs:8d} "
+        f"build={t_build:6.2f}s pair_gen={t_pairs:6.2f}s"
+    )
+
+
 def build_scratch(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
@@ -403,6 +442,11 @@ def main() -> None:
                     f"{gc / bc if bc else float('inf'):7.2f} "
                     f"{gw / bw if bw else float('inf'):7.2f}"
                 )
+
+            print("== staged embedding-IVF dedup (operator-default cells) ==")
+            run_emb_ivf_dedup(spark, BASE_SF, "1x warmup (discard)")
+            run_emb_ivf_dedup(spark, BASE_SF, "1x")
+            run_emb_ivf_dedup(spark, scratch, f"{args.factor}x")
 
         if "ann" not in sections:
             return

@@ -177,3 +177,106 @@ def test_bm25_plan_shape(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_ivf_subset_of_bruteforce_with_equal_scores(spark, sf_dir):
+    """Cell blocking only PRUNES: every returned pair appears in the
+    all-pairs brute-force result with the identical rounded cosine,
+    and top-2-of-16-cells keeps a substantial fraction of the
+    threshold tail on this near-uniform corpus (measured 0.56-0.57 at
+    sf0.001/sf0.01 — the tail pairs are weakly-similar noise, the
+    hardest case for content blocking; exact dups are recall-1 by
+    construction, pinned below)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        NEAR_DUP_THRESHOLD,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    brute = {
+        (row["vec_a"], row["vec_b"]): row["cosine"]
+        for row in cosine_near_dup_pairs(
+            emb, threshold=NEAR_DUP_THRESHOLD, block_col=None
+        ).collect()
+    }
+    ivf = {
+        (row["vec_a"], row["vec_b"]): row["cosine"]
+        for row in r11.dedup_embedding_ivf_q(spark, sf_dir).collect()
+    }
+    assert ivf, "IVF pair generation returned nothing"
+    assert set(ivf) <= set(brute)
+    for pair, cos in ivf.items():
+        assert cos == brute[pair], (pair, cos, brute[pair])
+    assert len(ivf) / len(brute) >= 0.5
+
+
+def test_embedding_ivf_planted_exact_dups_recall_one(spark, sf_dir):
+    """An exact duplicate vector always shares ALL its cells with its
+    copy, so multi-assignment cell blocking finds every planted
+    exact-dup pair with cosine exactly 1.0 — the property that makes
+    this the semantic-dedup scale path (true dups are clustered; the
+    probabilistic loss lives in the weakly-similar tail only)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_ivf,
+        ivf_centroids,
+    )
+
+    base = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    copies = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(copies)
+    cents = ivf_centroids(corpus, n_centroids=8)
+    pairs = {
+        (row["vec_a"], row["vec_b"]): row["cosine"]
+        for row in cosine_near_dup_pairs_ivf(
+            corpus, cents, threshold=0.99, assign_m=2
+        ).collect()
+    }
+    planted = {(v, v + 1_000_000) for v in range(50)}
+    assert planted <= set(pairs)
+    assert all(pairs[p] == 1.0 for p in planted)
+
+
+def test_substring_dup_stats_random_corpora_vs_reference(spark):
+    """30 random corpora (tiny per-corpus vocabularies force heavy
+    within-corpus 8-gram collisions — the worst case for the counting
+    logic; per-corpus token prefixes keep gram spaces disjoint so one
+    Spark job checks all 30) against a pure-Python reference."""
+    import random
+    from collections import defaultdict
+
+    k = 8
+    rng = random.Random(20260816)
+    rows = []
+    expected = {}
+    for c in range(30):
+        vocab = [f"c{c}w{j}" for j in range(rng.randint(2, 6))]
+        docs = {}
+        for d in range(rng.randint(1, 8)):
+            doc_id = c * 1000 + d
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 18))]
+            docs[doc_id] = words
+            rows.append((doc_id, " ".join(words)))
+        gram_docs = defaultdict(set)
+        for doc_id, ws in docs.items():
+            for i in range(len(ws) - k + 1):
+                gram_docs[tuple(ws[i : i + k])].add(doc_id)
+        for doc_id, ws in docs.items():
+            n = len(ws) - k + 1
+            if n <= 0:
+                continue
+            dup = sum(
+                1
+                for i in range(n)
+                if len(gram_docs[tuple(ws[i : i + k])]) >= 2
+            )
+            expected[doc_id] = (n, dup)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        row["doc_id"]: (row["n_shingles"], row["dup_shingles"])
+        for row in substring_dup_stats(df, k=k).collect()
+    }
+    assert got == expected
