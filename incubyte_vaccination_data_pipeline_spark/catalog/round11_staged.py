@@ -19,8 +19,8 @@ training-data curation operators the catalog lacked.
 
 Both are registered in round 11 via ``round10_ext.register_r11()``
 (this module's STAGED dict is merged into ``round10_ext.STAGED_R11``
-at import); the growth simulation at 205 registered queries keeps the
-re-verification gap at ceil(205/50) = 5.
+at import); the growth simulation at 206 registered queries (201 live
++ 5 staged) keeps the re-verification gap at ceil(206/50) = 5.
 
 Reference parity note: the reference (a 1,172-LoC pandas+Snowflake
 ETL, see SURVEY.md) has no corpus-analysis surface; these extend the

@@ -76,7 +76,8 @@ DEDUP_QUERIES = [
 ]
 
 
-#: round-10 staged text queries (registration lands in round 11):
+#: second round-11 staging batch (catalog/round11_staged.py, merged
+#: into round10_ext.STAGED_R11; registration lands in round 11):
 #: both are single-pass token pipelines — substring dedup's only
 #: corpus-wide shuffle is the (v1, v2) gram aggregate (O(tokens) rows,
 #: no self-join anywhere), and BM25 scores only the 5 query terms'
