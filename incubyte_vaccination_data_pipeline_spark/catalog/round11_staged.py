@@ -261,8 +261,168 @@ def _emb_ivf_oracle() -> str:
     )
 
 
+#: Holt-Winters additive seasonal smoothing contract: weekly period,
+#: alpha/beta/gamma pinned; seeds are the classic l0 = mean of the
+#: first PERIOD observations, b0 = 0, s_i = y_i - l0.
+HW_PERIOD = 7
+HW_ALPHA = 0.3
+HW_BETA = 0.2
+HW_GAMMA = 0.4
+
+# the new level, textually duplicated wherever the recurrence needs it
+# (Spark lambdas cannot bind a local; duplicating keeps the IEEE-double
+# op sequence identical on both engines — events_holt_linear precedent)
+_HW_L = (
+    f"({HW_ALPHA}D * (cast(x.cents as double)"
+    f" - element_at(acc.s, acc.t % {HW_PERIOD} + 1))"
+    f" + {1 - HW_ALPHA}D * (acc.l + acc.b))"
+)
+_HW_SEED_L = (
+    f"cast(aggregate(slice(arr, 1, {HW_PERIOD}), cast(0 as bigint),"
+    f" (a, x) -> a + x.cents) as double) / {HW_PERIOD}.0D"
+)
+
+
+def events_holt_winters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL (triple exponential) smoothing of
+    the daily revenue series per event type — completes the smoothing
+    family (SES: 1 state; Holt: 2; this: 2 + a {HW_PERIOD}-slot
+    seasonal array), the operator behind seasonality-aware forecasting
+    and deseasonalized anomaly baselines. The accumulator is a STRUCT
+    (step counter, level, trend, seasonal list) folded JVM-side by
+    ``aggregate()`` over the per-type day-sorted array; the seasonal
+    slot for step t is t % period, and the slot update rebuilds the
+    list by concat (no index-lambda, so the oracle can restate it with
+    ``list_slice`` verbatim). Seeds: l0 = mean of the first period's
+    observations, b0 = 0, s_i = y_i - l0. The oracle replays the
+    recursion as a recursive CTE stepping (event_type, rn) with the
+    seasonal list as a LIST column — same independent-algorithm
+    strategy as ``events_holt_linear`` (DuckDB's list_reduce mutates
+    struct accumulators field-by-field, so a fold there is unsafe).
+    Rows emit from step period+1 on (types with <= period days have no
+    seasonal state yet); ``forecast_next`` adds the NEXT step's
+    seasonal slot, which this step never touches (consecutive steps
+    hit different slots mod 7), so no expression duplication is
+    needed to read it pre-update.
+
+    Scale posture: identical to SES/Holt — series length is bounded by
+    CALENDAR DAYS, not corpus rows; two keyed aggregations are the
+    only shuffles and the per-day prefix fold is O(days^2) on ~30-day
+    series."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
+    )
+    p = HW_PERIOD
+    seed = (
+        f"named_struct('t', {p}, 'l', {_HW_SEED_L}, 'b', 0.0D,"
+        f" 's', transform(slice(arr, 1, {p}),"
+        f" x -> cast(x.cents as double) - ({_HW_SEED_L})))"
+    )
+    s_new = (
+        f"{HW_GAMMA}D * (cast(x.cents as double) - {_HW_L})"
+        f" + {1 - HW_GAMMA}D * element_at(acc.s, acc.t % {p} + 1)"
+    )
+    fold = F.expr(
+        f"aggregate(slice(arr, {p + 1}, pos - {p - 1}), {seed},"
+        f" (acc, x) -> named_struct("
+        f"'t', acc.t + 1,"
+        f" 'l', {_HW_L},"
+        f" 'b', {HW_BETA}D * ({_HW_L} - acc.l) + {1 - HW_BETA}D * acc.b,"
+        f" 's', concat(slice(acc.s, 1, acc.t % {p}), array({s_new}),"
+        f" slice(acc.s, acc.t % {p} + 2, {p - 1} - acc.t % {p}))))"
+    )
+    slot = F.pmod(F.col("pos"), F.lit(p)) + F.lit(1)
+    next_slot = F.pmod(F.col("pos") + 1, F.lit(p)) + F.lit(1)
+    return (
+        series.select(
+            "event_type", "arr", F.posexplode("arr").alias("pos", "e")
+        )
+        .filter(F.col("pos") >= p)
+        .select(
+            "event_type",
+            F.col("e.day").alias("day"),
+            F.col("e.cents").alias("cents"),
+            fold.alias("st"),
+            slot.alias("slot"),
+            next_slot.alias("next_slot"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.round(F.col("st.l"), 6).alias("level"),
+            F.round(F.col("st.b"), 6).alias("trend"),
+            F.round(F.element_at("st.s", F.col("slot")), 6).alias("season"),
+            F.round(
+                F.col("st.l")
+                + F.col("st.b")
+                + F.element_at("st.s", F.col("next_slot")),
+                6,
+            ).alias("forecast_next"),
+        )
+    )
+
+
+_HW_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    idx AS (
+        SELECT event_type, day, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    ),
+    seed AS (
+        SELECT event_type,
+               CAST(SUM(cents) AS DOUBLE) / {HW_PERIOD}.0 AS l0,
+               list(CAST(cents AS DOUBLE) ORDER BY rn) AS ys
+        FROM idx WHERE rn <= {HW_PERIOD}
+        GROUP BY event_type HAVING COUNT(*) = {HW_PERIOD}
+    ),
+    rec AS (
+        SELECT event_type, {HW_PERIOD} AS rn,
+               CAST(NULL AS TIMESTAMP) AS day, CAST(NULL AS BIGINT) AS cents,
+               l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+               list_transform(ys, y -> y - l0) AS s
+        FROM seed
+        UNION ALL
+        SELECT i.event_type, i.rn, i.day, i.cents,
+               {HW_ALPHA} * (CAST(i.cents AS DOUBLE)
+                             - r.s[(i.rn - 1) % {HW_PERIOD} + 1])
+               + {1 - HW_ALPHA} * (r.l + r.b),
+               {HW_BETA} * (({HW_ALPHA} * (CAST(i.cents AS DOUBLE)
+                                           - r.s[(i.rn - 1) % {HW_PERIOD} + 1])
+                             + {1 - HW_ALPHA} * (r.l + r.b)) - r.l)
+               + {1 - HW_BETA} * r.b,
+               list_slice(r.s, 1, (i.rn - 1) % {HW_PERIOD})
+               || [{HW_GAMMA} * (CAST(i.cents AS DOUBLE)
+                                 - ({HW_ALPHA} * (CAST(i.cents AS DOUBLE)
+                                     - r.s[(i.rn - 1) % {HW_PERIOD} + 1])
+                                    + {1 - HW_ALPHA} * (r.l + r.b)))
+                  + {1 - HW_GAMMA} * r.s[(i.rn - 1) % {HW_PERIOD} + 1]]
+               || list_slice(r.s, (i.rn - 1) % {HW_PERIOD} + 2, {HW_PERIOD})
+        FROM rec r JOIN idx i
+          ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT event_type, day, cents,
+           ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend,
+           ROUND(s[(rn - 1) % {HW_PERIOD} + 1], 6) AS season,
+           ROUND(l + b + s[rn % {HW_PERIOD} + 1], 6) AS forecast_next
+    FROM rec WHERE rn > {HW_PERIOD}
+"""
+
+
 STAGED = {
     "text_substring_dedup": (text_substring_dedup_q, _SUBSTR_ORACLE),
     "text_bm25_topk": (text_bm25_topk_q, _BM25_ORACLE),
     "dedup_embedding_ivf": (dedup_embedding_ivf_q, _emb_ivf_oracle()),
+    "events_holt_winters": (events_holt_winters_q, _HW_ORACLE),
 }

@@ -282,3 +282,41 @@ def test_substring_dup_stats_random_corpora_vs_reference(spark):
         for row in substring_dup_stats(df, k=k).collect()
     }
     assert got == expected
+
+
+def test_holt_winters_pure_periodic_series_is_exact(spark):
+    """On a perfectly periodic zero-trend series the classic seeding is
+    EXACT: l0 = mean of the first period = the base level, s_i = the
+    true seasonal offsets, so every subsequent step observes
+    y_t - s_{t-7} = base exactly — level stays put, trend stays 0, the
+    seasonal array never moves, and every one-step forecast equals the
+    next actual. Pins the recurrence wiring (slot arithmetic, seeding,
+    forecast slot) with no tolerance at all."""
+    import datetime
+
+    base = 1000
+    pattern = [0, 210, -140, 70, -280, 350, -210]  # sums to 0
+    rows = []
+    for t in range(21):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=t)
+        cents = base + pattern[t % 7]
+        rows.append(("periodic", day, cents / 100.0))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    # reuse the staged query's pipeline by substituting the events read
+    import unittest.mock as mock
+
+    with mock.patch(
+        "incubyte_vaccination_data_pipeline_spark.catalog.round11_staged.read_table",
+        return_value=df,
+    ):
+        out = sorted(
+            r11.events_holt_winters_q(spark, "ignored").collect(),
+            key=lambda row: row["day"],
+        )
+    assert len(out) == 21 - r11.HW_PERIOD
+    for i, row in enumerate(out):
+        t = i + r11.HW_PERIOD
+        assert row["level"] == float(base)
+        assert row["trend"] == 0.0
+        assert row["season"] == float(pattern[t % 7])
+        assert row["forecast_next"] == float(base + pattern[(t + 1) % 7])
