@@ -19,8 +19,8 @@ training-data curation operators the catalog lacked.
 
 Both are registered in round 11 via ``round10_ext.register_r11()``
 (this module's STAGED dict is merged into ``round10_ext.STAGED_R11``
-at import); the growth simulation at 206 registered queries (201 live
-+ 5 staged) keeps the re-verification gap at ceil(206/50) = 5.
+at import); the growth simulation at 208 registered queries (201 live
++ 7 staged) keeps the re-verification gap at ceil(208/50) = 5.
 
 Reference parity note: the reference (a 1,172-LoC pandas+Snowflake
 ETL, see SURVEY.md) has no corpus-analysis surface; these extend the
@@ -420,9 +420,101 @@ _HW_ORACLE = f"""
 """
 
 
+#: label-propagation contract: 2 SYNCHRONOUS majority-vote rounds over
+#: the shared support-thresholded co-purchase graph; ties break to the
+#: smallest label (every step deterministic, so the oracle
+#: value-checks each node's community).
+LPA_ROUNDS = 2
+
+
+def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous majority-label propagation
+    (LPA) over the support-thresholded co-purchase graph — the fifth
+    member of the graph family, and a different signal from
+    ``graph_connected_components``: components split the graph only at
+    disconnections, LPA also splits around DENSITY (a bridge edge
+    cannot out-vote a community's internal majority). Each round,
+    every node adopts the most frequent label among its neighbors
+    (count DESC, label ASC — deterministic); labels start as node ids;
+    exactly ``LPA_ROUNDS`` rounds so the oracle is a fixed SQL
+    pipeline. Returns (node, community).
+
+    Scale posture: one round = one dst-keyed join + one (node, label)
+    aggregate (map-side combinable) + one per-node top-1 window —
+    keyed shuffles only, skew bounded by the support threshold that
+    already caps degrees for the triangle wedge join. A
+    run-to-convergence deployment wraps the same round in the
+    checkpointed loop of ``operators/dedup.duplicate_clusters``."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
+        _copurchase_pairs,
+    )
+    from pyspark.sql import Window
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+_LPA_ORACLE = f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    l0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+    ),
+    i1 AS (
+        SELECT node, label FROM (
+            SELECT e.src AS node, l.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.src
+                       ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM edges e JOIN l0 l ON l.node = e.dst
+            GROUP BY e.src, l.label)
+        WHERE rn = 1
+    ),
+    i2 AS (
+        SELECT node, label FROM (
+            SELECT e.src AS node, l.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.src
+                       ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM edges e JOIN i1 l ON l.node = e.dst
+            GROUP BY e.src, l.label)
+        WHERE rn = 1
+    )
+    SELECT node, label AS community FROM i2
+"""
+
+
 STAGED = {
     "text_substring_dedup": (text_substring_dedup_q, _SUBSTR_ORACLE),
     "text_bm25_topk": (text_bm25_topk_q, _BM25_ORACLE),
     "dedup_embedding_ivf": (dedup_embedding_ivf_q, _emb_ivf_oracle()),
     "events_holt_winters": (events_holt_winters_q, _HW_ORACLE),
+    "graph_label_propagation": (graph_label_propagation_q, _LPA_ORACLE),
 }

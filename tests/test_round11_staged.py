@@ -320,3 +320,38 @@ def test_holt_winters_pure_periodic_series_is_exact(spark):
         assert row["trend"] == 0.0
         assert row["season"] == float(pattern[t % 7])
         assert row["forecast_next"] == float(base + pattern[(t + 1) % 7])
+
+
+def test_label_propagation_refines_components(spark, sf_dir):
+    """LPA laws: every node of the edge frame gets exactly one
+    community; the community label is itself a node id in the same
+    connected component (labels only flow along edges, so a community
+    can never span two components); and the labeling is non-trivial
+    (more than one community, fewer communities than nodes)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
+        _copurchase_components,
+        _copurchase_pairs,
+    )
+
+    lpa = {
+        row["node"]: row["community"]
+        for row in r11.graph_label_propagation_q(spark, sf_dir).collect()
+    }
+    pairs = _copurchase_pairs(spark, sf_dir)
+    nodes = {
+        row["n"]
+        for row in pairs.select(F.col("pa").alias("n"))
+        .unionByName(pairs.select(F.col("pb").alias("n")))
+        .distinct()
+        .collect()
+    }
+    assert set(lpa) == nodes
+    comp = {
+        row["node"]: row["component_id"]
+        for row in _copurchase_components(spark, sf_dir).collect()
+    }
+    for node, community in lpa.items():
+        assert community in nodes
+        assert comp[community] == comp[node], (node, community)
+    n_comm = len(set(lpa.values()))
+    assert 1 < n_comm < len(nodes)
