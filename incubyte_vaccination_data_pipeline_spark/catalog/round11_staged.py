@@ -1,6 +1,6 @@
 """Second round-11 staging batch (registration deferred — window
-protection, same rationale as ``round10_ext.STAGED_R11``): two
-training-data curation operators the catalog lacked.
+protection, same rationale as ``round10_ext.STAGED_R11``): five
+operators the catalog lacked.
 
 - ``text_substring_dedup`` — per-document duplicated-substring
   statistics: the exact cross-document word-8-gram duplication signal
@@ -16,6 +16,15 @@ training-data curation operators the catalog lacked.
   generation. Two-pass plan: one token aggregate derives df / the
   query terms / corpus stats, then a broadcast of the 5-term query
   frame scores only matching postings.
+- ``dedup_embedding_ivf`` — semantic near-dup pairs THROUGH the
+  shared IVF index with top-2 multi-assignment: the content-derived
+  block that replaces O(n^2) all-pairs scoring with O(sum cell^2).
+- ``events_holt_winters`` — additive seasonal (triple exponential)
+  smoothing, weekly period: completes SES -> Holt -> Holt-Winters.
+- ``graph_label_propagation`` — synchronous majority-label community
+  detection (2 rounds) over the shared co-purchase edges: the fifth
+  graph-family member, splitting on density where components split
+  only on disconnection.
 
 Both are registered in round 11 via ``round10_ext.register_r11()``
 (this module's STAGED dict is merged into ``round10_ext.STAGED_R11``
