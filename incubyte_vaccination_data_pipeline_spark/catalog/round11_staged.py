@@ -1,5 +1,5 @@
 """Second round-11 staging batch (registration deferred — window
-protection, same rationale as ``round10_ext.STAGED_R11``): five
+protection, same rationale as ``round10_ext.STAGED_R11``): six
 operators the catalog lacked.
 
 - ``text_substring_dedup`` — per-document duplicated-substring
@@ -25,11 +25,15 @@ operators the catalog lacked.
   detection (2 rounds) over the shared co-purchase edges: the fifth
   graph-family member, splitting on density where components split
   only on disconnection.
+- ``text_substring_removal_plan`` — the substring-dedup ACTION
+  statistic: per document, the exact word count inside at least one
+  cross-document duplicated 8-gram (the interval union of duplicated
+  positions — what a span-deletion pass would remove).
 
 Both are registered in round 11 via ``round10_ext.register_r11()``
 (this module's STAGED dict is merged into ``round10_ext.STAGED_R11``
-at import); the growth simulation at 208 registered queries (201 live
-+ 7 staged) keeps the re-verification gap at ceil(208/50) = 5.
+at import); the growth simulation at 209 registered queries (201 live
++ 8 staged) keeps the re-verification gap at ceil(209/50) = 5.
 
 Reference parity note: the reference (a 1,172-LoC pandas+Snowflake
 ETL, see SURVEY.md) has no corpus-analysis surface; these extend the
@@ -44,6 +48,7 @@ from pyspark.sql import functions as F
 
 from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
     md5_half_decode_sql,
+    substring_dup_coverage,
     substring_dup_stats,
 )
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
@@ -219,6 +224,62 @@ _BM25_ORACLE = f"""
         FROM scored
     )
     WHERE rank <= {BM25_TOP_K}
+"""
+
+
+def text_substring_removal_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REMOVAL PLAN
+    (``operators/dedup.substring_dup_coverage``): per document, the
+    exact number of words inside at least one cross-document duplicated
+    8-gram — the volume a span-deletion pass would remove, computed as
+    the interval union of duplicated positions (positions overlap;
+    ``text_substring_dedup`` counts positions, this counts deletable
+    words). Docs with >= k words all appear, zero-coverage included."""
+    return substring_dup_coverage(
+        read_table(spark, sf_dir, "documents"),
+        k=SUBSTR_K,
+        min_docs=SUBSTR_MIN_DOCS,
+    )
+
+
+_REMOVAL_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    eligible AS (
+        SELECT doc_id, w FROM ws WHERE len(w) >= {SUBSTR_K}
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(len(w) - {SUBSTR_K - 1}, 0) + 1)) AS pos,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - {SUBSTR_K - 1}, 0) + 1),
+                   i -> md5(array_to_string(
+                       list_slice(w, i, i + {SUBSTR_K - 1}), ' ')))) AS m
+        FROM eligible
+    ),
+    h AS (
+        SELECT doc_id, pos, {_SUBSTR_V1} AS v1, {_SUBSTR_V2} AS v2 FROM sh
+    ),
+    nd AS (
+        SELECT v1, v2, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM h GROUP BY v1, v2
+    ),
+    covered AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT wi) AS BIGINT) AS covered_words
+        FROM (
+            SELECT h.doc_id,
+                   unnest(range(h.pos, h.pos + {SUBSTR_K})) AS wi
+            FROM h JOIN nd USING (v1, v2)
+            WHERE nd.nd >= {SUBSTR_MIN_DOCS})
+        GROUP BY doc_id
+    )
+    SELECT e.doc_id,
+           CAST(len(e.w) AS INT) AS n_words,
+           COALESCE(c.covered_words, 0) AS covered_words,
+           round(CAST(COALESCE(c.covered_words, 0) AS DOUBLE)
+                 / len(e.w), 6) AS removal_frac
+    FROM eligible e LEFT JOIN covered c USING (doc_id)
 """
 
 
@@ -526,4 +587,8 @@ STAGED = {
     "dedup_embedding_ivf": (dedup_embedding_ivf_q, _emb_ivf_oracle()),
     "events_holt_winters": (events_holt_winters_q, _HW_ORACLE),
     "graph_label_propagation": (graph_label_propagation_q, _LPA_ORACLE),
+    "text_substring_removal_plan": (
+        text_substring_removal_plan_q,
+        _REMOVAL_ORACLE,
+    ),
 }

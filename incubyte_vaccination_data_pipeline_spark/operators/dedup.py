@@ -965,3 +965,82 @@ def substring_dup_stats(
         dup_frac.alias("dup_frac"),
         (dup_frac >= F.lit(flag_frac)).cast("int").alias("dup_heavy"),
     )
+
+
+def substring_dup_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Removal-plan accounting for exact substring dedup: how many
+    WORDS of each document sit inside at least one cross-document
+    duplicated word ``k``-gram (the span a substring-dedup pass would
+    delete). :func:`substring_dup_stats` counts duplicated k-gram
+    POSITIONS; overlapping positions share words, so the deletable
+    volume needs the interval UNION — computed here as
+    explode(position -> its k word indexes) + per-doc distinct count,
+    which is exact, needs no sort-based interval merge, and stays a
+    pair of map-side-combinable aggregates (the explode is a fixed
+    x``k`` fan-out of only the DUPLICATED positions, which real
+    corpora keep sparse).
+
+    Same hashing/shuffle contract as ``substring_dup_stats`` (one md5
+    per occurrence, (v1, v2) bigint shuffle keys); the distinct-doc
+    count per gram here is a ``countDistinct`` because position rows
+    repeat (gram, doc) pairs. Returns (doc_id, n_words,
+    covered_words, removal_frac) for every doc with >= k words;
+    covered_words = 0 rows are kept — the plan needs the "nothing to
+    delete" docs too.
+    """
+    words = fanout_repartition(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.split(F.lower(F.col(text_col)), " ").alias("words"),
+        ).filter(F.size("words") >= k),
+        "doc",
+    )
+    shingled = words.select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(sequence(1, size(words) - {k - 1}),
+                          i -> array_join(slice(words, i, {k}), ' '))
+                """
+            )
+        ).alias("pos", "shingle"),
+    )
+    hashed = shingled.select(
+        "doc", "pos", F.md5("shingle").alias("m")
+    ).select(
+        "doc",
+        "pos",
+        F.expr(f"cast({md5_half_decode_sql('m', 1)} as bigint)").alias("v1"),
+        F.expr(f"cast({md5_half_decode_sql('m', 9)} as bigint)").alias("v2"),
+    )
+    gram_docs = hashed.groupBy("v1", "v2").agg(
+        F.countDistinct("doc").alias("nd")
+    )
+    covered = (
+        hashed.join(gram_docs, ["v1", "v2"])
+        .filter(F.col("nd") >= min_docs)
+        .select(
+            "doc", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("w")
+        )
+        .groupBy("doc")
+        .agg(F.countDistinct("w").alias("covered_words"))
+    )
+    base = words.select("doc", F.size("words").alias("n_words"))
+    return (
+        base.join(covered, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_words",
+            F.coalesce("covered_words", F.lit(0)).alias("covered_words"),
+            F.round(
+                F.coalesce("covered_words", F.lit(0)) / F.col("n_words"), 6
+            ).alias("removal_frac"),
+        )
+    )

@@ -355,3 +355,48 @@ def test_label_propagation_refines_components(spark, sf_dir):
         assert comp[community] == comp[node], (node, community)
     n_comm = len(set(lpa.values()))
     assert 1 < n_comm < len(nodes)
+
+
+def test_removal_plan_coverage_laws(spark, sf_dir):
+    """Interval-union laws against the position stats: a doc with no
+    duplicated positions covers 0 words; a doc with d >= 1 duplicated
+    positions covers between k (one position) and min(n_words, k*d)
+    (disjoint positions) words; and the removal fraction is the exact
+    covered/n_words ratio."""
+    stats = {
+        row["doc_id"]: row["dup_shingles"]
+        for row in r11.text_substring_dedup_q(spark, sf_dir).collect()
+    }
+    plan = r11.text_substring_removal_plan_q(spark, sf_dir).collect()
+    assert {row["doc_id"] for row in plan} == set(stats)
+    k = r11.SUBSTR_K
+    for row in plan:
+        d = stats[row["doc_id"]]
+        c = row["covered_words"]
+        if d == 0:
+            assert c == 0
+        else:
+            assert k <= c <= min(row["n_words"], k * d)
+        assert row["removal_frac"] == round(c / row["n_words"], 6)
+    assert any(row["covered_words"] > 0 for row in plan)
+    assert any(row["covered_words"] == 0 for row in plan)
+
+
+def test_removal_plan_full_duplicate_covers_everything(spark):
+    """Two identical docs: every word sits in a duplicated 8-gram, so
+    coverage is total and removal_frac is exactly 1.0; a unique doc in
+    the same corpus covers nothing."""
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        substring_dup_coverage,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "ten fresh words nothing shared with any other doc here")],
+        "doc_id long, text string",
+    )
+    out = {row["doc_id"]: row for row in substring_dup_coverage(df).collect()}
+    assert out[1]["covered_words"] == out[1]["n_words"] == 10
+    assert out[1]["removal_frac"] == 1.0
+    assert out[2]["removal_frac"] == 1.0
+    assert out[3]["covered_words"] == 0 and out[3]["removal_frac"] == 0.0
