@@ -88,6 +88,7 @@ DEDUP_QUERIES = [
 #: the dominant cost, which is what this measures.)
 STAGED_TEXT_QUERIES = [
     "text_substring_dedup",
+    "text_substring_removal_plan",
     "text_bm25_topk",
 ]
 

@@ -400,3 +400,38 @@ def test_removal_plan_full_duplicate_covers_everything(spark):
     assert out[1]["removal_frac"] == 1.0
     assert out[2]["removal_frac"] == 1.0
     assert out[3]["covered_words"] == 0 and out[3]["removal_frac"] == 0.0
+
+
+def test_holt_winters_plan_two_shuffles_no_join(spark, sf_dir):
+    """100 TB posture: the whole recursion folds inside the per-type
+    array — the executed plan carries exactly the two keyed
+    aggregations (daily rollup, per-type collect) and NO join."""
+    import re
+
+    plan = _plan(r11.events_holt_winters_q(spark, sf_dir))
+    assert plan.count("Exchange") == 2
+    assert not re.findall(r"\w*Join\w*", plan)
+
+
+def test_lpa_plan_equi_joins_only(spark, sf_dir):
+    """Both propagation rounds are equi joins on the dst key — no
+    cartesian or nested-loop fallback at any scale."""
+    plan = _plan(r11.graph_label_propagation_q(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_removal_plan_plan_shape(spark, sf_dir):
+    """Same shuffle contract as the stats query: the raw shingle string
+    never rides a shuffle, no nested-loop/cartesian joins, documents
+    scan pruned to (doc_id, text)."""
+    import re
+
+    plan = _plan(r11.text_substring_removal_plan_q(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "shingle" not in m.group(1)
+    scan = plan[plan.index("Scan parquet") :]
+    read_cols = re.match(r"Scan parquet \[([^\]]*)\]", scan).group(1).split(",")
+    assert sorted(c.split("#")[0] for c in read_cols if c) == ["doc_id", "text"]
