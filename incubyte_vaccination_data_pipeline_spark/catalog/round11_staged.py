@@ -1,5 +1,5 @@
 """Second round-11 staging batch (registration deferred — window
-protection, same rationale as ``round10_ext.STAGED_R11``): six
+protection, same rationale as ``round10_ext.STAGED_R11``): seven
 operators the catalog lacked.
 
 - ``text_substring_dedup`` — per-document duplicated-substring
@@ -29,11 +29,15 @@ operators the catalog lacked.
   statistic: per document, the exact word count inside at least one
   cross-document duplicated 8-gram (the interval union of duplicated
   positions — what a span-deletion pass would remove).
+- ``ann_mips_topk`` — exact maximum-inner-product top-k: the third
+  similarity objective (cosine ranks by angle, MIPS by angle times
+  magnitude); the indexed scale path is the augmented-dimension
+  MIPS->cosine reduction through the shared IVF pipeline.
 
 Both are registered in round 11 via ``round10_ext.register_r11()``
 (this module's STAGED dict is merged into ``round10_ext.STAGED_R11``
-at import); the growth simulation at 209 registered queries (201 live
-+ 8 staged) keeps the re-verification gap at ceil(209/50) = 5.
+at import); the growth simulation at 210 registered queries (201 live
++ 9 staged) keeps the re-verification gap at ceil(210/50) = 5.
 
 Reference parity note: the reference (a 1,172-LoC pandas+Snowflake
 ETL, see SURVEY.md) has no corpus-analysis surface; these extend the
@@ -281,6 +285,55 @@ _REMOVAL_ORACLE = f"""
                  / len(e.w), 6) AS removal_frac
     FROM eligible e LEFT JOIN covered c USING (doc_id)
 """
+
+
+def ann_mips_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-10 for the first 5 query
+    vectors (``operators/similarity.topk_mips``) — the MIPS objective
+    the ANN family lacked: cosine ranks by angle, MIPS by angle TIMES
+    magnitude, so the two orders diverge wherever norms vary (pinned
+    in tests against the cosine twin). Broadcast queries x one corpus
+    scan, per-query window top-k; the indexed scale path is the
+    augmented-dimension MIPS->cosine reduction through the shared IVF
+    pipeline (operator docstring)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        N_QUERY_VECTORS,
+        TOP_K,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        topk_mips,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return topk_mips(emb, queries, k=TOP_K)
+
+
+def _mips_oracle() -> str:
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        N_QUERY_VECTORS,
+        TOP_K,
+        _dot_sql,
+    )
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {N_QUERY_VECTORS}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_dot_sql('q.qv', 'e.embedding')}, 6) AS dot
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {TOP_K}
+    """
 
 
 #: semantic-dedup-through-the-index contract: top-2 multi-assignment
@@ -591,4 +644,5 @@ STAGED = {
         text_substring_removal_plan_q,
         _REMOVAL_ORACLE,
     ),
+    "ann_mips_topk": (ann_mips_topk_q, _mips_oracle()),
 }

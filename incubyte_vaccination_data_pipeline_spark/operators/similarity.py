@@ -1262,3 +1262,50 @@ def cosine_near_dup_pairs_ivf(
         .filter((F.col("cosine") >= threshold) | (F.col("__fence") < -1))
         .drop("__fence")
     )
+
+
+def topk_mips(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query (MIPS) — the third
+    similarity objective after cosine (``topk_bruteforce``) and
+    L2-through-PQ (``topk_pq``): retrieval where vector MAGNITUDE
+    carries signal (popularity-weighted item embeddings, learned
+    retrieval scores), so scores must not be normalized away. No norms
+    are computed at all — the scan folds one dot product per pair.
+
+    Returns (query_id, neighbor_id, dot, rank); dot rounded to 6 dp,
+    ties broken by neighbor id. Brute force is the recall-1 baseline;
+    the indexed scale path is the classic MIPS->cosine reduction
+    (augment every corpus vector with sqrt(M^2 - |x|^2) as an extra
+    dimension, queries with 0, then any cosine index — the shared IVF
+    pipeline — searches the augmented space), which composes from
+    existing operators and is deliberately not duplicated here.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_expr("cv", "qv"), 6).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

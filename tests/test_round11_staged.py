@@ -435,3 +435,42 @@ def test_removal_plan_plan_shape(spark, sf_dir):
     scan = plan[plan.index("Scan parquet") :]
     read_cols = re.match(r"Scan parquet \[([^\]]*)\]", scan).group(1).split(",")
     assert sorted(c.split("#")[0] for c in read_cols if c) == ["doc_id", "text"]
+
+
+def test_mips_ranking_laws_on_corpus(spark, sf_dir):
+    """Per-query ranks contiguous from 1, dot non-increasing along the
+    rank. (On THIS near-constant-norm synthetic corpus MIPS and cosine
+    orders happen to coincide — the objective split is pinned on a
+    constructed corpus below.)"""
+    out = r11.ann_mips_topk_q(spark, sf_dir).collect()
+    assert out
+    by_q = {}
+    for row in out:
+        by_q.setdefault(row["query_id"], []).append(row)
+    for rows in by_q.values():
+        rows.sort(key=lambda row: row["rank"])
+        assert [row["rank"] for row in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["dot"] >= b["dot"]
+
+
+def test_mips_diverges_from_cosine_when_norms_vary(spark):
+    """The objective split that justifies MIPS as its own query: a
+    high-norm, less-aligned vector must win MIPS while the unit-norm
+    aligned vector wins cosine."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_mips,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # the query
+        (1, [0.9, 0.0, 0.0, 0.0]),   # perfectly aligned, small norm
+        (2, [2.0, 2.0, 0.0, 0.0]),   # misaligned (cos ~0.707), big norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    mips_top = topk_mips(df, q, k=1).collect()[0]
+    cos_top = topk_bruteforce(df, q, k=1).collect()[0]
+    assert mips_top["neighbor_id"] == 2 and mips_top["dot"] == 2.0
+    assert cos_top["neighbor_id"] == 1 and cos_top["cosine"] == 1.0
