@@ -1,6 +1,8 @@
 """Round-10 additions: the scale-safe default verify pass (registered)
-plus the wide-SimHash pairs path (STAGED_R11, registration deferred to
-round 11 — see the staging section at the bottom).
+plus the round-11 staging registry (STAGED_R11: the wide-SimHash pairs
+path and IVF radius search defined here, and the second batch merged
+in from ``catalog/round11_staged`` — see the staging section at the
+bottom; registration deferred to round 11).
 
 - ``dedup_ngram_jaccard_prefix`` — exact char-3-gram Jaccard through
   the operator's NEW defaulted blocking (language + 20-char length
