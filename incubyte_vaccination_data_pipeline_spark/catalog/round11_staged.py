@@ -409,7 +409,7 @@ _HW_SEED_L = (
 def events_holt_winters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters ADDITIVE SEASONAL (triple exponential) smoothing of
     the daily revenue series per event type — completes the smoothing
-    family (SES: 1 state; Holt: 2; this: 2 + a {HW_PERIOD}-slot
+    family (SES: 1 state; Holt: 2; this: 2 + a 7-slot weekly
     seasonal array), the operator behind seasonality-aware forecasting
     and deseasonalized anomaly baselines. The accumulator is a STRUCT
     (step counter, level, trend, seasonal list) folded JVM-side by

@@ -39,6 +39,21 @@ def main() -> None:
         for name in sorted(by_module[mod]):
             lines.append(f"- **{name}** — {first_sentence(QUERIES[name].__doc__)}")
         lines.append("")
+
+    # staged-for-next-round queries: italic bullets, deliberately NOT
+    # the bold format the registry-sync test captures (they are not in
+    # the live registry yet; each already has a DuckDB oracle and
+    # passes the staged side-by-side suite)
+    from incubyte_vaccination_data_pipeline_spark.catalog.round10_ext import (
+        STAGED_R11,
+    )
+
+    lines.append(f"## staged for round 11 ({len(STAGED_R11)})")
+    lines.append("")
+    for name in sorted(STAGED_R11):
+        fn = STAGED_R11[name][0]
+        lines.append(f"- *{name}* (staged) — {first_sentence(fn.__doc__)}")
+    lines.append("")
     Path(__file__).resolve().parents[1].joinpath("QUERIES.md").write_text(
         "\n".join(lines)
     )
