@@ -1216,9 +1216,14 @@ def cosine_near_dup_pairs_ivf(
     boundary still meets when either member's second cell is the
     other's first), candidate pairs share at least one cell, and every
     survivor carries its exact cosine. Candidate volume is
-    O(sum of cell sizes squared) — with corpus-tracking cell counts
-    (``derived_ivf_cells``) that is ~linear in the corpus, vs the
-    O(n^2) all-pairs scoring a 100 TB corpus cannot afford. Pairs both
+    O(sum of cell sizes squared): O(n^1.5) at the search-tuned
+    ``derived_ivf_cells`` = sqrt(N) default, ~linear at dedup-tuned
+    constant cell population (cells ~ n / target_size) — vs the O(n^2)
+    all-pairs scoring a 100 TB corpus cannot afford. The cells-grow-
+    with-n regime makes single-level ASSIGNMENT O(n*cells); past a few
+    thousand cells use a two-level quantizer (coarse-assign to
+    sqrt(cells), refine within — the same ivf_centroids/ivf_assign
+    machinery applied twice) to keep assignment O(n*sqrt(cells)). Pairs both
     of whose members agree that their ``assign_m`` cells are elsewhere
     are missed — the documented IVF trade, same as the probe tail of
     ``topk_ivf``.
