@@ -1201,11 +1201,12 @@ def topk_ivfpq(
 
 def cosine_near_dup_pairs_ivf(
     corpus: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     threshold: float = 0.99,
     assign_m: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs THROUGH the IVF index —
     the corpus-scale path for semantic dedup. ``cosine_near_dup_pairs``
@@ -1233,10 +1234,17 @@ def cosine_near_dup_pairs_ivf(
     id-keyed joins cost less than carrying two raw vectors through the
     distinct's shuffle at production dims. Returns
     (vec_a, vec_b, cosine >= threshold)."""
-    cells = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.explode(ivf_probes_expr(vec_col, centroids, assign_m)).alias("cid"),
-    )
+    if cells is None:
+        if centroids is None:
+            raise ValueError("pass either centroids (flat) or cells (precomputed)")
+        cells = corpus.select(
+            F.col(id_col).alias("vid"),
+            F.explode(ivf_probes_expr(vec_col, centroids, assign_m)).alias("cid"),
+        )
+    else:
+        # precomputed multi-assignment, e.g. ivf_two_level_assign —
+        # the path that scales cell counts past literal codegen
+        cells = cells.select(F.col(id_col).alias("vid"), F.col("cell").alias("cid"))
     a = cells.select(F.col("vid").alias("vec_a"), "cid")
     b = cells.select(F.col("vid").alias("vec_b"), "cid")
     pairs = (
@@ -1313,4 +1321,91 @@ def topk_mips(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def ivf_two_level_assign(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    n_fine_per_coarse: int,
+    assign_m: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hierarchical (two-level) IVF assignment — the production shape
+    once cell counts grow past what per-row centroid-literal codegen
+    tolerates (a flat assign is O(n x cells) scoring AND a
+    cells x dims literal expression; past a few thousand cells both
+    explode). Level 1 assigns every vector to one of
+    ``len(coarse_centroids)`` coarse cells with the usual literal
+    expression; level 2 scores each vector against ONLY its coarse
+    cell's ``n_fine_per_coarse`` fine seeds via a broadcast join +
+    column-fold dot — total scoring work O(n x (coarse + fine)) =
+    O(n x sqrt(cells)) at the balanced split, and no giant codegen
+    expression anywhere.
+
+    Fine seeds are the ``n_fine_per_coarse`` vectors of each coarse
+    cell with the smallest ``md5(id)`` (the content-addressed seed
+    recipe of ``ivf_centroids``), unit-normalized, WITHOUT a Lloyd
+    refinement (refining per-(coarse, fine) means is the same
+    quantized-integer aggregate as ``ivf_centroids`` run groupwise —
+    omitted here because seeds already partition the space and the
+    equivalence law below is exact only pre-refinement). With ONE
+    coarse cell this is bit-identical to flat assignment against
+    ``ivf_centroids(refine_iters=0)`` seeds — the law the unit test
+    pins.
+
+    Returns one row per (vector, assigned cell): (id_col, vec_col,
+    ``cell``) with ``cell = coarse_cid * n_fine_per_coarse +
+    fine_rank``; ``assign_m`` > 1 keeps each vector's top-m fine cells
+    within its coarse cell (the multi-assignment blocks of
+    ``cosine_near_dup_pairs_ivf``). Ties break (score DESC, fine id
+    ASC), mirroring every other argmax in this module.
+    """
+    from pyspark.sql import Window
+
+    assigned_c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_assign_expr(vec_col, coarse_centroids).alias("__ccid"),
+    )
+    seed_w = Window.partitionBy("__ccid").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    unit_seed = F.expr(
+        f"""
+        transform({vec_col}, x -> cast(x as double) /
+            greatest(sqrt(aggregate(transform({vec_col},
+                y -> cast(y as double) * cast(y as double)),
+                cast(0.0 as double), (acc, v) -> acc + v)),
+                cast(1e-300 as double)))
+        """
+    )
+    seeds = (
+        assigned_c.withColumn("__rn", F.row_number().over(seed_w))
+        .filter(F.col("__rn") <= n_fine_per_coarse)
+        .select(
+            "__ccid",
+            (F.col("__rn") - 1).alias("__fid"),
+            unit_seed.alias("__sv"),
+        )
+    )
+    scored = assigned_c.join(F.broadcast(seeds), "__ccid").select(
+        F.col(id_col),
+        F.col(vec_col),
+        "__ccid",
+        "__fid",
+        dot_expr(vec_col, "__sv").alias("__dot"),
+    )
+    top_w = Window.partitionBy(id_col).orderBy(
+        F.col("__dot").desc(), F.col("__fid").asc()
+    )
+    return (
+        scored.withColumn("__arn", F.row_number().over(top_w))
+        .filter(F.col("__arn") <= assign_m)
+        .select(
+            id_col,
+            vec_col,
+            (F.col("__ccid") * n_fine_per_coarse + F.col("__fid")).alias("cell"),
+        )
     )

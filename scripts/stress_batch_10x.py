@@ -155,6 +155,51 @@ def run_emb_ivf_dedup(spark, sf_dir: str, label: str) -> None:
     )
 
 
+def run_emb_ivf_dedup_two_level(
+    spark, sf_dir: str, label: str, target_cell: int = 256
+) -> None:
+    """The dedup-tuned regime: constant cell POPULATION (cells =
+    n/target_cell — linear candidate volume) through the TWO-LEVEL
+    quantizer (``ivf_two_level_assign``), which keeps assignment
+    O(n x sqrt(cells)) and avoids the cells x dims literal codegen a
+    flat assign would need at this cell count."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        NEAR_DUP_THRESHOLD,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_ivf,
+        ivf_centroids,
+        ivf_two_level_assign,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    n = emb.count()
+    cells_total = max(4, n // target_cell)
+    coarse_n = max(2, int(cells_total**0.5))
+    fine = cells_total // coarse_n + 1
+    coarse = ivf_centroids(emb, n_centroids=coarse_n)
+    assigned = ivf_two_level_assign(
+        emb, coarse, n_fine_per_coarse=fine, assign_m=2
+    ).persist()
+    n_assign = assigned.count()
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pairs = cosine_near_dup_pairs_ivf(
+        emb, threshold=NEAR_DUP_THRESHOLD, cells=assigned
+    ).count()
+    t_pairs = time.perf_counter() - t0
+    print(
+        f"  [{label}] cells~{coarse_n * fine:5d} (coarse {coarse_n} x fine"
+        f" {fine}) assign_rows={n_assign:8d} pairs>=thr={n_pairs:9d}"
+        f" build={t_build:6.2f}s pair_gen={t_pairs:6.2f}s"
+    )
+    assigned.unpersist()
+
+
 def build_scratch(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
@@ -449,6 +494,9 @@ def main() -> None:
             run_emb_ivf_dedup(spark, BASE_SF, "1x warmup (discard)")
             run_emb_ivf_dedup(spark, BASE_SF, "1x")
             run_emb_ivf_dedup(spark, scratch, f"{args.factor}x")
+            print("== embedding dedup, TWO-LEVEL constant-population cells ==")
+            run_emb_ivf_dedup_two_level(spark, BASE_SF, "1x")
+            run_emb_ivf_dedup_two_level(spark, scratch, f"{args.factor}x")
 
         if "ann" not in sections:
             return

@@ -474,3 +474,77 @@ def test_mips_diverges_from_cosine_when_norms_vary(spark):
     cos_top = topk_bruteforce(df, q, k=1).collect()[0]
     assert mips_top["neighbor_id"] == 2 and mips_top["dot"] == 2.0
     assert cos_top["neighbor_id"] == 1 and cos_top["cosine"] == 1.0
+
+
+def test_two_level_assign_one_coarse_equals_flat_seeds(spark, sf_dir):
+    """The hierarchy law: with ONE coarse cell, two-level assignment is
+    bit-identical to flat assignment against the unrefined global seed
+    set (same content-addressed seeds, same dot fold, same tie-break) —
+    pins that level 2 implements exactly the flat semantics, only
+    scoped per coarse cell."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_assign_expr,
+        ivf_centroids,
+        ivf_two_level_assign,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_fine = 9
+    flat_seeds = ivf_centroids(emb, n_centroids=n_fine, refine_iters=0)
+    flat = {
+        row["vec_id"]: row["cid"]
+        for row in emb.select(
+            "vec_id", ivf_assign_expr("embedding", flat_seeds).alias("cid")
+        ).collect()
+    }
+    # one coarse cell: any single unit centroid sends every vector to
+    # coarse cell 0, so the fine seeds are the global smallest-md5 set
+    one_coarse = [[1.0] + [0.0] * 63]
+    two = {
+        row["vec_id"]: row["cell"]
+        for row in ivf_two_level_assign(
+            emb, one_coarse, n_fine_per_coarse=n_fine
+        ).collect()
+    }
+    assert two == flat
+
+
+def test_two_level_cells_find_planted_exact_dups(spark, sf_dir):
+    """End-to-end through the generalized pair operator: a two-level
+    assignment frame (real coarse split) fed to
+    cosine_near_dup_pairs_ivf(cells=...) still finds every planted
+    exact-dup pair at cosine exactly 1.0 (a copy gets identical coarse
+    AND fine cells), and returned cosines match brute force."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_ivf,
+        ivf_centroids,
+        ivf_two_level_assign,
+    )
+
+    base = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    copies = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(copies)
+    coarse = ivf_centroids(corpus, n_centroids=3)
+    assigned = ivf_two_level_assign(
+        corpus, coarse, n_fine_per_coarse=4, assign_m=2
+    )
+    pairs = {
+        (row["vec_a"], row["vec_b"]): row["cosine"]
+        for row in cosine_near_dup_pairs_ivf(
+            corpus, threshold=0.99, cells=assigned
+        ).collect()
+    }
+    planted = {(v, v + 1_000_000) for v in range(60)}
+    assert planted <= set(pairs)
+    assert all(pairs[p] == 1.0 for p in planted)
+    brute = {
+        (row["vec_a"], row["vec_b"]): row["cosine"]
+        for row in cosine_near_dup_pairs(
+            corpus, threshold=0.99, block_col=None
+        ).collect()
+    }
+    assert set(pairs) <= set(brute)
+    assert all(brute[p] == c for p, c in pairs.items())
