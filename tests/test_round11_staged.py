@@ -548,3 +548,36 @@ def test_two_level_cells_find_planted_exact_dups(spark, sf_dir):
     }
     assert set(pairs) <= set(brute)
     assert all(brute[p] == c for p, c in pairs.items())
+
+
+def test_two_level_refined_equals_flat_lloyd(spark, sf_dir):
+    """The hierarchy law EXTENDS through refinement: one coarse cell +
+    one distributed groupwise Lloyd step is bit-identical to flat
+    assignment against ivf_centroids(refine_iters=1) — same quantized
+    integer means, same empty-cell seed fallback, same normalization
+    and tie-breaks, computed distributed instead of driver-side."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_assign_expr,
+        ivf_centroids,
+        ivf_two_level_assign,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_fine = 9
+    flat_cents = ivf_centroids(emb, n_centroids=n_fine, refine_iters=1)
+    flat = {
+        row["vec_id"]: row["cid"]
+        for row in emb.select(
+            "vec_id", ivf_assign_expr("embedding", flat_cents).alias("cid")
+        ).collect()
+    }
+    two = {
+        row["vec_id"]: row["cell"]
+        for row in ivf_two_level_assign(
+            emb,
+            [[1.0] + [0.0] * 63],
+            n_fine_per_coarse=n_fine,
+            refine_fine=1,
+        ).collect()
+    }
+    assert two == flat
