@@ -1,5 +1,5 @@
 """Second round-11 staging batch (registration deferred — window
-protection, same rationale as ``round10_ext.STAGED_R11``): seven
+protection, same rationale as ``round10_ext.STAGED_R11``): eight
 operators the catalog lacked.
 
 - ``text_substring_dedup`` — per-document duplicated-substring
@@ -33,11 +33,16 @@ operators the catalog lacked.
   similarity objective (cosine ranks by angle, MIPS by angle times
   magnitude); the indexed scale path is the augmented-dimension
   MIPS->cosine reduction through the shared IVF pipeline.
+- ``dedup_embedding_ivf_hier`` — the same semantic dedup through the
+  TWO-LEVEL quantizer (``ivf_two_level_assign`` + one distributed
+  fine-seed Lloyd refinement): the assignment shape that survives
+  cell counts past literal codegen, value-checked end to end by an
+  independent SQL restatement of the whole hierarchy.
 
 Both are registered in round 11 via ``round10_ext.register_r11()``
 (this module's STAGED dict is merged into ``round10_ext.STAGED_R11``
-at import); the growth simulation at 210 registered queries (201 live
-+ 9 staged) keeps the re-verification gap at ceil(210/50) = 5.
+at import); the growth simulation at 211 registered queries (201 live
++ 10 staged) keeps the re-verification gap at ceil(211/50) = 5.
 
 Reference parity note: the reference (a 1,172-LoC pandas+Snowflake
 ETL, see SURVEY.md) has no corpus-analysis surface; these extend the
@@ -646,3 +651,221 @@ STAGED = {
     ),
     "ann_mips_topk": (ann_mips_topk_q, _mips_oracle()),
 }
+
+
+# --- hierarchical (two-level) semantic dedup ------------------------------
+#
+# The driver-checkable certificate for ivf_two_level_assign: the whole
+# two-level pipeline (coarse seeds -> coarse Lloyd -> coarse assign ->
+# per-coarse-cell fine seeds -> distributed fine Lloyd -> top-m fine
+# assign -> same-cell pairs -> exact cosine threshold) restated as ONE
+# independent SQL pipeline. Small oracle-portable pins: 3 coarse x 4
+# fine = 12 cells, top-2 multi-assign, one fine refinement.
+HIER_COARSE = 3
+HIER_FINE = 4
+HIER_ASSIGN_M = 2
+HIER_REFINE = 1
+
+_HIER_COARSE_CACHE: dict = {}
+
+
+def _hier_coarse(spark: SparkSession, sf_dir: str) -> list:
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _HIER_COARSE_CACHE:
+        _HIER_COARSE_CACHE[key] = ivf_centroids(
+            read_table(spark, sf_dir, "embeddings"), n_centroids=HIER_COARSE
+        )
+    return _HIER_COARSE_CACHE[key]
+
+
+def dedup_embedding_ivf_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs through the TWO-LEVEL (hierarchical)
+    IVF quantizer (``operators/similarity.ivf_two_level_assign`` with
+    one distributed groupwise Lloyd refinement of the fine seeds, fed
+    to ``cosine_near_dup_pairs_ivf(cells=...)``): the assignment shape
+    that survives cell counts past literal codegen — O(n*sqrt(cells))
+    scoring, no cells x dims expression, no driver collect in the
+    refinement. Pinned small for the oracle: 3 coarse x 4 fine cells,
+    top-2 multi-assignment. The 100x stress measured the refinement
+    worth 2.5x on pair generation (SCALE.md: unrefined fine seeds skew
+    and the pair join pays sum(cell^2))."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        NEAR_DUP_THRESHOLD,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_ivf,
+        ivf_two_level_assign,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = ivf_two_level_assign(
+        emb,
+        _hier_coarse(spark, sf_dir),
+        n_fine_per_coarse=HIER_FINE,
+        assign_m=HIER_ASSIGN_M,
+        refine_fine=HIER_REFINE,
+    )
+    return cosine_near_dup_pairs_ivf(
+        emb, threshold=NEAR_DUP_THRESHOLD, cells=cells
+    )
+
+
+def _hier_oracle() -> str:
+    """Full SQL restatement of the two-level pipeline — an independent
+    algorithm over the same exact arithmetic contracts (md5-addressed
+    seeds, quantized-integer Lloyd means, in-order double folds,
+    score-DESC/id-ASC ties), so every pair's cosine value-checks."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        NEAR_DUP_THRESHOLD,
+        _dot_sql,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        MEAN_SCALE,
+    )
+
+    def unit(v: str) -> str:
+        n = f"sqrt({_dot_sql(v, v)})"
+        return (
+            f"list_transform({v}, x -> CAST(x AS DOUBLE) /"
+            f" (CASE WHEN {n} = 0.0 THEN 1.0 ELSE {n} END))"
+        )
+
+    nc, nf, m, scale = HIER_COARSE, HIER_FINE, HIER_ASSIGN_M, MEAN_SCALE
+    return f"""
+    WITH cseed_raw AS (
+        SELECT sid, embedding FROM (
+            SELECT embedding,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sid
+            FROM embeddings)
+        WHERE sid < {nc}
+    ),
+    cseed AS (
+        SELECT sid, {unit('embedding')} AS sv FROM cseed_raw
+    ),
+    ca0 AS (
+        SELECT e.vec_id, s.sid, {_dot_sql('e.embedding', 's.sv')} AS score
+        FROM embeddings e CROSS JOIN cseed s
+    ),
+    ccid0 AS (
+        SELECT vec_id, sid AS cid FROM (
+            SELECT vec_id, sid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, sid) AS rn
+            FROM ca0)
+        WHERE rn = 1
+    ),
+    cexpl AS (
+        SELECT c.cid, unnest(e.embedding) AS val,
+               unnest(range(len(e.embedding))) AS pos
+        FROM ccid0 c JOIN embeddings e USING (vec_id)
+    ),
+    cmean AS (
+        SELECT cid, pos,
+               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {scale}) AS BIGINT))
+                    AS DOUBLE) / (COUNT(*) * {scale}.0) AS mv
+        FROM cexpl GROUP BY cid, pos
+    ),
+    cmeanvec AS (
+        SELECT cid, list(mv ORDER BY pos) AS mvec FROM cmean GROUP BY cid
+    ),
+    ccent AS (
+        SELECT s.sid AS cid,
+               COALESCE({unit('m.mvec')}, s.sv) AS cv
+        FROM cseed s LEFT JOIN cmeanvec m ON m.cid = s.sid
+    ),
+    ca1 AS (
+        SELECT e.vec_id, c.cid, {_dot_sql('e.embedding', 'c.cv')} AS score
+        FROM embeddings e CROSS JOIN ccent c
+    ),
+    cassigned AS (
+        SELECT vec_id, cid AS ccid FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+            FROM ca1)
+        WHERE rn = 1
+    ),
+    fseed AS (
+        SELECT ccid, fid, {unit('e.embedding')} AS sv FROM (
+            SELECT ca.ccid, ca.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ca.ccid
+                       ORDER BY md5(CAST(ca.vec_id AS VARCHAR)), ca.vec_id
+                   ) - 1 AS fid
+            FROM cassigned ca) f
+        JOIN embeddings e ON e.vec_id = f.vec_id
+        WHERE fid < {nf}
+    ),
+    fa0 AS (
+        SELECT c.vec_id, c.ccid, s.fid,
+               {_dot_sql('e.embedding', 's.sv')} AS score
+        FROM cassigned c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN fseed s ON s.ccid = c.ccid
+    ),
+    fcid0 AS (
+        SELECT vec_id, ccid, fid FROM (
+            SELECT vec_id, ccid, fid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, fid) AS rn
+            FROM fa0)
+        WHERE rn = 1
+    ),
+    fexpl AS (
+        SELECT f.ccid, f.fid, unnest(e.embedding) AS val,
+               unnest(range(len(e.embedding))) AS pos
+        FROM fcid0 f JOIN embeddings e USING (vec_id)
+    ),
+    fmean AS (
+        SELECT ccid, fid, pos,
+               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {scale}) AS BIGINT))
+                    AS DOUBLE) / (COUNT(*) * {scale}.0) AS mv
+        FROM fexpl GROUP BY ccid, fid, pos
+    ),
+    fmeanvec AS (
+        SELECT ccid, fid, list(mv ORDER BY pos) AS mvec
+        FROM fmean GROUP BY ccid, fid
+    ),
+    fcent AS (
+        SELECT s.ccid, s.fid,
+               COALESCE({unit('m.mvec')}, s.sv) AS cv
+        FROM fseed s LEFT JOIN fmeanvec m
+          ON m.ccid = s.ccid AND m.fid = s.fid
+    ),
+    fa1 AS (
+        SELECT c.vec_id, c.ccid, s.fid,
+               {_dot_sql('e.embedding', 's.cv')} AS score
+        FROM cassigned c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN fcent s ON s.ccid = c.ccid
+    ),
+    fassigned AS (
+        SELECT vec_id, ccid * {nf} + fid AS cell FROM (
+            SELECT vec_id, ccid, fid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, fid) AS rn
+            FROM fa1)
+        WHERE rn <= {m}
+    ),
+    hpairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM fassigned a JOIN fassigned b USING (cell)
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT p.vec_a, p.vec_b,
+           round({_dot_sql('ea.embedding', 'eb.embedding')}
+                 / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+                    * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})), 6)
+               AS cosine
+    FROM hpairs p
+    JOIN embeddings ea ON ea.vec_id = p.vec_a
+    JOIN embeddings eb ON eb.vec_id = p.vec_b
+    WHERE round({_dot_sql('ea.embedding', 'eb.embedding')}
+                / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+                   * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})), 6)
+          >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+STAGED["dedup_embedding_ivf_hier"] = (dedup_embedding_ivf_hier_q, _hier_oracle())

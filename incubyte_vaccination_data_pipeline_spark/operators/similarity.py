@@ -1377,14 +1377,16 @@ def ivf_two_level_assign(
     seed_w = Window.partitionBy("__ccid").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
+    # zero-norm fallback mirrors _unit's `or 1.0` so the flat-vs-
+    # hierarchical laws (and the SQL oracle restatement) are exact
+    seed_norm = (
+        f"sqrt(aggregate(transform({vec_col},"
+        f" y -> cast(y as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v))"
+    )
     unit_seed = F.expr(
-        f"""
-        transform({vec_col}, x -> cast(x as double) /
-            greatest(sqrt(aggregate(transform({vec_col},
-                y -> cast(y as double) * cast(y as double)),
-                cast(0.0 as double), (acc, v) -> acc + v)),
-                cast(1e-300 as double)))
-        """
+        f"transform({vec_col}, x -> cast(x as double) /"
+        f" (case when {seed_norm} = 0.0D then 1.0D else {seed_norm} end))"
     )
     seeds = (
         assigned_c.withColumn("__rn", F.row_number().over(seed_w))
