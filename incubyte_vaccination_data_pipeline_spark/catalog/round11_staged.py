@@ -1,5 +1,5 @@
 """Second round-11 staging batch (registration deferred — window
-protection, same rationale as ``round10_ext.STAGED_R11``): eight
+protection, same rationale as ``round10_ext.STAGED_R11``): nine
 operators the catalog lacked.
 
 - ``text_substring_dedup`` — per-document duplicated-substring
@@ -38,11 +38,16 @@ operators the catalog lacked.
   fine-seed Lloyd refinement): the assignment shape that survives
   cell counts past literal codegen, value-checked end to end by an
   independent SQL restatement of the whole hierarchy.
+- ``ann_ivf_hier_topk`` — top-k SEARCH through the same two-level
+  index (``topk_two_level``): coarse probes -> fine-centroid probes
+  over only the probed coarse cells -> exact-cosine rerank of the
+  probed inverted file; probing everything degenerates to exact
+  brute force (the pinned recall-1 law).
 
-Both are registered in round 11 via ``round10_ext.register_r11()``
+All are registered in round 11 via ``round10_ext.register_r11()``
 (this module's STAGED dict is merged into ``round10_ext.STAGED_R11``
-at import); the growth simulation at 211 registered queries (201 live
-+ 10 staged) keeps the re-verification gap at ceil(211/50) = 5.
+at import); the growth simulation at 212 registered queries (201 live
++ 11 staged) keeps the re-verification gap at ceil(212/50) = 5.
 
 Reference parity note: the reference (a 1,172-LoC pandas+Snowflake
 ETL, see SURVEY.md) has no corpus-analysis surface; these extend the
@@ -714,7 +719,7 @@ def dedup_embedding_ivf_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hier_oracle() -> str:
+def _hier_ctes(m: int) -> str:
     """Full SQL restatement of the two-level pipeline — an independent
     algorithm over the same exact arithmetic contracts (md5-addressed
     seeds, quantized-integer Lloyd means, in-order double folds,
@@ -734,9 +739,8 @@ def _hier_oracle() -> str:
             f" (CASE WHEN {n} = 0.0 THEN 1.0 ELSE {n} END))"
         )
 
-    nc, nf, m, scale = HIER_COARSE, HIER_FINE, HIER_ASSIGN_M, MEAN_SCALE
-    return f"""
-    WITH cseed_raw AS (
+    nc, nf, scale = HIER_COARSE, HIER_FINE, MEAN_SCALE
+    return f"""cseed_raw AS (
         SELECT sid, embedding FROM (
             SELECT embedding,
                    ROW_NUMBER() OVER (
@@ -847,25 +851,159 @@ def _hier_oracle() -> str:
                 PARTITION BY vec_id ORDER BY score DESC, fid) AS rn
             FROM fa1)
         WHERE rn <= {m}
-    ),
+    )
+"""
+
+
+def _hier_oracle() -> str:
+    """Pair (dedup) tail over the shared hierarchy CTEs."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        NEAR_DUP_THRESHOLD,
+        _cos_sql,
+    )
+
+    return f"""
+    WITH {_hier_ctes(HIER_ASSIGN_M)},
     hpairs AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM fassigned a JOIN fassigned b USING (cell)
         WHERE a.vec_id < b.vec_id
     )
     SELECT p.vec_a, p.vec_b,
-           round({_dot_sql('ea.embedding', 'eb.embedding')}
-                 / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
-                    * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})), 6)
-               AS cosine
+           round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
     FROM hpairs p
     JOIN embeddings ea ON ea.vec_id = p.vec_a
     JOIN embeddings eb ON eb.vec_id = p.vec_b
-    WHERE round({_dot_sql('ea.embedding', 'eb.embedding')}
-                / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
-                   * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})), 6)
+    WHERE round({_cos_sql('ea.embedding', 'eb.embedding')}, 6)
           >= {NEAR_DUP_THRESHOLD}
 """
 
 
 STAGED["dedup_embedding_ivf_hier"] = (dedup_embedding_ivf_hier_q, _hier_oracle())
+
+
+#: search-through-the-hierarchy contract: probe the 2 nearest coarse
+#: cells, keep the 4 best fine cells overall, exact-cosine top-10.
+HIER_PROBE_COARSE = 2
+HIER_PROBE_FINE = 4
+
+_HIER_FINE_CACHE: dict = {}
+
+
+def _hier_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(app, corpus) fine-centroid frame — shared by the
+    hierarchical dedup and search queries (build once, probe many)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_two_level_centroids,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _HIER_FINE_CACHE:
+        _HIER_FINE_CACHE[key] = ivf_two_level_centroids(
+            read_table(spark, sf_dir, "embeddings"),
+            _hier_coarse(spark, sf_dir),
+            HIER_FINE,
+            refine_fine=HIER_REFINE,
+        )
+    return _HIER_FINE_CACHE[key]
+
+
+def ann_ivf_hier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-10 THROUGH the two-level index
+    (``operators/similarity.topk_two_level``): the search twin of
+    ``dedup_embedding_ivf_hier`` — queries probe their 2 nearest
+    coarse cells, score only those cells' fine centroids (a broadcast
+    join, O(probe_coarse x fine) dots per query instead of O(cells)),
+    keep the 4 best fine cells, and exact-cosine-rerank the probed
+    cells' inverted file. Index = assign_m=1 over the SAME shared
+    fine-centroid frame as the dedup query. Probing every fine cell
+    of one coarse cell degenerates to exact brute force (recall-1 law,
+    pinned in tests); the oracle replays both levels and the probe
+    tail in SQL."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        N_QUERY_VECTORS,
+        TOP_K,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_two_level_assign,
+        topk_two_level,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    fc = _hier_fine(spark, sf_dir)
+    inv = ivf_two_level_assign(
+        emb,
+        _hier_coarse(spark, sf_dir),
+        HIER_FINE,
+        assign_m=1,
+        fine_centroids=fc,
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return topk_two_level(
+        emb,
+        queries,
+        _hier_coarse(spark, sf_dir),
+        fc,
+        inv,
+        HIER_FINE,
+        k=TOP_K,
+        n_probe_coarse=HIER_PROBE_COARSE,
+        n_probe_fine=HIER_PROBE_FINE,
+    )
+
+
+def _hier_search_oracle() -> str:
+    """Probe/search tail over the shared hierarchy CTEs (index built
+    at assign_m=1)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        N_QUERY_VECTORS,
+        TOP_K,
+        _cos_sql,
+        _dot_sql,
+    )
+
+    npc, npf, nf = HIER_PROBE_COARSE, HIER_PROBE_FINE, HIER_FINE
+    return f"""
+    WITH {_hier_ctes(1)},
+    qprobes AS (
+        SELECT vec_id AS query_id, cid AS ccid FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+            FROM ca1 WHERE vec_id < {N_QUERY_VECTORS})
+        WHERE rn <= {npc}
+    ),
+    fprobe AS (
+        SELECT p.query_id, s.ccid * {nf} + s.fid AS cell,
+               {_dot_sql('e.embedding', 's.cv')} AS score
+        FROM qprobes p
+        JOIN embeddings e ON e.vec_id = p.query_id
+        JOIN fcent s ON s.ccid = p.ccid
+    ),
+    pcells AS (
+        SELECT query_id, cell FROM (
+            SELECT query_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, cell) AS rn
+            FROM fprobe)
+        WHERE rn <= {npf}
+    ),
+    hcand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM pcells p JOIN fassigned a USING (cell)
+        WHERE a.vec_id <> p.query_id
+    ),
+    hscored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round({_cos_sql('q.embedding', 'n.embedding')}, 6) AS cosine
+        FROM hcand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM hscored)
+    WHERE rank <= {TOP_K}
+"""
+
+
+STAGED["ann_ivf_hier_topk"] = (ann_ivf_hier_topk_q, _hier_search_oracle())

@@ -1324,56 +1324,65 @@ def topk_mips(
     )
 
 
-def ivf_two_level_assign(
+def _two_level_coarse(
     corpus: DataFrame,
     coarse_centroids: list[list[float]],
-    n_fine_per_coarse: int,
-    assign_m: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    refine_fine: int = 0,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Hierarchical (two-level) IVF assignment — the production shape
-    once cell counts grow past what per-row centroid-literal codegen
-    tolerates (a flat assign is O(n x cells) scoring AND a
-    cells x dims literal expression; past a few thousand cells both
-    explode). Level 1 assigns every vector to one of
-    ``len(coarse_centroids)`` coarse cells with the usual literal
-    expression; level 2 scores each vector against ONLY its coarse
-    cell's ``n_fine_per_coarse`` fine seeds via a broadcast join +
-    column-fold dot — total scoring work O(n x (coarse + fine)) =
-    O(n x sqrt(cells)) at the balanced split, and no giant codegen
-    expression anywhere.
-
-    Fine seeds are the ``n_fine_per_coarse`` vectors of each coarse
-    cell with the smallest ``md5(id)`` (the content-addressed seed
-    recipe of ``ivf_centroids``), unit-normalized. ``refine_fine``
-    Lloyd steps rebalance them ENTIRELY DISTRIBUTED — the per-(coarse,
-    fine) quantized-integer mean is the same exact arithmetic
-    ``ivf_centroids`` computes driver-side, here a groupBy over
-    posexploded dimensions with a left-join seed fallback for empty
-    cells, so no driver collect at any cell count. Refinement matters:
-    unrefined seeds leave cell sizes skewed (measured 10x: max cell
-    938 vs the Lloyd-refined flat quantizer's 306 at the same target
-    population; sum(cell^2) 1.59x worse — the candidate volume the
-    pair join pays). With ONE coarse cell this is bit-identical to
-    flat assignment against ``ivf_centroids(refine_iters=
-    refine_fine)`` — the laws the unit tests pin at 0 and 1.
-
-    Returns one row per (vector, assigned cell): (id_col, vec_col,
-    ``cell``) with ``cell = coarse_cid * n_fine_per_coarse +
-    fine_rank``; ``assign_m`` > 1 keeps each vector's top-m fine cells
-    within its coarse cell (the multi-assignment blocks of
-    ``cosine_near_dup_pairs_ivf``). Ties break (score DESC, fine id
-    ASC), mirroring every other argmax in this module.
-    """
-    from pyspark.sql import Window
-
-    assigned_c = corpus.select(
+    """(id, vec, __ccid) coarse assignment — level 1 of the hierarchy."""
+    return corpus.select(
         F.col(id_col),
         F.col(vec_col),
         ivf_assign_expr(vec_col, coarse_centroids).alias("__ccid"),
     )
+
+
+def _two_level_score(
+    assigned_c: DataFrame,
+    seed_frame: DataFrame,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Score every coarse-assigned vector against its coarse cell's
+    fine seed/centroid rows (broadcast join + column-fold dot) and
+    keep the top ``m`` per vector — level 2's workhorse, shared by
+    centroid refinement and final assignment."""
+    from pyspark.sql import Window
+
+    top_w = Window.partitionBy(id_col).orderBy(
+        F.col("__dot").desc(), F.col("__fid").asc()
+    )
+    scored = assigned_c.join(F.broadcast(seed_frame), "__ccid").select(
+        F.col(id_col),
+        F.col(vec_col),
+        "__ccid",
+        "__fid",
+        dot_expr(vec_col, "__sv").alias("__dot"),
+    )
+    return scored.withColumn("__arn", F.row_number().over(top_w)).filter(
+        F.col("__arn") <= m
+    )
+
+
+def ivf_two_level_centroids(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    n_fine_per_coarse: int,
+    refine_fine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The fine-centroid FRAME (ccid, fid, cv) of the two-level
+    quantizer — build it once per corpus and feed it to both
+    ``ivf_two_level_assign`` (index build) and ``topk_two_level``
+    (search), exactly as the flat pipeline shares ``ivf_centroids``.
+    Seeds, refinement arithmetic, and fallbacks are documented on
+    ``ivf_two_level_assign``; this is the factored-out builder."""
+    from pyspark.sql import Window
+
+    assigned_c = _two_level_coarse(corpus, coarse_centroids, id_col, vec_col)
     seed_w = Window.partitionBy("__ccid").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
@@ -1397,22 +1406,6 @@ def ivf_two_level_assign(
             unit_seed.alias("__sv"),
         )
     )
-    top_w = Window.partitionBy(id_col).orderBy(
-        F.col("__dot").desc(), F.col("__fid").asc()
-    )
-
-    def _assign(seed_frame: DataFrame, m: int) -> DataFrame:
-        scored = assigned_c.join(F.broadcast(seed_frame), "__ccid").select(
-            F.col(id_col),
-            F.col(vec_col),
-            "__ccid",
-            "__fid",
-            dot_expr(vec_col, "__sv").alias("__dot"),
-        )
-        return scored.withColumn("__arn", F.row_number().over(top_w)).filter(
-            F.col("__arn") <= m
-        )
-
     # the exact quantized-integer Lloyd mean of ivf_centroids, run
     # GROUPWISE and fully distributed: sum(floor(val * 2^20)) is an
     # exact order-independent BIGINT, the one division is correctly
@@ -1428,7 +1421,7 @@ def ivf_two_level_assign(
         f" then 1.0D else {mnorm} end))"
     )
     for _ in range(refine_fine):
-        a1 = _assign(seeds, 1)
+        a1 = _two_level_score(assigned_c, seeds, 1, id_col, vec_col)
         means = (
             a1.select(
                 "__ccid", "__fid", F.posexplode(vec_col).alias("__pos", "__val")
@@ -1464,9 +1457,175 @@ def ivf_two_level_assign(
                 F.coalesce(unit_mean, F.col("__sv")).alias("__sv"),
             )
         )
+    return seeds.select(
+        F.col("__ccid").alias("ccid"),
+        F.col("__fid").alias("fid"),
+        F.col("__sv").alias("cv"),
+    )
 
-    return _assign(seeds, assign_m).select(
+
+def ivf_two_level_assign(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    n_fine_per_coarse: int,
+    assign_m: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_fine: int = 0,
+    fine_centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Hierarchical (two-level) IVF assignment — the production shape
+    once cell counts grow past what per-row centroid-literal codegen
+    tolerates (a flat assign is O(n x cells) scoring AND a
+    cells x dims literal expression; past a few thousand cells both
+    explode). Level 1 assigns every vector to one of
+    ``len(coarse_centroids)`` coarse cells with the usual literal
+    expression; level 2 scores each vector against ONLY its coarse
+    cell's ``n_fine_per_coarse`` fine seeds via a broadcast join +
+    column-fold dot — total scoring work O(n x (coarse + fine)) =
+    O(n x sqrt(cells)) at the balanced split, and no giant codegen
+    expression anywhere.
+
+    Fine seeds are the ``n_fine_per_coarse`` vectors of each coarse
+    cell with the smallest ``md5(id)`` (the content-addressed seed
+    recipe of ``ivf_centroids``), unit-normalized. ``refine_fine``
+    Lloyd steps rebalance them ENTIRELY DISTRIBUTED — the per-(coarse,
+    fine) quantized-integer mean is the same exact arithmetic
+    ``ivf_centroids`` computes driver-side, here a groupBy over
+    posexploded dimensions with a left-join seed fallback for empty
+    cells, so no driver collect at any cell count. Refinement matters:
+    unrefined seeds leave cell sizes skewed (measured 10x: max cell
+    938 vs the Lloyd-refined flat quantizer's 306 at the same target
+    population; sum(cell^2) 1.59x worse — the candidate volume the
+    pair join pays). With ONE coarse cell this is bit-identical to
+    flat assignment against ``ivf_centroids(refine_iters=
+    refine_fine)`` — the laws the unit tests pin at 0 and 1.
+
+    Returns one row per (vector, assigned cell): (id_col, vec_col,
+    ``cell``) with ``cell = coarse_cid * n_fine_per_coarse +
+    fine_rank``; ``assign_m`` > 1 keeps each vector's top-m fine cells
+    within its coarse cell (the multi-assignment blocks of
+    ``cosine_near_dup_pairs_ivf``). Ties break (score DESC, fine id
+    ASC), mirroring every other argmax in this module. Pass a
+    prebuilt ``fine_centroids`` frame (``ivf_two_level_centroids``)
+    to amortize the centroid build across assign + search consumers;
+    otherwise it is built here with ``refine_fine`` steps.
+    """
+    if fine_centroids is None:
+        fine_centroids = ivf_two_level_centroids(
+            corpus,
+            coarse_centroids,
+            n_fine_per_coarse,
+            refine_fine=refine_fine,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    seeds = fine_centroids.select(
+        F.col("ccid").alias("__ccid"),
+        F.col("fid").alias("__fid"),
+        F.col("cv").alias("__sv"),
+    )
+    assigned_c = _two_level_coarse(corpus, coarse_centroids, id_col, vec_col)
+    return _two_level_score(assigned_c, seeds, assign_m, id_col, vec_col).select(
         id_col,
         vec_col,
         (F.col("__ccid") * n_fine_per_coarse + F.col("__fid")).alias("cell"),
+    )
+
+
+def topk_two_level(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    fine_centroids: DataFrame,
+    assigned_cells: DataFrame,
+    n_fine_per_coarse: int,
+    k: int = 10,
+    n_probe_coarse: int = 2,
+    n_probe_fine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k THROUGH the two-level index — the
+    search twin of the hierarchical dedup path: each query probes its
+    ``n_probe_coarse`` nearest coarse cells (literal codegen — the
+    coarse level stays small by design), scores only THOSE cells'
+    fine centroids via a broadcast join (O(probe_coarse x fine) dots
+    per query instead of O(cells)), keeps the ``n_probe_fine`` best
+    fine cells overall, and exact-cosine-reranks the inverted file
+    rows of the probed cells. Neighbors whose cell is outside the
+    probes are missed (the IVF trade, now hierarchical: a miss can
+    come from EITHER level); every returned pair carries its exact
+    cosine. Probing every fine cell of a single coarse cell
+    degenerates to exact brute force — the recall-1 law the tests
+    pin. Fine-cell ties break (score DESC, cell ASC); the final rank
+    ties break (cosine DESC, neighbor ASC) like every other top-k in
+    this module.
+
+    ``assigned_cells`` is the (id, vec, cell) inverted file from
+    ``ivf_two_level_assign`` (build with ``assign_m=1`` for search);
+    ``fine_centroids`` the (ccid, fid, cv) frame from
+    ``ivf_two_level_centroids`` — both build once per corpus.
+    Returns (query_id, neighbor_id, cosine, rank <= k)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cprobes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            ivf_probes_expr("qv", coarse_centroids, n_probe_coarse)
+        ).alias("ccid"),
+    )
+    fscored = cprobes.join(F.broadcast(fine_centroids), "ccid").select(
+        "query_id",
+        "qv",
+        (F.col("ccid") * n_fine_per_coarse + F.col("fid")).alias("cell"),
+        dot_expr("qv", "cv").alias("__s"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("cell").asc()
+    )
+    pcells = (
+        fscored.withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= n_probe_fine)
+        .select("query_id", "cell")
+    )
+    inv = assigned_cells.select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    cand = (
+        pcells.join(inv, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    qv = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvv"),
+        norm_expr(vec_col).alias("nn"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr("qv", "nvv") / (F.col("qn") * F.col("nn")), 6
+            ).alias("cosine"),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(rank_w)).filter(
+        F.col("rank") <= k
     )

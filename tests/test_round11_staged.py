@@ -581,3 +581,57 @@ def test_two_level_refined_equals_flat_lloyd(spark, sf_dir):
         ).collect()
     }
     assert two == flat
+
+
+def test_hier_search_probe_all_equals_bruteforce(spark, sf_dir):
+    """Recall-1 law: one coarse cell + probing every fine cell makes
+    the hierarchical search scan the whole corpus — the result must
+    EQUAL exact brute-force top-k (same pairs, cosines, ranks)."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_two_level_assign,
+        ivf_two_level_centroids,
+        topk_bruteforce,
+        topk_two_level,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    one_coarse = [[1.0] + [0.0] * 63]
+    nf = 6
+    fc = ivf_two_level_centroids(emb, one_coarse, nf, refine_fine=1)
+    inv = ivf_two_level_assign(emb, one_coarse, nf, assign_m=1, fine_centroids=fc)
+    queries = emb.filter(F.col("vec_id") < 5)
+    hier = {
+        (row["query_id"], row["rank"]): (row["neighbor_id"], row["cosine"])
+        for row in topk_two_level(
+            emb, queries, one_coarse, fc, inv, nf,
+            k=10, n_probe_coarse=1, n_probe_fine=nf,
+        ).collect()
+    }
+    brute = {
+        (row["query_id"], row["rank"]): (row["neighbor_id"], row["cosine"])
+        for row in topk_bruteforce(emb, queries, k=10).collect()
+    }
+    assert hier == brute
+
+
+def test_hier_search_recall_and_score_exactness(spark, sf_dir):
+    """At the pinned probe budget every returned cosine equals the
+    brute-force score for the same pair (the index prunes, never
+    rescores), and recall@10 stays above a honest floor on the
+    near-uniform corpus."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import QUERIES
+
+    brute = {
+        (row["query_id"], row["neighbor_id"]): row["cosine"]
+        for row in QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    hier = {
+        (row["query_id"], row["neighbor_id"]): row["cosine"]
+        for row in r11.ann_ivf_hier_topk_q(spark, sf_dir).collect()
+    }
+    assert hier
+    hits = sum(1 for p in hier if p in brute)
+    for pair, cos in hier.items():
+        if pair in brute:
+            assert cos == brute[pair]
+    assert hits / len(brute) >= 0.25, f"recall collapsed: {hits}/{len(brute)}"
