@@ -202,6 +202,67 @@ def run_emb_ivf_dedup_two_level(
     assigned.unpersist()
 
 
+def run_ann_two_level_search(
+    spark, sf_dir: str, label: str, target_cell: int = 256
+) -> None:
+    """k-NN SEARCH through the two-level index at constant cell
+    population and a ~25% probe budget, with recall vs exact brute
+    force on a query subsample — the hierarchical twin of run_ann's
+    derived-cells row (flat assignment needs a cells x dims literal
+    expression; the hierarchy never builds one)."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_two_level_assign,
+        ivf_two_level_centroids,
+        topk_bruteforce,
+        topk_two_level,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    n = emb.count()
+    cells_total = max(4, n // target_cell)
+    coarse_n = max(2, int(cells_total**0.5))
+    fine = cells_total // coarse_n + 1
+    coarse = ivf_centroids(emb, n_centroids=coarse_n)
+    fc = ivf_two_level_centroids(emb, coarse, fine, refine_fine=1).persist()
+    fc.count()
+    inv = ivf_two_level_assign(
+        emb, coarse, fine, assign_m=1, fine_centroids=fc
+    ).persist()
+    inv.count()
+    t_build = time.perf_counter() - t0
+    npc = max(2, coarse_n // 2)
+    npf = max(4, (coarse_n * fine) // 4)
+    queries = emb.filter(F.col("vec_id") % 20 == 3)  # 5% query set
+    t0 = time.perf_counter()
+    topk_two_level(
+        emb, queries, coarse, fc, inv, fine,
+        k=5, n_probe_coarse=npc, n_probe_fine=npf,
+    ).write.format("noop").mode("overwrite").save()
+    t_join = time.perf_counter() - t0
+    sample = queries.filter(F.col("vec_id") % 200 == 3)
+    exact = topk_bruteforce(emb, sample, k=5).select("query_id", "neighbor_id")
+    approx = topk_two_level(
+        emb, sample, coarse, fc, inv, fine,
+        k=5, n_probe_coarse=npc, n_probe_fine=npf,
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    print(
+        f"  [{label}] cells~{coarse_n * fine:5d} probes={npc}c/{npf}f"
+        f" build={t_build:6.2f}s knn={t_join:6.2f}s"
+        f" recall@5={n_hit / max(n_exact, 1):.3f} ({n_hit}/{n_exact})"
+    )
+    fc.unpersist()
+    inv.unpersist()
+
+
 def build_scratch(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
@@ -499,6 +560,9 @@ def main() -> None:
             print("== embedding dedup, TWO-LEVEL constant-population cells ==")
             run_emb_ivf_dedup_two_level(spark, BASE_SF, "1x")
             run_emb_ivf_dedup_two_level(spark, scratch, f"{args.factor}x")
+            print("== ANN search, TWO-LEVEL index (~25% probe budget) ==")
+            run_ann_two_level_search(spark, BASE_SF, "1x")
+            run_ann_two_level_search(spark, scratch, f"{args.factor}x")
 
         if "ann" not in sections:
             return
