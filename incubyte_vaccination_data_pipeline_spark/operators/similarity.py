@@ -1570,11 +1570,14 @@ def topk_two_level(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col).alias("qn"),
     )
     cprobes = q.select(
         "query_id",
         "qv",
+        "qn",
         F.explode(
             ivf_probes_expr("qv", coarse_centroids, n_probe_coarse)
         ).alias("ccid"),
@@ -1582,39 +1585,34 @@ def topk_two_level(
     fscored = cprobes.join(F.broadcast(fine_centroids), "ccid").select(
         "query_id",
         "qv",
+        "qn",
         (F.col("ccid") * n_fine_per_coarse + F.col("fid")).alias("cell"),
         dot_expr("qv", "cv").alias("__s"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__s").desc(), F.col("cell").asc()
     )
+    # probe frame KEEPS the query vector: scoring happens inside the
+    # cell equi-join against the inverted file (the knn_join_ivf
+    # shape) — candidates exist only as (query, neighbor, cosine)
+    # rows, and no shuffle ever carries a vector per candidate. (The
+    # first cut joined corpus vectors onto the candidate set and at
+    # 100x/25%-probe that shuffle spilled ~2 vectors x 500M rows —
+    # hundreds of GB — to disk.)
     pcells = (
         fscored.withColumn("__rn", F.row_number().over(probe_w))
         .filter(F.col("__rn") <= n_probe_fine)
-        .select("query_id", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
     inv = assigned_cells.select(
-        F.col(id_col).alias("neighbor_id"), "cell"
-    )
-    cand = (
-        pcells.join(inv, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates()
-    )
-    qv = corpus.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm_expr(vec_col).alias("qn"),
-    )
-    nv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvv"),
         norm_expr(vec_col).alias("nn"),
+        "cell",
     )
     scored = (
-        cand.join(qv, "query_id")
-        .join(nv, "neighbor_id")
+        inv.join(pcells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
@@ -1622,6 +1620,9 @@ def topk_two_level(
                 dot_expr("qv", "nvv") / (F.col("qn") * F.col("nn")), 6
             ).alias("cosine"),
         )
+        # an assign_m>1 inverted file can surface a pair once per
+        # shared probed cell; duplicates carry identical cosines
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
