@@ -1229,44 +1229,51 @@ def cosine_near_dup_pairs_ivf(
     are missed — the documented IVF trade, same as the probe tail of
     ``topk_ivf``.
 
-    The pair dedup runs on bare (vec_a, vec_b) ids BEFORE the vectors
-    re-attach (a pair sharing two cells appears twice): two extra
-    id-keyed joins cost less than carrying two raw vectors through the
-    distinct's shuffle at production dims. Returns
+    Scoring happens INSIDE the cell self-join: each side of the cid
+    equi-join carries its vector and precomputed norm (a cells x m
+    frame — megabytes per million vectors), the cosine computes in
+    the join stage, the threshold filter kills non-dups before
+    anything shuffles again, and only then does the (vec_a, vec_b)
+    distinct run — on the few SURVIVORS, which share identical
+    cosines across duplicate cells, so filter-then-distinct is
+    deterministic. (The first cut deduped bare candidate ids and then
+    re-attached both vectors via two id-keyed joins; at 100x data
+    that shuffled two 64-float vectors per HUNDREDS OF MILLIONS of
+    candidates — the same disk-spill failure mode the topk_two_level
+    scorer hit, see SCALE.md.) Returns
     (vec_a, vec_b, cosine >= threshold)."""
     if cells is None:
         if centroids is None:
             raise ValueError("pass either centroids (flat) or cells (precomputed)")
         cells = corpus.select(
             F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vv"),
             F.explode(ivf_probes_expr(vec_col, centroids, assign_m)).alias("cid"),
         )
     else:
         # precomputed multi-assignment, e.g. ivf_two_level_assign —
         # the path that scales cell counts past literal codegen
-        cells = cells.select(F.col(id_col).alias("vid"), F.col("cell").alias("cid"))
-    a = cells.select(F.col("vid").alias("vec_a"), "cid")
-    b = cells.select(F.col("vid").alias("vec_b"), "cid")
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates()
+        cells = cells.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vv"),
+            F.col("cell").alias("cid"),
+        )
+    a = cells.select(
+        F.col("vid").alias("vec_a"),
+        F.col("vv").alias("va"),
+        norm_expr("vv").alias("na"),
+        "cid",
     )
-    ea = corpus.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("va"),
-        norm_expr(vec_col).alias("na"),
-    )
-    eb = corpus.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("vb"),
-        norm_expr(vec_col).alias("nb"),
+    b = cells.select(
+        F.col("vid").alias("vec_b"),
+        F.col("vv").alias("vb"),
+        norm_expr("vv").alias("nb"),
+        "cid",
     )
     cos = F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
     return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         # non-foldable rand fence: keeps the threshold filter from
         # being substituted below the projection, which would evaluate
@@ -1274,6 +1281,7 @@ def cosine_near_dup_pairs_ivf(
         .withColumn("__fence", F.rand(seed=0))
         .filter((F.col("cosine") >= threshold) | (F.col("__fence") < -1))
         .drop("__fence")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
