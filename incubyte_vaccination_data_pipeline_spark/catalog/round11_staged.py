@@ -65,6 +65,9 @@ from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
     substring_dup_coverage,
     substring_dup_stats,
 )
+from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
+    TRIANGLE_MIN_SUPPORT,
+)
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
 
 #: substring-dedup contract: word-8-gram positions, duplicated =
@@ -611,7 +614,7 @@ _LPA_ORACLE = f"""
         SELECT a.l_partkey AS pa, b.l_partkey AS pb
         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         WHERE a.l_partkey < b.l_partkey
-        GROUP BY pa, pb HAVING COUNT(*) >= 2
+        GROUP BY pa, pb HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
     ),
     edges AS (
         SELECT pa AS src, pb AS dst FROM pairs
@@ -712,7 +715,7 @@ def dedup_embedding_ivf_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hier_coarse(spark, sf_dir),
         n_fine_per_coarse=HIER_FINE,
         assign_m=HIER_ASSIGN_M,
-        refine_fine=HIER_REFINE,
+        fine_centroids=_hier_fine(spark, sf_dir),
     )
     return cosine_near_dup_pairs_ivf(
         emb, threshold=NEAR_DUP_THRESHOLD, cells=cells

@@ -884,6 +884,47 @@ def duplicate_clusters(
     )
 
 
+
+def _hashed_word_kgrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    with_positions: bool,
+) -> DataFrame:
+    """Shared front of the substring-dedup family: fanout, word
+    k-gram explode, ONE md5 per occurrence, decode to the (v1, v2)
+    bigint halves. Returns (doc[, pos], v1, v2) —
+    ``substring_dup_stats`` and ``substring_dup_coverage`` must stay
+    on the identical hashing/shuffle contract, so they share this."""
+    words = fanout_repartition(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.split(F.lower(F.col(text_col)), " ").alias("words"),
+        ).filter(F.size("words") >= k),
+        "doc",
+    )
+    gram_expr = (
+        f"transform(sequence(1, size(words) - {k - 1}),"
+        f" i -> array_join(slice(words, i, {k}), ' '))"
+    )
+    if with_positions:
+        shingled = words.select(
+            "doc", F.posexplode(F.expr(gram_expr)).alias("pos", "shingle")
+        )
+        keep = ["doc", "pos"]
+    else:
+        shingled = words.select(
+            "doc", F.explode(F.expr(gram_expr)).alias("shingle")
+        )
+        keep = ["doc"]
+    return shingled.select(*keep, F.md5("shingle").alias("m")).select(
+        *keep,
+        F.expr(f"cast({md5_half_decode_sql('m', 1)} as bigint)").alias("v1"),
+        F.expr(f"cast({md5_half_decode_sql('m', 9)} as bigint)").alias("v2"),
+    )
+
+
 def substring_dup_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -918,27 +959,7 @@ def substring_dup_stats(
     documents with fewer than ``k`` words carry no k-gram and are
     absent, matching the empty ``range()`` in the SQL restatement.
     """
-    words = fanout_repartition(
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.split(F.lower(F.col(text_col)), " ").alias("words"),
-        ).filter(F.size("words") >= k),
-        "doc",
-    )
-    shingles = words.select(
-        "doc",
-        F.expr(
-            f"""
-            explode(transform(sequence(1, size(words) - {k - 1}),
-                              i -> array_join(slice(words, i, {k}), ' ')))
-            """
-        ).alias("shingle"),
-    )
-    hashed = shingles.select("doc", F.md5("shingle").alias("m")).select(
-        "doc",
-        F.expr(f"cast({md5_half_decode_sql('m', 1)} as bigint)").alias("v1"),
-        F.expr(f"cast({md5_half_decode_sql('m', 9)} as bigint)").alias("v2"),
-    )
+    hashed = _hashed_word_kgrams(df, text_col, id_col, k, with_positions=False)
     per_doc_gram = hashed.groupBy("v1", "v2", "doc").agg(
         F.count(F.lit(1)).alias("occ")
     )
@@ -994,32 +1015,7 @@ def substring_dup_coverage(
     covered_words = 0 rows are kept — the plan needs the "nothing to
     delete" docs too.
     """
-    words = fanout_repartition(
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.split(F.lower(F.col(text_col)), " ").alias("words"),
-        ).filter(F.size("words") >= k),
-        "doc",
-    )
-    shingled = words.select(
-        "doc",
-        F.posexplode(
-            F.expr(
-                f"""
-                transform(sequence(1, size(words) - {k - 1}),
-                          i -> array_join(slice(words, i, {k}), ' '))
-                """
-            )
-        ).alias("pos", "shingle"),
-    )
-    hashed = shingled.select(
-        "doc", "pos", F.md5("shingle").alias("m")
-    ).select(
-        "doc",
-        "pos",
-        F.expr(f"cast({md5_half_decode_sql('m', 1)} as bigint)").alias("v1"),
-        F.expr(f"cast({md5_half_decode_sql('m', 9)} as bigint)").alias("v2"),
-    )
+    hashed = _hashed_word_kgrams(df, text_col, id_col, k, with_positions=True)
     gram_docs = hashed.groupBy("v1", "v2").agg(
         F.countDistinct("doc").alias("nd")
     )
@@ -1032,7 +1028,10 @@ def substring_dup_coverage(
         .groupBy("doc")
         .agg(F.countDistinct("w").alias("covered_words"))
     )
-    base = words.select("doc", F.size("words").alias("n_words"))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.lower(F.col(text_col)), " ")).alias("n_words"),
+    ).filter(F.col("n_words") >= k)
     return (
         base.join(covered, "doc", "left")
         .select(

@@ -155,6 +155,15 @@ def run_emb_ivf_dedup(spark, sf_dir: str, label: str) -> None:
     )
 
 
+def _const_pop_geometry(n: int, target_cell: int) -> tuple[int, int]:
+    """(coarse_n, fine_per_coarse) for the constant-cell-population
+    two-level split — shared by the dedup and search stress sections
+    so both always measure the SAME index configuration."""
+    cells_total = max(4, n // target_cell)
+    coarse_n = max(2, int(cells_total**0.5))
+    return coarse_n, cells_total // coarse_n + 1
+
+
 def run_emb_ivf_dedup_two_level(
     spark, sf_dir: str, label: str, target_cell: int = 256
 ) -> None:
@@ -178,9 +187,7 @@ def run_emb_ivf_dedup_two_level(
     emb = read_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
     n = emb.count()
-    cells_total = max(4, n // target_cell)
-    coarse_n = max(2, int(cells_total**0.5))
-    fine = cells_total // coarse_n + 1
+    coarse_n, fine = _const_pop_geometry(n, target_cell)
     coarse = ivf_centroids(emb, n_centroids=coarse_n)
     # refine_fine=1: unrefined seeds leave skewed cells (measured
     # sum(cell^2) 1.59x worse at 10x) that negate the candidate win
@@ -226,9 +233,7 @@ def run_ann_two_level_search(
     emb = read_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
     n = emb.count()
-    cells_total = max(4, n // target_cell)
-    coarse_n = max(2, int(cells_total**0.5))
-    fine = cells_total // coarse_n + 1
+    coarse_n, fine = _const_pop_geometry(n, target_cell)
     coarse = ivf_centroids(emb, n_centroids=coarse_n)
     fc = ivf_two_level_centroids(emb, coarse, fine, refine_fine=1).persist()
     fc.count()
