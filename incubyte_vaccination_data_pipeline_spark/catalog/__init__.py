@@ -83,6 +83,16 @@ from incubyte_vaccination_data_pipeline_spark.catalog import round10_ext  # noqa
 
 round10_ext.register()
 
+# round 11: the eleven queries staged across round 10 — the two-level
+# hierarchical IVF family (dedup_embedding_ivf_hier, ann_ivf_hier_topk),
+# the IVF-indexed dedup/radius/MIPS trio, wide SimHash, substring-level
+# dedup (stats + removal plan), BM25 top-k, Holt-Winters, and label
+# propagation. One call lands all 11; the growth sim at 212 keeps the
+# re-verification gap at ceil(212/50) = 5, and the rotation's EDF policy
+# seats the at-bound round-6 cohort (agg_heavy_hitters_cms) ahead of
+# never-verified newcomers.
+round10_ext.register_r11()
+
 FLAGSHIP_COUNTRY = vax.FLAGSHIP_COUNTRY
 
 # The driver verifies the first N registered queries per round (observed

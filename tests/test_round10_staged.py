@@ -1,54 +1,23 @@
-"""Round-10 staged-for-round-11 queries: driver-style DuckDB
-side-by-side for the wide-SimHash pairs path BEFORE it joins the live
-registry (window protection kept it staged this round — see
-catalog/round10_ext.py), plus semantic pins that the wide path does
-what the 30x stress showed it does."""
+"""Round-10-staged queries (registered in round 11 via register_r11):
+registration pin plus semantic pins that the wide-SimHash and IVF-radius
+paths do what the 30x stress showed they do. Their DuckDB side-by-sides
+live in tests/test_oracle.py now that they're registered."""
 
 from __future__ import annotations
 
-import duckdb
-import pytest
-
 from incubyte_vaccination_data_pipeline_spark import catalog
 from incubyte_vaccination_data_pipeline_spark.catalog import round10_ext
-from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import TESTDATA_TABLES
-from tests.test_oracle import _normalize, _values_equal
 
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    yield con
-    con.close()
-
-
-def test_staged_r11_not_yet_registered():
-    """Round 10: the wide-simhash query is deliberately NOT in the
-    live registry (registering a 202nd query would re-sort the window
-    under the four round-8 queries' promised driver slots); the live
-    round-10 registration is only dedup_ngram_jaccard_prefix."""
+def test_staged_r11_registered_round11():
+    """Round 11: register_r11() landed the full staged batch in the
+    live registry (catalog/__init__.py), so the 11 queries now take
+    driver CORRECTNESS rows and their DuckDB side-by-sides run in the
+    live oracle sweep (tests/test_oracle.py) instead of a staged copy
+    here."""
     assert set(round10_ext.STAGED) <= set(catalog.QUERIES)
-    assert not (set(round10_ext.STAGED_R11) & set(catalog.QUERIES))
-    assert not (set(round10_ext.STAGED_R11) & set(catalog.ORACLES))
-
-
-@pytest.mark.parametrize("name", sorted(round10_ext.STAGED_R11))
-def test_staged_r11_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, oracle = round10_ext.STAGED_R11[name]
-    spark_df = fn(spark, sf_dir).toPandas()
-    duck_df = duck.execute(oracle).df()
-    assert len(spark_df) == len(duck_df)
-    spark_df.columns = [c.lower() for c in spark_df.columns]
-    duck_df.columns = [c.lower() for c in duck_df.columns]
-    s, d = _normalize(spark_df), _normalize(duck_df)
-    assert sorted(s.columns) == sorted(d.columns)
-    for col in s.columns:
-        for av, bv in zip(s[col], d[col]):
-            if av is None and bv is None:
-                continue
-            assert _values_equal(av, bv), (name, col, av, bv)
+    assert set(round10_ext.STAGED_R11) <= set(catalog.QUERIES)
+    assert set(round10_ext.STAGED_R11) <= set(catalog.ORACLES)
 
 
 def test_radius_ivf_subset_of_bruteforce_with_equal_scores(spark, sf_dir):
