@@ -68,6 +68,7 @@ from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
 from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
     TRIANGLE_MIN_SUPPORT,
 )
+from incubyte_vaccination_data_pipeline_spark.shared_cache import register_dict_cache
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
 
 #: substring-dedup contract: word-8-gram positions, duplicated =
@@ -674,7 +675,7 @@ HIER_FINE = 4
 HIER_ASSIGN_M = 2
 HIER_REFINE = 1
 
-_HIER_COARSE_CACHE: dict = {}
+_HIER_COARSE_CACHE: dict = register_dict_cache({})
 
 
 def _hier_coarse(spark: SparkSession, sf_dir: str) -> list:
@@ -727,6 +728,11 @@ def _hier_ctes(m: int) -> str:
     algorithm over the same exact arithmetic contracts (md5-addressed
     seeds, quantized-integer Lloyd means, in-order double folds,
     score-DESC/id-ASC ties), so every pair's cosine value-checks."""
+    # the CTE chain below hand-writes exactly ONE fine Lloyd refinement
+    # (fa0 -> fcid0 -> fmean -> fcent); the Spark side derives its count
+    # from HIER_REFINE, so bumping that constant without rewriting these
+    # CTEs would silently desynchronize query and oracle
+    assert HIER_REFINE == 1, "_hier_ctes hardcodes one fine refinement"
     from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
         NEAR_DUP_THRESHOLD,
         _dot_sql,
@@ -890,7 +896,7 @@ STAGED["dedup_embedding_ivf_hier"] = (dedup_embedding_ivf_hier_q, _hier_oracle()
 HIER_PROBE_COARSE = 2
 HIER_PROBE_FINE = 4
 
-_HIER_FINE_CACHE: dict = {}
+_HIER_FINE_CACHE: dict = register_dict_cache({})
 
 
 def _hier_fine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1241,7 +1241,17 @@ def cosine_near_dup_pairs_ivf(
     that shuffled two 64-float vectors per HUNDREDS OF MILLIONS of
     candidates — the same disk-spill failure mode the topk_two_level
     scorer hit, see SCALE.md.) Returns
-    (vec_a, vec_b, cosine >= threshold)."""
+    (vec_a, vec_b, cosine >= threshold).
+
+    ``centroids``/``assign_m`` and ``cells`` are mutually exclusive
+    assignment sources: ``assign_m`` only applies on the centroids
+    (flat) path — a precomputed ``cells`` frame already encodes its
+    own multi-assignment."""
+    if cells is not None and centroids is not None:
+        raise ValueError(
+            "centroids and cells are mutually exclusive: a precomputed "
+            "cells frame already encodes its multi-assignment"
+        )
     if cells is None:
         if centroids is None:
             raise ValueError("pass either centroids (flat) or cells (precomputed)")

@@ -409,7 +409,9 @@ def test_holt_winters_plan_two_shuffles_no_join(spark, sf_dir):
     import re
 
     plan = _plan(r11.events_holt_winters_q(spark, sf_dir))
-    assert plan.count("Exchange") == 2
+    # upper bound, not ==: AQE/upgrade Exchange coalescing must not
+    # redden this; the load-bearing claim is "no third shuffle, no join"
+    assert plan.count("Exchange") <= 2
     assert not re.findall(r"\w*Join\w*", plan)
 
 

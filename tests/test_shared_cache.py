@@ -177,3 +177,37 @@ def test_shared_cluster_labels_match_fresh_computation(spark, sf_dir):
     fresh = sorted(map(tuple, duplicate_clusters(fresh_pairs).collect()))
     assert cached == fresh
     sc.release_shared_state(sf_dir)
+
+
+def test_hier_caches_swept_with_shared_state(spark, sf_dir):
+    """The two-level quantizer's coarse/fine caches (round11_staged)
+    are registered dict caches: the explicit between-corpora sweep the
+    bench scripts rely on must drop their entries too, not just the
+    BoundedCache-backed index frames."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import round11_staged as r11
+
+    r11._hier_fine(spark, sf_dir)  # populates coarse AND fine caches
+    assert any(sc._key_matches(k, sf_dir) for k in r11._HIER_COARSE_CACHE)
+    assert any(sc._key_matches(k, sf_dir) for k in r11._HIER_FINE_CACHE)
+    sc.release_shared_state(sf_dir)
+    assert not any(sc._key_matches(k, sf_dir) for k in r11._HIER_COARSE_CACHE)
+    assert not any(sc._key_matches(k, sf_dir) for k in r11._HIER_FINE_CACHE)
+
+
+def test_near_dup_ivf_rejects_centroids_plus_cells(spark, sf_dir):
+    """centroids/cells are mutually exclusive assignment sources —
+    supplying both used to silently take cells semantics while the
+    assign_m default suggested the flat path still applied."""
+    import pytest
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_ivf,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = emb.selectExpr("vec_id", "embedding", "0 AS cell")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cosine_near_dup_pairs_ivf(emb, centroids=[[0.0] * 4], cells=cells)
