@@ -4,9 +4,16 @@ JSON line (driver contract). Protocol per BASELINE.md: local Spark with
 AQE on, parquet inputs from $SPARK_GRAFT_SF_DIR (default sf0.1),
 wall-clock per named query, warmup run discarded, MEDIAN of the
 subsequent 3 runs recorded (round 10: medians + per-query spread make
-round-over-round regressions attributable — a best-of sample hides
-which query moved when the machine is loaded; best-of is still
-recorded alongside for continuity with rounds 1-9).
+round-over-round regressions attributable; best-of is still recorded
+alongside for continuity with rounds 1-9).
+
+Round 11 — the protocol acts on noise instead of merely reporting it:
+if the sample's total spread exceeds SPREAD_FRAC_BOUND of the total,
+the noisiest queries are re-timed (the machine-load transient has
+usually passed) and each query keeps its LOWEST-SPREAD sample; the
+artifact records retry counts and os.getloadavg() at start/end so a
+loaded-machine sample is visible in the record instead of needing a
+judge session to adjudicate (this burned rounds 8 and 10).
 """
 
 from __future__ import annotations
@@ -34,6 +41,20 @@ HEADLINE = sorted(catalog.QUERIES)
 
 RUNS = 3  # timed runs after the discarded warmup (median recorded)
 
+#: noise gate: if sum(per-query spread) exceeds this fraction of the
+#: total, re-time the noisy queries before writing the artifact.
+#: Calibration: clean rounds read ~10% (r9: 8.1s/78.1s), the two
+#: loaded-machine samples 20-24% (r8, r10).
+SPREAD_FRAC_BOUND = 0.15
+#: a query is re-timed when its spread exceeds BOTH floors — absolute
+#: (micro-queries jitter by scheduling quanta; retrying them buys
+#: nothing) and relative to its own median
+RETRY_SPREAD_FLOOR_SEC = 0.2
+RETRY_SPREAD_FRAC = 0.25
+#: bounded retries: a persistently-loaded machine must terminate and
+#: report its load honestly rather than spin
+MAX_RETRY_PASSES = 2
+
 #: the driver keeps only this many trailing stdout chars; the LAST
 #: printed line must parse from inside that window
 DRIVER_TAIL_CHARS = 2000
@@ -46,7 +67,8 @@ def compact_payload(payload: dict, timings: dict[str, float]) -> dict:
     compact = {
         k: v
         for k, v in payload.items()
-        if k not in ("queries_cold", "queries_best", "queries_spread")
+        if k not in ("queries_cold", "queries_best", "queries_spread",
+                     "queries_retries")
     }
     compact["queries"] = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:COMPACT_TOP_N]
@@ -56,41 +78,81 @@ def compact_payload(payload: dict, timings: dict[str, float]) -> dict:
     return compact
 
 
+def _stats(runs: list[float]) -> tuple[float, float, float]:
+    """(median, best, spread) of one timed sample."""
+    r = sorted(runs)
+    return r[len(r) // 2], r[0], r[-1] - r[0]
+
+
+def _needs_retry(runs: list[float]) -> bool:
+    med, _, spr = _stats(runs)
+    return spr > RETRY_SPREAD_FLOOR_SEC and spr > RETRY_SPREAD_FRAC * med
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(v, 2) for v in os.getloadavg()]
+    except (OSError, AttributeError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="ivdp-bench")
-    timings: dict[str, float] = {}
-    best_of: dict[str, float] = {}
-    per_spread: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    spread = 0.0  # sum over queries of (worst - best) timed run: the
-    # session-noise floor of this sample — the r8->r9 lesson is that a
-    # loaded machine reads as "broad shallow drift" on the total, and
-    # a large spread flags exactly that condition in the artifact;
-    # per-query spreads (BENCH_local only) attribute it
-    for name in HEADLINE:
-        fn = catalog.QUERIES[name]
+    load_start = _loadavg()
+
+    def time_runs(fn, n: int) -> list[float]:
         runs: list[float] = []
-        for i in range(RUNS + 1):
+        for _ in range(n):
             t0 = time.perf_counter()
             # foreach-noop forces full materialization without driver collect
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if i == 0:
-                # first touch: plan compile + any shared-cache build this
-                # query triggers — recorded separately so warm numbers
-                # stay comparable round-over-round
-                cold[name] = round(dt, 4)
-                continue
-            runs.append(dt)
-        runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 4)  # median of RUNS
-        best_of[name] = round(runs[0], 4)
-        per_spread[name] = round(runs[-1] - runs[0], 4)
-        spread += runs[-1] - runs[0]
+            runs.append(time.perf_counter() - t0)
+        return runs
+
+    samples: dict[str, list[float]] = {}  # lowest-spread sample per query
+    overall_best: dict[str, float] = {}  # min over every run incl. retries
+    cold: dict[str, float] = {}
+    retries: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        # first touch: plan compile + any shared-cache build this query
+        # triggers — recorded separately so warm numbers stay
+        # comparable round-over-round
+        cold[name] = round(time_runs(fn, 1)[0], 4)
+        runs = time_runs(fn, RUNS)
+        samples[name] = runs
+        overall_best[name] = min(runs)
+
+    # noise gate: while the sample-wide spread exceeds the bound,
+    # re-time the noisy queries; each keeps its lowest-spread sample
+    # (medians stay medians — retrying never cherry-picks single runs)
+    for _ in range(MAX_RETRY_PASSES):
+        total = sum(_stats(r)[0] for r in samples.values())
+        spread = sum(_stats(r)[2] for r in samples.values())
+        if total <= 0 or spread <= SPREAD_FRAC_BOUND * total:
+            break
+        noisy = sorted(
+            (n for n in HEADLINE if _needs_retry(samples[n])),
+            key=lambda n: _stats(samples[n])[2],
+            reverse=True,
+        )
+        if not noisy:
+            break
+        for name in noisy:
+            rerun = time_runs(catalog.QUERIES[name], RUNS)
+            overall_best[name] = min(overall_best[name], *rerun)
+            if _stats(rerun)[2] < _stats(samples[name])[2]:
+                samples[name] = rerun
+            retries[name] = retries.get(name, 0) + 1
+
+    timings = {n: round(_stats(r)[0], 4) for n, r in samples.items()}
+    best_of = {n: round(v, 4) for n, v in overall_best.items()}
+    per_spread = {n: round(_stats(r)[2], 4) for n, r in samples.items()}
+    spread = sum(_stats(r)[2] for r in samples.values())
 
     # release every shared frame keyed to this corpus: the cache bounds
     # entry count, but persisted RDDs pin executor storage memory until
@@ -110,7 +172,12 @@ def main() -> None:
         "queries_best": best_of,
         "queries_spread": per_spread,
         "queries_cold": cold,
+        "queries_retries": retries,
         "noise_spread_sec": round(spread, 4),
+        "spread_frac": round(spread / total, 4) if total else 0.0,
+        "retried_queries": len(retries),
+        "load_avg_start": load_start,
+        "load_avg_end": _loadavg(),
         "sf": sf,
     }
     line = json.dumps(payload)

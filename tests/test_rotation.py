@@ -287,6 +287,11 @@ def test_bench_compact_line_fits_driver_tail():
         "value": 12345.6789,
         "unit": "sec",
         "queries": timings,
+        "noise_spread_sec": 12.3456,
+        "spread_frac": 0.1234,
+        "retried_queries": 12,
+        "load_avg_start": [12.34, 12.34, 12.34],
+        "load_avg_end": [12.34, 12.34, 12.34],
         "sf": 0.1,
     }
     line = _json.dumps(bench.compact_payload(payload, timings))
