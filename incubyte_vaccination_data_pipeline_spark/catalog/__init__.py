@@ -19,6 +19,7 @@ explicit tie-breakers.
 
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import (  # noqa: F401
     AS_OF,
+    DEPRECATED,
     ORACLES,
     QUERIES,
     query,

@@ -18,7 +18,10 @@ from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
     durable_checkpoint,
 )
 
-from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.catalog.registry import (
+    DEPRECATED,
+    query,
+)
 from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
     MINHASH_COEFFS,
     MINHASH_PRIME,
@@ -439,14 +442,24 @@ def dedup_simhash_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-3-gram Jaccard over (lang, 20-char-length-bucket)
-    blocks: the precision-style verify pass (MinHash+LSH is the
-    recall-style discovery pass; a near-dup whose length crosses a
-    bucket boundary is deliberately out of scope here). The per-doc
-    gram-set frame builds once per corpus (:data:`_SHARED_NGRAMS` —
-    the explode->collect_set aggregate is the dominant per-call cost
-    and is pair-threshold-independent); the blocked verify join runs
-    per call."""
+    """DEPRECATED — use ``dedup_ngram_jaccard_prefix``: this query pins
+    the HISTORICAL (lang, 20-char-length-bucket) blocking as its
+    driver-verified oracle contract, and that 2-column block key is
+    quadratic in corpus size (the 10x disjoint-content stress reads
+    29.5x cold / 84.9x warm, SCALE.md) — metadata blocks grow with the
+    corpus, content-prefix blocks don't. The operator DEFAULT
+    (``operators/dedup.ngram_jaccard_pairs`` with ``block_cols``
+    unset) already uses the scale-safe (lang, len_bucket,
+    content-prefix) key; ``dedup_ngram_jaccard_prefix`` is the catalog
+    query that certifies it (2.43x cold / 2.24x warm at 10x). Kept,
+    contract frozen, for driver-certificate continuity and as the
+    measured counter-example of metadata-only blocking.
+
+    Exact char-3-gram Jaccard: the precision-style verify pass
+    (MinHash+LSH is the recall-style discovery pass; a near-dup whose
+    length crosses a bucket boundary is deliberately out of scope).
+    The per-doc gram-set frame builds once per corpus
+    (:data:`_SHARED_NGRAMS`); the blocked verify join runs per call."""
     return ngram_jaccard_pairs(
         augmented_documents(spark, sf_dir),
         block_cols=["lang", "len_bucket"],
@@ -455,6 +468,9 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         len_bucket_width=20,
         gram_sets=_shared_ngram_grams(spark, sf_dir),
     )
+
+
+DEPRECATED["dedup_ngram_jaccard"] = "dedup_ngram_jaccard_prefix"
 
 
 @query(

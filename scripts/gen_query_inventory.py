@@ -8,7 +8,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from incubyte_vaccination_data_pipeline_spark.catalog import ORACLES, QUERIES  # noqa: E402
+from incubyte_vaccination_data_pipeline_spark.catalog import (  # noqa: E402
+    DEPRECATED,
+    ORACLES,
+    QUERIES,
+)
 
 
 def first_sentence(doc: str | None) -> str:
@@ -37,7 +41,14 @@ def main() -> None:
         lines.append(f"## {mod} ({len(by_module[mod])})")
         lines.append("")
         for name in sorted(by_module[mod]):
-            lines.append(f"- **{name}** — {first_sentence(QUERIES[name].__doc__)}")
+            tag = (
+                f" *(deprecated — use `{DEPRECATED[name]}`)*"
+                if name in DEPRECATED
+                else ""
+            )
+            lines.append(
+                f"- **{name}**{tag} — {first_sentence(QUERIES[name].__doc__)}"
+            )
         lines.append("")
 
     # staged-for-next-round queries: italic bullets, deliberately NOT
@@ -48,12 +59,14 @@ def main() -> None:
         STAGED_R11,
     )
 
-    lines.append(f"## staged for round 11 ({len(STAGED_R11)})")
-    lines.append("")
-    for name in sorted(STAGED_R11):
-        fn = STAGED_R11[name][0]
-        lines.append(f"- *{name}* (staged) — {first_sentence(fn.__doc__)}")
-    lines.append("")
+    staged = {n: v for n, v in STAGED_R11.items() if n not in QUERIES}
+    if staged:
+        lines.append(f"## staged for next round ({len(staged)})")
+        lines.append("")
+        for name in sorted(staged):
+            fn = staged[name][0]
+            lines.append(f"- *{name}* (staged) — {first_sentence(fn.__doc__)}")
+        lines.append("")
     Path(__file__).resolve().parents[1].joinpath("QUERIES.md").write_text(
         "\n".join(lines)
     )
