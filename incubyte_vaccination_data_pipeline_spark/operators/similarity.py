@@ -517,11 +517,44 @@ def topk_ivf(
     ``centroids`` (the probe expressions need the literal vectors).
     ``n_centroids=None`` (default) derives the cell count from the
     corpus size (:func:`derived_ivf_cells`, sqrt(N)-tracking) when no
-    prebuilt ``centroids`` are given.
+    prebuilt ``centroids`` are given — and once the resolved cell
+    count crosses :data:`TWO_LEVEL_CELL_THRESHOLD`, the build routes
+    to the two-level quantizer automatically (:func:`topk_two_level`
+    with the probe budget mapped to preserve the probed fraction): a
+    100 TB caller on the default path cannot take the O(n x cells)
+    flat assignment.
     """
     from pyspark.sql import Window
 
     if centroids is None:
+        if n_centroids is None:
+            n_centroids = derived_ivf_cells(corpus.count())
+        if n_centroids > TWO_LEVEL_CELL_THRESHOLD:
+            coarse, fine, assigned, fine_n = build_two_level_index(
+                corpus, n_centroids, id_col=id_col, vec_col=vec_col
+            )
+            npc = derived_ivf_probes(len(coarse))
+            # probe fraction is taken of the ACTUAL grid (coarse x
+            # fine covers at least, usually more than, the requested
+            # cell count)
+            npf = (
+                n_probe
+                if n_probe is not None
+                else derived_ivf_probes(len(coarse) * fine_n)
+            )
+            return topk_two_level(
+                corpus,
+                queries,
+                coarse,
+                fine,
+                assigned,
+                fine_n,
+                k=k,
+                n_probe_coarse=npc,
+                n_probe_fine=min(npf, npc * fine_n),
+                id_col=id_col,
+                vec_col=vec_col,
+            )
         centroids = ivf_centroids(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
@@ -578,9 +611,36 @@ def radius_search_ivf(
     Approximation semantics: candidates outside the probed cells are
     missed (exactly top-k IVF's trade); every RETURNED pair carries
     its exact cosine, so results are a subset of :func:`range_search`
-    with identical scores. Returns (query_id, neighbor_id, cosine)."""
+    with identical scores. Returns (query_id, neighbor_id, cosine).
+    Default build routes to the two-level index past
+    :data:`TWO_LEVEL_CELL_THRESHOLD` cells, like :func:`topk_ivf`."""
     if centroids is None:
-        centroids = ivf_centroids(corpus, id_col=id_col, vec_col=vec_col)
+        n_cells = derived_ivf_cells(corpus.count())
+        if n_cells > TWO_LEVEL_CELL_THRESHOLD:
+            coarse, fine, assigned, fine_n = build_two_level_index(
+                corpus, n_cells, id_col=id_col, vec_col=vec_col
+            )
+            npc = derived_ivf_probes(len(coarse))
+            npf = (
+                n_probe
+                if n_probe is not None
+                else derived_ivf_probes(len(coarse) * fine_n)
+            )
+            return radius_two_level(
+                queries,
+                coarse,
+                fine,
+                assigned,
+                fine_n,
+                threshold,
+                n_probe_coarse=npc,
+                n_probe_fine=min(npf, npc * fine_n),
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        centroids = ivf_centroids(
+            corpus, n_centroids=n_cells, id_col=id_col, vec_col=vec_col
+        )
     if n_probe is None:
         n_probe = derived_ivf_probes(len(centroids))
     c = (
@@ -1243,18 +1303,34 @@ def cosine_near_dup_pairs_ivf(
     scorer hit, see SCALE.md.) Returns
     (vec_a, vec_b, cosine >= threshold).
 
-    ``centroids``/``assign_m`` and ``cells`` are mutually exclusive
-    assignment sources: ``assign_m`` only applies on the centroids
-    (flat) path — a precomputed ``cells`` frame already encodes its
-    own multi-assignment."""
+    ``centroids`` and ``cells`` are mutually exclusive assignment
+    sources; ``assign_m`` applies when the assignment is built HERE
+    (the flat ``centroids`` path or the derived default) — a
+    precomputed ``cells`` frame already encodes its own
+    multi-assignment. With NEITHER supplied, the index is derived
+    from the corpus (:func:`derived_ivf_cells`), routing to the
+    two-level quantizer past :data:`TWO_LEVEL_CELL_THRESHOLD` cells
+    so the default path never takes O(n x cells) flat assignment."""
     if cells is not None and centroids is not None:
         raise ValueError(
             "centroids and cells are mutually exclusive: a precomputed "
             "cells frame already encodes its multi-assignment"
         )
+    if cells is None and centroids is None:
+        n_cells = derived_ivf_cells(corpus.count())
+        if n_cells > TWO_LEVEL_CELL_THRESHOLD:
+            _, _, cells, _ = build_two_level_index(
+                corpus,
+                n_cells,
+                id_col=id_col,
+                vec_col=vec_col,
+                assign_m=assign_m,
+            )
+        else:
+            centroids = ivf_centroids(
+                corpus, n_centroids=n_cells, id_col=id_col, vec_col=vec_col
+            )
     if cells is None:
-        if centroids is None:
-            raise ValueError("pass either centroids (flat) or cells (precomputed)")
         cells = corpus.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vv"),
@@ -1340,6 +1416,70 @@ def topk_mips(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+#: cell count above which the default-build operators route to the
+#: two-level quantizer automatically. A flat assign is O(n x cells)
+#: scoring through a cells x dims literal expression — "past a few
+#: thousand cells both explode" (janino method limits force the
+#: interpreted fallback well before 10k literal dots, and assignment
+#: cost is already quadratic-in-n under cells ~ sqrt(N)). The 100x
+#: stress priced the alternatives at 447..783 cells: flat pair_gen
+#: 462s vs two-level(refine 1) 232s, and search 408s vs 370s at equal
+#: recall (SCALE.md "Two-level quantizer, measured end to end").
+#: 4096 keeps every measured flat regime flat and routes the regime
+#: the measurements say wants a hierarchy; derived_ivf_cells crosses
+#: it at N ~ 16.8M vectors.
+TWO_LEVEL_CELL_THRESHOLD = 4096
+
+
+def two_level_split(n_cells: int) -> tuple[int, int]:
+    """Balanced (n_coarse, n_fine_per_coarse) split covering at least
+    ``n_cells`` total fine cells: coarse ~ sqrt(cells) keeps BOTH the
+    coarse literal expression and the per-coarse broadcast seed frame
+    at O(sqrt(cells)) — the split the 100x measurement used
+    (783 cells = 27 x 29)."""
+    import math
+
+    coarse = max(2, round(math.sqrt(n_cells)))
+    return coarse, math.ceil(n_cells / coarse)
+
+
+def build_two_level_index(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_fine: int = 1,
+    assign_m: int = 1,
+) -> tuple[list[list[float]], DataFrame, DataFrame, int]:
+    """Build the full two-level index for ~``n_cells`` total cells:
+    (coarse_centroids, fine_centroid_frame, inverted_file,
+    n_fine_per_coarse). One Lloyd refinement of the fine seeds by
+    default — the unrefined seeds skew and the pair/probe joins pay
+    sum(cell^2) (measured 575s vs 232s at 100x, SCALE.md)."""
+    coarse_n, fine_n = two_level_split(n_cells)
+    coarse = ivf_centroids(
+        corpus, n_centroids=coarse_n, id_col=id_col, vec_col=vec_col
+    )
+    fine = ivf_two_level_centroids(
+        corpus,
+        coarse,
+        fine_n,
+        refine_fine=refine_fine,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = ivf_two_level_assign(
+        corpus,
+        coarse,
+        fine_n,
+        assign_m=assign_m,
+        id_col=id_col,
+        vec_col=vec_col,
+        fine_centroids=fine,
+    )
+    return coarse, fine, assigned, fine_n
 
 
 def _two_level_coarse(
@@ -1587,6 +1727,41 @@ def topk_two_level(
     Returns (query_id, neighbor_id, cosine, rank <= k)."""
     from pyspark.sql import Window
 
+    scored = _two_level_scored(
+        queries,
+        coarse_centroids,
+        fine_centroids,
+        assigned_cells,
+        n_fine_per_coarse,
+        n_probe_coarse,
+        n_probe_fine,
+        id_col,
+        vec_col,
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(rank_w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _two_level_scored(
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    fine_centroids: DataFrame,
+    assigned_cells: DataFrame,
+    n_fine_per_coarse: int,
+    n_probe_coarse: int,
+    n_probe_fine: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe + exact-score through the two-level index: the shared
+    (query_id, neighbor_id, cosine) frame under ``topk_two_level``'s
+    rank tail and ``radius_two_level``'s threshold tail."""
+    from pyspark.sql import Window
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -1642,9 +1817,41 @@ def topk_two_level(
         # shared probed cell; duplicates carry identical cosines
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    rank_w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    return scored
+
+
+def radius_two_level(
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    fine_centroids: DataFrame,
+    assigned_cells: DataFrame,
+    n_fine_per_coarse: int,
+    threshold: float,
+    n_probe_coarse: int = 2,
+    n_probe_fine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range (radius) search THROUGH the two-level index: the same
+    probe + in-join exact scoring as :func:`topk_two_level`, with
+    :func:`radius_search_ivf`'s threshold-filter tail instead of the
+    per-query rank window — no shuffle after the probe joins. Same
+    approximation contract: results are a subset of the flat/brute
+    range search with identical cosines."""
+    scored = _two_level_scored(
+        queries,
+        coarse_centroids,
+        fine_centroids,
+        assigned_cells,
+        n_fine_per_coarse,
+        n_probe_coarse,
+        n_probe_fine,
+        id_col,
+        vec_col,
     )
-    return scored.withColumn("rank", F.row_number().over(rank_w)).filter(
-        F.col("rank") <= k
+    # same optimizer fence as range_search / radius_search_ivf
+    return (
+        scored.withColumn("__fence", F.rand(seed=0))
+        .filter((F.col("cosine") >= threshold) | (F.col("__fence") < -1))
+        .drop("__fence")
     )
