@@ -450,6 +450,43 @@ def run_ann(
     assigned.unpersist()
 
 
+def build_clustered_corpus(spark, factor: int, n_clusters: int = 40) -> str:
+    """A deliberately CLUSTERED Nx embedding corpus — the honest
+    worst case the near-uniform stress corpus cannot exercise
+    (SCALE.md's recall-certificate caveat): ``n_clusters`` md5-seeded
+    unit centers with ZIPF-imbalanced populations (size ~ 1/rank — a
+    few dense clusters own most of the corpus, a long tail is barely
+    covered) and tight Gaussian spread (sigma 0.15), so IVF cells
+    both split dense clusters and starve tail ones. Deterministic
+    (fixed numpy seed), same schema as the testdata embeddings."""
+    import numpy as np
+
+    n_total = 2000 * factor
+    rng = np.random.default_rng(7)
+    dims = 64
+    centers = rng.standard_normal((n_clusters, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    weights = 1.0 / np.arange(1, n_clusters + 1)
+    sizes = np.floor(weights / weights.sum() * n_total).astype(int)
+    sizes[0] += n_total - sizes.sum()
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        noise = 0.15 * rng.standard_normal((sizes[c], dims))
+        vecs = centers[c] + noise
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        for v in vecs:
+            rows.append((vid, [float(x) for x in v], f"c{c}"))
+            vid += 1
+    root = tempfile.mkdtemp(prefix=f"ivdp-clustered{factor}x-")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(root, "embeddings.parquet")
+    )
+    return root
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -471,9 +508,10 @@ def main() -> None:
     ap.add_argument(
         "--sections",
         default="dedup,simhash,ann,staged",
-        help="comma-separated subset of {dedup,simhash,ann,staged} to run "
-        "(e.g. --sections ann re-measures the recall certificate "
-        "without re-paying the ~10-min dedup table)",
+        help="comma-separated subset of {dedup,simhash,ann,staged,"
+        "clustered} to run (e.g. --sections ann re-measures the recall "
+        "certificate without re-paying the ~10-min dedup table; "
+        "clustered runs the worst-case Zipf-clustered recall row)",
     )
     args = ap.parse_args()
     sections = {x for x in args.sections.split(",") if x}
@@ -568,6 +606,40 @@ def main() -> None:
             print("== ANN search, TWO-LEVEL index (~25% probe budget) ==")
             run_ann_two_level_search(spark, BASE_SF, "1x")
             run_ann_two_level_search(spark, scratch, f"{args.factor}x")
+
+        if "clustered" in sections:
+            from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+                derived_ivf_cells,
+            )
+
+            cl_root = build_clustered_corpus(spark, args.factor)
+            try:
+                n_cl = spark.read.parquet(
+                    os.path.join(cl_root, "embeddings.parquet")
+                ).count()
+                cl_cells = derived_ivf_cells(n_cl)
+                print("== ANN recall, Zipf-CLUSTERED corpus (worst case) ==")
+                run_ann(
+                    spark,
+                    cl_root,
+                    cl_cells,
+                    f"{args.factor}x clustered, OPERATOR-DEFAULT "
+                    f"cells={cl_cells}",
+                    recall=True,
+                    n_probe=None,
+                )
+                run_ann(
+                    spark,
+                    cl_root,
+                    cl_cells,
+                    f"{args.factor}x clustered, FIXED 4 probes",
+                    recall=True,
+                )
+            finally:
+                if args.keep:
+                    print(f"clustered scratch kept at {cl_root}")
+                else:
+                    shutil.rmtree(cl_root, ignore_errors=True)
 
         if "ann" not in sections:
             return
