@@ -965,8 +965,26 @@ def _hier_search_oracle() -> str:
     """Probe/search tail over the shared hierarchy CTEs (index built
     at assign_m=1)."""
     from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
-        N_QUERY_VECTORS,
         TOP_K,
+    )
+
+    return f"""{_hier_scored_ctes()}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM hscored)
+    WHERE rank <= {TOP_K}
+"""
+
+
+def _hier_scored_ctes() -> str:
+    """The probe + exact-score WITH-chain through ``hscored`` —
+    shared by the rank tail (``ann_ivf_hier_topk``) and the staged
+    round-12 radius tail, mirroring the operator-side factoring of
+    ``_two_level_scored``. MUST render byte-identically under the
+    registered rank oracle (hash-pinned in tests)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        N_QUERY_VECTORS,
         _cos_sql,
         _dot_sql,
     )
@@ -1006,13 +1024,7 @@ def _hier_search_oracle() -> str:
         FROM hcand c
         JOIN embeddings q ON q.vec_id = c.query_id
         JOIN embeddings n ON n.vec_id = c.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-        SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM hscored)
-    WHERE rank <= {TOP_K}
-"""
+    )"""
 
 
 STAGED["ann_ivf_hier_topk"] = (ann_ivf_hier_topk_q, _hier_search_oracle())

@@ -1,0 +1,265 @@
+"""Round-12 staging registry (window protection: registering mid-round
+would re-sort the driver window under the 11 round-11 registrations'
+promised slots — ``register_r12()`` lands these at the round-12
+kickoff, exactly like ``round10_ext.register_r11()`` did).
+
+Two queries closing this round's new surface:
+
+- ``ann_radius_ivf_hier`` — radius search THROUGH the two-level index
+  (``operators/similarity.radius_two_level``, the threshold-tail twin
+  ``topk_two_level`` gained when round 11 made the hierarchy the
+  automatic routing target): the last member of the
+  flat-vs-hierarchical matrix (top-k flat / top-k hier / radius flat /
+  radius hier) without a driver certificate. Shares the per-corpus
+  coarse/fine index frames and the ``_hier_scored_ctes`` oracle chain
+  with ``ann_ivf_hier_topk`` — the two tails cannot diverge from the
+  probe machinery.
+- ``corpus_curation_funnel`` — the LLM-curation pipeline (exact dedup
+  -> MinHash/LSH near-dup components -> split contamination screen ->
+  512-token packing estimate) composed over the augmented corpus and
+  reduced to ONE value-checked funnel row. ``demo_curation_10x.py``
+  certifies the composition at 10x/30x with planted structure; this
+  query gives the same composition a DuckDB side-by-side the driver
+  can hash — every stage count and the packed-sequence total must
+  match an independent SQL restatement (recursive-CTE closure over
+  the shared MinHash arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+STAGED: dict = {}
+
+
+def ann_radius_ivf_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search THROUGH the two-level IVF index
+    (``operators/similarity.radius_two_level``): the same
+    2-coarse/4-fine probe + in-join exact scoring as
+    ``ann_ivf_hier_topk``, with ``ann_cosine_range``'s threshold tail
+    (cosine >= 0.25) instead of the per-query rank window — the shape
+    a 100 TB corpus needs for radius queries, since the flat
+    ``ann_radius_ivf`` still pays O(n x cells) assignment past a few
+    thousand cells and ``ann_cosine_range`` scans the whole corpus
+    per query batch. Results are a subset of the brute-force range
+    search with identical cosines (pinned in tests); the oracle
+    replays both quantizer levels, the probe tail, and the threshold
+    filter in SQL."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.round11_staged import (
+        HIER_FINE,
+        HIER_PROBE_COARSE,
+        HIER_PROBE_FINE,
+        _hier_coarse,
+        _hier_fine,
+    )
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        N_QUERY_VECTORS,
+        RANGE_THRESHOLD,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_two_level_assign,
+        radius_two_level,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    fc = _hier_fine(spark, sf_dir)
+    inv = ivf_two_level_assign(
+        emb,
+        _hier_coarse(spark, sf_dir),
+        HIER_FINE,
+        assign_m=1,
+        fine_centroids=fc,
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    return radius_two_level(
+        queries,
+        _hier_coarse(spark, sf_dir),
+        fc,
+        inv,
+        HIER_FINE,
+        threshold=RANGE_THRESHOLD,
+        n_probe_coarse=HIER_PROBE_COARSE,
+        n_probe_fine=HIER_PROBE_FINE,
+    )
+
+
+def _hier_radius_oracle() -> str:
+    from incubyte_vaccination_data_pipeline_spark.catalog.round11_staged import (
+        _hier_scored_ctes,
+    )
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        RANGE_THRESHOLD,
+    )
+
+    return f"""{_hier_scored_ctes()}
+    SELECT query_id, neighbor_id, cosine FROM hscored
+    WHERE cosine >= {RANGE_THRESHOLD}
+"""
+
+
+def corpus_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's stage counts as ONE value-checked row:
+    corpus size, exact-unique texts, near-dup cluster members
+    (MinHash(12)/LSH(4x3) -> connected components), cleaned-corpus
+    survivors (exact reps minus cluster members —
+    ``dedup_cleaned_corpus``'s frame), the exact-contamination
+    casualties of screening the cleaned train side (id % 17 != 0)
+    against an eval set sampled from the RAW corpus (id % 17 == 0 —
+    benchmarks are built from raw text, and a planted verbatim copy
+    in the eval residue leaks its surviving original into train),
+    the final trainable count, and its 512-token packed-sequence
+    total.
+
+    Composition reuses the certified building blocks end to end:
+    ``exact_dedup``, the shared per-corpus duplicate-clusters cache,
+    ``exact_contamination``'s normalized-hash equi-join, and
+    ``bpe_token_count`` — so this row IS the
+    ``scripts/demo_curation_10x.py`` DAG at oracle scale, and every
+    number in it hash-checks against an independent recursive-CTE
+    restatement. Scalar aggregates attach by broadcast one-row
+    crossJoins (no shuffle; the established funnel shape)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.dedup import (
+        augmented_documents,
+        shared_duplicate_clusters,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.contamination import (
+        exact_contamination,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import exact_dedup
+    from incubyte_vaccination_data_pipeline_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    docs = augmented_documents(spark, sf_dir)
+    reps = exact_dedup(docs).select(F.col("rep_doc_id").alias("doc_id"))
+    members = (
+        shared_duplicate_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    cleaned = docs.join(reps, "doc_id", "left_semi").join(
+        members, "doc_id", "left_anti"
+    )
+    # eval samples the RAW corpus (benchmarks are built from raw text;
+    # this is also what makes the screen non-vacuous — the cleaned
+    # corpus is md5-distinct by construction, so a cleaned-vs-cleaned
+    # exact screen could only catch whitespace/case twins): a planted
+    # verbatim copy whose id lands in the eval residue leaks its
+    # surviving original into the train side, and the screen must
+    # catch it
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = cleaned.filter(F.col("doc_id") % 17 != 0)
+    contaminated = (
+        exact_contamination(tr, ev)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    final = tr.join(contaminated, "doc_id", "left_anti")
+
+    a_docs = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_exact_unique"),
+    )
+    a_members = members.agg(F.count(F.lit(1)).alias("n_near_members"))
+    a_cleaned = cleaned.agg(F.count(F.lit(1)).alias("n_cleaned"))
+    a_contam = contaminated.agg(
+        F.count(F.lit(1)).alias("n_contaminated_train")
+    )
+    a_final = final.agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(bpe_token_count("text") + 1).alias("__tok"),
+    ).select(
+        "n_final",
+        F.expr("CAST((__tok + 511) DIV 512 AS BIGINT)").alias(
+            "n_packed_seqs"
+        ),
+    )
+    return (
+        a_docs.crossJoin(a_members)
+        .crossJoin(a_cleaned)
+        .crossJoin(a_contam)
+        .crossJoin(a_final)
+    )
+
+
+def _funnel_oracle() -> str:
+    from incubyte_vaccination_data_pipeline_spark.catalog.dedup import (
+        _MINHASH_CTES,
+    )
+
+    norm_t = "lower(trim(regexp_replace(t.text, '\\s+', ' ', 'g')))"
+    norm_e = "lower(trim(regexp_replace(e.text, '\\s+', ' ', 'g')))"
+    return f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs5 AS (
+        SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs5
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs5
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    members AS (
+        SELECT a AS doc_id FROM reach GROUP BY a
+        HAVING a <> LEAST(a, MIN(b))
+    ),
+    reps AS (
+        SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY md5(text)
+    ),
+    cleaned AS (
+        SELECT * FROM aug
+        WHERE doc_id IN (SELECT doc_id FROM reps)
+          AND doc_id NOT IN (SELECT doc_id FROM members)
+    ),
+    ev AS (SELECT * FROM aug WHERE doc_id % 17 = 0),
+    tr AS (SELECT * FROM cleaned WHERE doc_id % 17 <> 0),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM tr t JOIN ev e ON {norm_t} = {norm_e}
+    ),
+    final AS (
+        SELECT * FROM tr
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM aug) AS n_docs,
+        (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM aug)
+            AS n_exact_unique,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_near_members,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cleaned) AS n_cleaned,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM contaminated)
+            AS n_contaminated_train,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS n_final,
+        (SELECT CAST((CAST(SUM(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9 ]')) + 1) AS BIGINT) + 511) // 512
+            AS BIGINT) FROM final) AS n_packed_seqs
+"""
+
+
+STAGED["ann_radius_ivf_hier"] = (ann_radius_ivf_hier_q, _hier_radius_oracle())
+STAGED["corpus_curation_funnel"] = (corpus_curation_funnel_q, _funnel_oracle())
+
+
+def register_r12(names: list[str] | None = None) -> None:
+    """Land the round-12 staged queries in the live registry — call
+    from ``catalog/__init__.py`` at the round-12 kickoff, AFTER the
+    existing registrations (so this round's promised window slots
+    keep their order)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.registry import (
+        ORACLES,
+        QUERIES,
+    )
+
+    for name in (names if names is not None else list(STAGED)):
+        fn, oracle = STAGED[name]
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle

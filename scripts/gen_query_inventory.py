@@ -59,7 +59,15 @@ def main() -> None:
         STAGED_R11,
     )
 
-    staged = {n: v for n, v in STAGED_R11.items() if n not in QUERIES}
+    from incubyte_vaccination_data_pipeline_spark.catalog.round12_staged import (
+        STAGED as STAGED_R12,
+    )
+
+    staged = {
+        n: v
+        for n, v in {**STAGED_R11, **STAGED_R12}.items()
+        if n not in QUERIES
+    }
     if staged:
         lines.append(f"## staged for next round ({len(staged)})")
         lines.append("")

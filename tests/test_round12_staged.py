@@ -1,0 +1,120 @@
+"""Round-12 staged queries: driver-style DuckDB side-by-sides BEFORE
+registration (window protection keeps them staged this round — see
+catalog/round12_staged.py) plus the semantic pins the oracle alone
+cannot express."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from incubyte_vaccination_data_pipeline_spark import catalog
+from incubyte_vaccination_data_pipeline_spark.catalog import round12_staged as r12
+from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import TESTDATA_TABLES
+from tests.test_oracle import _normalize, _values_equal
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_staged_r12_not_yet_registered():
+    """Registering mid-round would re-sort the driver window under the
+    11 round-11 registrations' promised slots; register_r12() lands
+    these at the round-12 kickoff."""
+    assert not (set(r12.STAGED) & set(catalog.QUERIES))
+    assert not (set(r12.STAGED) & set(catalog.ORACLES))
+
+
+def test_hier_scored_ctes_shared_with_registered_rank_oracle():
+    """The radius oracle reuses the registered hier-search oracle's
+    probe chain verbatim: the rank oracle must be exactly that chain
+    plus its rank tail (byte-level prefix check), so the two tails
+    cannot diverge from the probe machinery."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import round11_staged as r11
+
+    chain = r11._hier_scored_ctes()
+    assert catalog.ORACLES["ann_ivf_hier_topk"].startswith(chain)
+    assert r12.STAGED["ann_radius_ivf_hier"][1].startswith(chain)
+
+
+@pytest.mark.parametrize("name", sorted(r12.STAGED))
+def test_staged_r12_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, oracle = r12.STAGED[name]
+    spark_df = fn(spark, sf_dir).toPandas()
+    duck_df = duck.execute(oracle).df()
+    assert len(spark_df) == len(duck_df)
+    spark_df.columns = [c.lower() for c in spark_df.columns]
+    duck_df.columns = [c.lower() for c in duck_df.columns]
+    s, d = _normalize(spark_df), _normalize(duck_df)
+    assert sorted(s.columns) == sorted(d.columns)
+    for col in s.columns:
+        for av, bv in zip(s[col], d[col]):
+            if av is None and bv is None:
+                continue
+            assert _values_equal(av, bv), (name, col, av, bv)
+
+
+def test_radius_hier_subset_of_bruteforce_with_equal_scores(spark, sf_dir):
+    """The hierarchical radius search only PRUNES: every returned pair
+    appears in the brute-force range result with the identical rounded
+    cosine, and the result is non-empty (the probe budget keeps the
+    planted structure)."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        N_QUERY_VECTORS,
+        RANGE_THRESHOLD,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        range_search,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in range_search(emb, queries, RANGE_THRESHOLD).collect()
+    }
+    rows = r12.ann_radius_ivf_hier_q(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_funnel_laws_and_contamination_nonvacuous(spark, sf_dir):
+    """Funnel arithmetic over the planted augmented corpus: the exact
+    stage must collapse every planted verbatim copy
+    (n_docs - n_exact_unique == |doc_id % 10 == 0|), the stages must
+    be monotone, and the raw-eval screen must actually catch leaked
+    copies (non-vacuous: > 0 contaminated train docs)."""
+    import duckdb as _dd
+
+    row = r12.corpus_curation_funnel_q(spark, sf_dir).collect()[0]
+    n_docs_base = _dd.sql(
+        f"SELECT COUNT(*), SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    n_base, n_copies = int(n_docs_base[0]), int(n_docs_base[1])
+    assert row["n_docs"] - row["n_exact_unique"] == n_copies
+    assert row["n_cleaned"] <= row["n_exact_unique"]
+    assert row["n_final"] <= row["n_cleaned"]
+    assert row["n_contaminated_train"] > 0, "raw-eval screen vacuous"
+    assert row["n_packed_seqs"] > 0
+    # packed sequences can't exceed one per doc plus the token total
+    assert row["n_packed_seqs"] <= row["n_final"] * 64
+
+
+def test_funnel_plan_no_cartesian_blowup(spark, sf_dir):
+    """The five scalar aggregates attach as broadcast one-row joins —
+    no CartesianProduct in the executed plan."""
+    df = r12.corpus_curation_funnel_q(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
