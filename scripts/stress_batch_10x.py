@@ -450,6 +450,77 @@ def run_ann(
     assigned.unpersist()
 
 
+def run_staged12(spark, sf_dir: str, label: str, target_cell: int = 256) -> None:
+    """Round-12 staged queries at Nx: the curation funnel (its stages
+    are the already-measured dedup machinery plus two hash equi-joins
+    and one token aggregate — honest expectation ~the cleaned-corpus
+    row) and radius search through the two-level index at the
+    constant-population geometry (the scale path; the staged query's
+    own 3x4-cell pin is an oracle contract, not a deployment shape)."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.catalog.round12_staged import (
+        corpus_curation_funnel_q,
+    )
+    from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
+        RANGE_THRESHOLD,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_two_level_assign,
+        ivf_two_level_centroids,
+        radius_two_level,
+    )
+    from incubyte_vaccination_data_pipeline_spark.shared_cache import (
+        release_shared_state,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        corpus_curation_funnel_q(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        runs.append(time.perf_counter() - t0)
+    print(
+        f"  [{label}] corpus_curation_funnel cold={runs[0]:6.2f}s "
+        f"warm={min(runs[1:]):6.2f}s"
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    n = emb.count()
+    coarse_n, fine = _const_pop_geometry(n, target_cell)
+    coarse = ivf_centroids(emb, n_centroids=coarse_n)
+    fc = ivf_two_level_centroids(emb, coarse, fine, refine_fine=1).persist()
+    fc.count()
+    inv = ivf_two_level_assign(
+        emb, coarse, fine, assign_m=1, fine_centroids=fc
+    ).persist()
+    inv.count()
+    t_build = time.perf_counter() - t0
+    npc = max(2, coarse_n // 2)
+    npf = max(4, (coarse_n * fine) // 4)
+    queries = emb.filter(F.col("vec_id") % 20 == 3)  # 5% query set
+    t0 = time.perf_counter()
+    n_rows = radius_two_level(
+        queries, coarse, fc, inv, fine,
+        threshold=RANGE_THRESHOLD, n_probe_coarse=npc, n_probe_fine=npf,
+    ).count()
+    t_radius = time.perf_counter() - t0
+    print(
+        f"  [{label}] radius_two_level cells={coarse_n}x{fine} "
+        f"rows>=thr={n_rows:8d} build={t_build:6.2f}s "
+        f"radius={t_radius:6.2f}s"
+    )
+    fc.unpersist()
+    inv.unpersist()
+    release_shared_state(sf_dir)
+
+
 def build_clustered_corpus(spark, factor: int, n_clusters: int = 40) -> str:
     """A deliberately CLUSTERED Nx embedding corpus — the honest
     worst case the near-uniform stress corpus cannot exercise
@@ -507,8 +578,8 @@ def main() -> None:
     )
     ap.add_argument(
         "--sections",
-        default="dedup,simhash,ann,staged",
-        help="comma-separated subset of {dedup,simhash,ann,staged,"
+        default="dedup,simhash,ann,staged,staged12",
+        help="comma-separated subset of {dedup,simhash,ann,staged,staged12,"
         "clustered} to run (e.g. --sections ann re-measures the recall "
         "certificate without re-paying the ~10-min dedup table; "
         "clustered runs the worst-case Zipf-clustered recall row)",
@@ -606,6 +677,12 @@ def main() -> None:
             print("== ANN search, TWO-LEVEL index (~25% probe budget) ==")
             run_ann_two_level_search(spark, BASE_SF, "1x")
             run_ann_two_level_search(spark, scratch, f"{args.factor}x")
+
+        if "staged12" in sections:
+            print("== round-12 staged (funnel + two-level radius) ==")
+            run_staged12(spark, BASE_SF, "1x warmup (discard)")
+            run_staged12(spark, BASE_SF, "1x")
+            run_staged12(spark, scratch, f"{args.factor}x")
 
         if "clustered" in sections:
             from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
