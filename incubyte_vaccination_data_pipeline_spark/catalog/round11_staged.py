@@ -917,6 +917,33 @@ def _hier_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _HIER_FINE_CACHE[key]
 
 
+_HIER_INV_CACHE: dict = register_dict_cache({})
+
+
+def _hier_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(app, corpus) assign_m=1 two-level inverted file, persisted
+    — shared by the hierarchical SEARCH queries (``ann_ivf_hier_topk``
+    and the staged radius twin), exactly as ``_ivf_assigned_index``
+    amortizes the flat inverted file. Persisting does not change the
+    ANALYZED plan (cache substitution is post-analysis), so the query
+    fingerprints are untouched — the r9 shared-cache precedent,
+    re-verified explicitly for both hier queries."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_two_level_assign,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _HIER_INV_CACHE:
+        _HIER_INV_CACHE[key] = ivf_two_level_assign(
+            read_table(spark, sf_dir, "embeddings"),
+            _hier_coarse(spark, sf_dir),
+            HIER_FINE,
+            assign_m=1,
+            fine_centroids=_hier_fine(spark, sf_dir),
+        ).persist()
+    return _HIER_INV_CACHE[key]
+
+
 def ann_ivf_hier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-10 THROUGH the two-level index
     (``operators/similarity.topk_two_level``): the search twin of
@@ -934,19 +961,12 @@ def ann_ivf_hier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOP_K,
     )
     from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
-        ivf_two_level_assign,
         topk_two_level,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
     fc = _hier_fine(spark, sf_dir)
-    inv = ivf_two_level_assign(
-        emb,
-        _hier_coarse(spark, sf_dir),
-        HIER_FINE,
-        assign_m=1,
-        fine_centroids=fc,
-    )
+    inv = _hier_inv(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
     return topk_two_level(
         emb,

@@ -54,25 +54,19 @@ def ann_radius_ivf_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         HIER_PROBE_FINE,
         _hier_coarse,
         _hier_fine,
+        _hier_inv,
     )
     from incubyte_vaccination_data_pipeline_spark.catalog.similarity import (
         N_QUERY_VECTORS,
         RANGE_THRESHOLD,
     )
     from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
-        ivf_two_level_assign,
         radius_two_level,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
     fc = _hier_fine(spark, sf_dir)
-    inv = ivf_two_level_assign(
-        emb,
-        _hier_coarse(spark, sf_dir),
-        HIER_FINE,
-        assign_m=1,
-        fine_centroids=fc,
-    )
+    inv = _hier_inv(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
     return radius_two_level(
         queries,
