@@ -10,10 +10,15 @@ alongside for continuity with rounds 1-9).
 Round 11 — the protocol acts on noise instead of merely reporting it:
 if the sample's total spread exceeds SPREAD_FRAC_BOUND of the total,
 the noisiest queries are re-timed (the machine-load transient has
-usually passed) and each query keeps its LOWEST-SPREAD sample; the
-artifact records retry counts and os.getloadavg() at start/end so a
-loaded-machine sample is visible in the record instead of needing a
-judge session to adjudicate (this burned rounds 8 and 10).
+usually passed) and each query keeps its LOWEST-SPREAD 3-run sample;
+median AND best-of both come from that one sample (best-of stays
+best-of-3, comparable with rounds 1-9 — a noisy query must not improve
+the continuity column just by sampling more runs, and a query's best
+can never exceed its own median). The artifact records retry counts
+and os.getloadavg() at
+start/end so a loaded-machine sample is visible in the record instead
+of needing a judge session to adjudicate (this burned rounds 8 and
+10).
 """
 
 from __future__ import annotations
@@ -114,7 +119,6 @@ def main() -> None:
         return runs
 
     samples: dict[str, list[float]] = {}  # lowest-spread sample per query
-    overall_best: dict[str, float] = {}  # min over every run incl. retries
     cold: dict[str, float] = {}
     retries: dict[str, int] = {}
     for name in HEADLINE:
@@ -123,9 +127,7 @@ def main() -> None:
         # triggers — recorded separately so warm numbers stay
         # comparable round-over-round
         cold[name] = round(time_runs(fn, 1)[0], 4)
-        runs = time_runs(fn, RUNS)
-        samples[name] = runs
-        overall_best[name] = min(runs)
+        samples[name] = time_runs(fn, RUNS)
 
     # noise gate: while the sample-wide spread exceeds the bound,
     # re-time the noisy queries; each keeps its lowest-spread sample
@@ -144,13 +146,16 @@ def main() -> None:
             break
         for name in noisy:
             rerun = time_runs(catalog.QUERIES[name], RUNS)
-            overall_best[name] = min(overall_best[name], *rerun)
             if _stats(rerun)[2] < _stats(samples[name])[2]:
                 samples[name] = rerun
             retries[name] = retries.get(name, 0) + 1
 
     timings = {n: round(_stats(r)[0], 4) for n, r in samples.items()}
-    best_of = {n: round(v, 4) for n, v in overall_best.items()}
+    # best-of from the SAME 3-run sample as the median: still exactly
+    # best-of-3 (comparable with rounds 1-9, and a retried query never
+    # improves this column just by sampling more runs), and never
+    # inconsistent with its own median column
+    best_of = {n: round(_stats(r)[1], 4) for n, r in samples.items()}
     per_spread = {n: round(_stats(r)[2], 4) for n, r in samples.items()}
     spread = sum(_stats(r)[2] for r in samples.values())
 

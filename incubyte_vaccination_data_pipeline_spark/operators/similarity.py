@@ -533,15 +533,7 @@ def topk_ivf(
             coarse, fine, assigned, fine_n = build_two_level_index(
                 corpus, n_centroids, id_col=id_col, vec_col=vec_col
             )
-            npc = derived_ivf_probes(len(coarse))
-            # probe fraction is taken of the ACTUAL grid (coarse x
-            # fine covers at least, usually more than, the requested
-            # cell count)
-            npf = (
-                n_probe
-                if n_probe is not None
-                else derived_ivf_probes(len(coarse) * fine_n)
-            )
+            npc, npf = _two_level_probe_budget(len(coarse), fine_n, n_probe)
             return topk_two_level(
                 corpus,
                 queries,
@@ -551,7 +543,7 @@ def topk_ivf(
                 fine_n,
                 k=k,
                 n_probe_coarse=npc,
-                n_probe_fine=min(npf, npc * fine_n),
+                n_probe_fine=npf,
                 id_col=id_col,
                 vec_col=vec_col,
             )
@@ -620,12 +612,7 @@ def radius_search_ivf(
             coarse, fine, assigned, fine_n = build_two_level_index(
                 corpus, n_cells, id_col=id_col, vec_col=vec_col
             )
-            npc = derived_ivf_probes(len(coarse))
-            npf = (
-                n_probe
-                if n_probe is not None
-                else derived_ivf_probes(len(coarse) * fine_n)
-            )
+            npc, npf = _two_level_probe_budget(len(coarse), fine_n, n_probe)
             return radius_two_level(
                 queries,
                 coarse,
@@ -634,7 +621,7 @@ def radius_search_ivf(
                 fine_n,
                 threshold,
                 n_probe_coarse=npc,
-                n_probe_fine=min(npf, npc * fine_n),
+                n_probe_fine=npf,
                 id_col=id_col,
                 vec_col=vec_col,
             )
@@ -1310,7 +1297,12 @@ def cosine_near_dup_pairs_ivf(
     multi-assignment. With NEITHER supplied, the index is derived
     from the corpus (:func:`derived_ivf_cells`), routing to the
     two-level quantizer past :data:`TWO_LEVEL_CELL_THRESHOLD` cells
-    so the default path never takes O(n x cells) flat assignment."""
+    so the default path never takes O(n x cells) flat assignment; on
+    that route the multi-assignment ranks fine cells ACROSS the
+    vector's ``assign_m`` nearest coarse cells (``coarse_m`` =
+    ``assign_m`` in :func:`ivf_two_level_assign`), so the boundary
+    mitigation spans coarse boundaries exactly as the flat path's
+    global top-m does."""
     if cells is not None and centroids is not None:
         raise ValueError(
             "centroids and cells are mutually exclusive: a precomputed "
@@ -1445,6 +1437,31 @@ def two_level_split(n_cells: int) -> tuple[int, int]:
     return coarse, math.ceil(n_cells / coarse)
 
 
+def _two_level_probe_budget(
+    coarse_n: int, fine_n: int, n_probe: int | None
+) -> tuple[int, int]:
+    """(n_probe_coarse, n_probe_fine) for the routed path. Default:
+    the derived probe fraction of the ACTUAL coarse x fine grid. An
+    explicit ``n_probe`` is honored at BOTH levels — the coarse budget
+    expands to ceil(n_probe / fine_n) so every requested fine cell is
+    reachable (``n_probe == total cells`` degenerates to exact search,
+    the flat-path law the routing tests pin; a coarse budget pinned at
+    the derived fraction would silently cap recall regardless of the
+    caller's budget)."""
+    import math
+
+    npf = (
+        n_probe
+        if n_probe is not None
+        else derived_ivf_probes(coarse_n * fine_n)
+    )
+    npc = min(
+        coarse_n,
+        max(derived_ivf_probes(coarse_n), math.ceil(npf / fine_n)),
+    )
+    return npc, min(npf, npc * fine_n)
+
+
 def build_two_level_index(
     corpus: DataFrame,
     n_cells: int,
@@ -1457,7 +1474,12 @@ def build_two_level_index(
     (coarse_centroids, fine_centroid_frame, inverted_file,
     n_fine_per_coarse). One Lloyd refinement of the fine seeds by
     default — the unrefined seeds skew and the pair/probe joins pay
-    sum(cell^2) (measured 575s vs 232s at 100x, SCALE.md)."""
+    sum(cell^2) (measured 575s vs 232s at 100x, SCALE.md). With
+    ``assign_m`` > 1 the multi-assignment ranks fine cells ACROSS the
+    vector's ``assign_m`` nearest coarse cells (``coarse_m`` =
+    ``assign_m``), preserving the flat path's cross-boundary dedup
+    mitigation — a within-one-coarse-cell top-m could never pair
+    near-dups split by a coarse boundary."""
     coarse_n, fine_n = two_level_split(n_cells)
     coarse = ivf_centroids(
         corpus, n_centroids=coarse_n, id_col=id_col, vec_col=vec_col
@@ -1478,6 +1500,7 @@ def build_two_level_index(
         id_col=id_col,
         vec_col=vec_col,
         fine_centroids=fine,
+        coarse_m=assign_m,
     )
     return coarse, fine, assigned, fine_n
 
@@ -1631,6 +1654,7 @@ def ivf_two_level_assign(
     vec_col: str = "embedding",
     refine_fine: int = 0,
     fine_centroids: DataFrame | None = None,
+    coarse_m: int = 1,
 ) -> DataFrame:
     """Hierarchical (two-level) IVF assignment — the production shape
     once cell counts grow past what per-row centroid-literal codegen
@@ -1662,11 +1686,19 @@ def ivf_two_level_assign(
     Returns one row per (vector, assigned cell): (id_col, vec_col,
     ``cell``) with ``cell = coarse_cid * n_fine_per_coarse +
     fine_rank``; ``assign_m`` > 1 keeps each vector's top-m fine cells
-    within its coarse cell (the multi-assignment blocks of
-    ``cosine_near_dup_pairs_ivf``). Ties break (score DESC, fine id
-    ASC), mirroring every other argmax in this module. Pass a
-    prebuilt ``fine_centroids`` frame (``ivf_two_level_centroids``)
-    to amortize the centroid build across assign + search consumers;
+    WITHIN its ``coarse_m`` probed coarse cells (the multi-assignment
+    blocks of ``cosine_near_dup_pairs_ivf``). At the default
+    ``coarse_m=1`` the mitigation only spans FINE boundaries inside
+    one coarse cell — a near-dup pair whose members coarse-assign
+    differently can never meet; pass ``coarse_m`` = ``assign_m`` to
+    rank the top-m fine cells ACROSS the m nearest coarse cells (one
+    extra explode term per coarse probe; this is what the routed
+    default of ``cosine_near_dup_pairs_ivf`` does, restoring the flat
+    path's cross-boundary mitigation). Ties break (score DESC,
+    [coarse id ASC on the multi-coarse path,] fine id ASC), mirroring
+    every other argmax in this module. Pass a prebuilt
+    ``fine_centroids`` frame (``ivf_two_level_centroids``) to
+    amortize the centroid build across assign + search consumers;
     otherwise it is built here with ``refine_fine`` steps.
     """
     if fine_centroids is None:
@@ -1683,11 +1715,46 @@ def ivf_two_level_assign(
         F.col("fid").alias("__fid"),
         F.col("cv").alias("__sv"),
     )
-    assigned_c = _two_level_coarse(corpus, coarse_centroids, id_col, vec_col)
-    return _two_level_score(assigned_c, seeds, assign_m, id_col, vec_col).select(
-        id_col,
-        vec_col,
-        (F.col("__ccid") * n_fine_per_coarse + F.col("__fid")).alias("cell"),
+    if coarse_m <= 1:
+        assigned_c = _two_level_coarse(corpus, coarse_centroids, id_col, vec_col)
+        return _two_level_score(
+            assigned_c, seeds, assign_m, id_col, vec_col
+        ).select(
+            id_col,
+            vec_col,
+            (F.col("__ccid") * n_fine_per_coarse + F.col("__fid")).alias("cell"),
+        )
+    # cross-coarse multi-assignment: fan each vector out over its
+    # coarse_m nearest coarse cells, score all their fine seeds, rank
+    # GLOBALLY per vector (tie-break adds __ccid — fine ids repeat
+    # across coarse cells)
+    from pyspark.sql import Window
+
+    probed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            ivf_probes_expr(vec_col, coarse_centroids, coarse_m)
+        ).alias("__ccid"),
+    )
+    scored = probed.join(F.broadcast(seeds), "__ccid").select(
+        F.col(id_col),
+        F.col(vec_col),
+        "__ccid",
+        "__fid",
+        dot_expr(vec_col, "__sv").alias("__dot"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__dot").desc(), F.col("__ccid").asc(), F.col("__fid").asc()
+    )
+    return (
+        scored.withColumn("__arn", F.row_number().over(w))
+        .filter(F.col("__arn") <= assign_m)
+        .select(
+            id_col,
+            vec_col,
+            (F.col("__ccid") * n_fine_per_coarse + F.col("__fid")).alias("cell"),
+        )
     )
 
 

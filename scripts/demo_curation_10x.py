@@ -55,6 +55,10 @@ SEQ_LEN = 512  # catalog/corpus_stats._SEQ_LEN — the packing contract
 EXACT_MOD, EXACT_OFF = 101, 20_000_000_000
 NEAR_MOD, NEAR_OFF = 103, 40_000_000_000
 EVAL_MOD = 107
+#: clean-eval id floor — above every possible planted-eval id
+#: (80e9 shift + the largest planted train id), so hit classification
+#: is a single threshold
+CLEAN_EVAL_OFF = 1_000_000_000_000
 
 
 def main() -> None:
@@ -175,8 +179,13 @@ def main() -> None:
             (F.col("doc_id") + 80_000_000_000).alias("doc_id"), "text"
         )
         n_eval_planted = eval_planted.count()
+        # clean-eval ids live above CLEAN_EVAL_OFF, strictly ABOVE any
+        # planted eval id (a surviving planted near-dup — LSH recall
+        # is asserted >= 0.95, not 1.0 — carries id NEAR_OFF + x, so
+        # its eval copy lands at 80e9 + NEAR_OFF + x; a fixed [80e9,
+        # 90e9) classification window misread those as clean hits)
         clean_eval = spark.range(n_eval_planted).select(
-            (F.col("id") + 90_000_000_000).alias("doc_id"),
+            (F.col("id") + CLEAN_EVAL_OFF).alias("doc_id"),
             F.concat(
                 F.lit("pristine eval item "),
                 F.md5(F.col("id").cast("string")),
@@ -189,8 +198,8 @@ def main() -> None:
         hits = exact_contamination(cleaned, eval_set).persist()
         n_hits = hits.count()
         n_hit_planted = hits.filter(
-            F.col("eval_doc_id") >= 80_000_000_000
-        ).filter(F.col("eval_doc_id") < 90_000_000_000).count()
+            F.col("eval_doc_id") < CLEAN_EVAL_OFF
+        ).count()
         n_hit_clean = n_hits - n_hit_planted
         # drop every contaminated training doc
         decontaminated = cleaned.join(

@@ -27,4 +27,6 @@ def test_needs_retry_requires_both_floors():
 def test_retry_bounds_are_sane():
     assert 0 < bench.SPREAD_FRAC_BOUND < 0.25
     assert bench.MAX_RETRY_PASSES >= 1
-    assert bench.RUNS >= 3  # a median needs an odd sample >= 3
+    # _stats takes r[len//2]: a true median only for ODD samples — an
+    # even RUNS would silently record the upper-middle run
+    assert bench.RUNS >= 3 and bench.RUNS % 2 == 1

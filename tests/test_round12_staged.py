@@ -118,3 +118,26 @@ def test_funnel_plan_no_cartesian_blowup(spark, sf_dir):
     df = r12.corpus_curation_funnel_q(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_radius_hier_plan_drops_the_rank_window(spark, sf_dir):
+    """The advertised property: the threshold tail replaces the
+    per-query CANDIDATE rank window (the index machinery's own
+    row_number windows — seeds, assignment, probe selection — are
+    shared with the rank twin): the radius plan must carry exactly
+    one fewer Window than ann_ivf_hier_topk, and no cartesian
+    fallback."""
+    import re
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import (
+        round11_staged as r11,
+    )
+
+    def windows(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        return len(re.findall(r"\bWindow\b", plan))
+
+    n_radius = windows(r12.ann_radius_ivf_hier_q(spark, sf_dir))
+    n_topk = windows(r11.ann_ivf_hier_topk_q(spark, sf_dir))
+    assert n_radius == n_topk - 1

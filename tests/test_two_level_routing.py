@@ -120,3 +120,53 @@ def test_near_dup_auto_routes_two_level_above_threshold(
     assert rows
     for r in rows:
         assert brute[(r["vec_a"], r["vec_b"])] == r["cosine"]
+
+
+def test_probe_budget_honors_explicit_full_probe():
+    """An explicit n_probe must be reachable: the coarse budget
+    expands to ceil(n_probe / fine) so n_probe == grid degenerates to
+    exact search (the flat-path law); the default stays the derived
+    fraction of the actual grid."""
+    # full-grid request: every coarse cell must be probed
+    npc, npf = sim._two_level_probe_budget(20, 25, 20 * 25)
+    assert (npc, npf) == (20, 500)
+    # small explicit request keeps the derived coarse floor
+    npc, npf = sim._two_level_probe_budget(20, 25, 4)
+    assert npc == sim.derived_ivf_probes(20) and npf == 4
+    # default: derived fraction of the actual grid, capped reachable
+    npc, npf = sim._two_level_probe_budget(20, 25, None)
+    assert npf == min(sim.derived_ivf_probes(500), npc * 25)
+
+
+def test_cross_coarse_multi_assignment_spans_boundaries(spark, sf_dir):
+    """coarse_m=1 confines a vector's assign_m cells to ONE coarse
+    cell; coarse_m=assign_m ranks globally across the m nearest
+    coarse cells — some vector's two cells must span two coarse ids
+    (the boundary-mitigation contract of the routed dedup path), and
+    every within-path law still holds (exactly m cells per vector)."""
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse = sim.ivf_centroids(emb, n_centroids=4)
+    fine = sim.ivf_two_level_centroids(emb, coarse, 3, refine_fine=1)
+    within = sim.ivf_two_level_assign(
+        emb, coarse, 3, assign_m=2, fine_centroids=fine
+    )
+    across = sim.ivf_two_level_assign(
+        emb, coarse, 3, assign_m=2, fine_centroids=fine, coarse_m=2
+    )
+    per_vec = lambda df: (
+        df.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.expr("cell div 3")).alias("n_coarse"),
+        )
+    )
+    w = per_vec(within).agg(
+        F.max("n").alias("mx"), F.max("n_coarse").alias("mc")
+    ).collect()[0]
+    assert w["mx"] == 2 and w["mc"] == 1  # confined to one coarse cell
+    a = per_vec(across).agg(
+        F.max("n").alias("mx"), F.max("n_coarse").alias("mc")
+    ).collect()[0]
+    assert a["mx"] == 2 and a["mc"] == 2  # some vector spans coarse cells
