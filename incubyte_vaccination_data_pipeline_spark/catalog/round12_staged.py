@@ -3,7 +3,7 @@ would re-sort the driver window under the 11 round-11 registrations'
 promised slots — ``register_r12()`` lands these at the round-12
 kickoff, exactly like ``round10_ext.register_r11()`` did).
 
-Two queries closing this round's new surface:
+Three queries closing this round's new surface:
 
 - ``ann_radius_ivf_hier`` — radius search THROUGH the two-level index
   (``operators/similarity.radius_two_level``, the threshold-tail twin
@@ -23,6 +23,12 @@ Two queries closing this round's new surface:
   can hash — every stage count and the packed-sequence total must
   match an independent SQL restatement (recursive-CTE closure over
   the shared MinHash arithmetic).
+- ``graph_triangle_per_node`` — per-part triangle participation over
+  the SAME support-2 co-purchase graph as the registered global
+  ``graph_triangle_count`` (shared edge frame), the local-clustering
+  decomposition bound to it by sum = 3 x global. The degree-ordered
+  wedge enumeration is factored into the reusable
+  ``operators/graph_metrics.triangle_counts``.
 """
 
 from __future__ import annotations
@@ -238,8 +244,74 @@ def _funnel_oracle() -> str:
 """
 
 
+def graph_triangle_per_node_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PART triangle participation over the same support-2
+    co-purchase graph as the registered GLOBAL ``graph_triangle_count``
+    (edge frame shared via ``catalog/graph._copurchase_pairs``): the
+    local-clustering decomposition — each triangle contributes 1 to
+    each of its three corners, so sum(n_triangles) = 3 x the global
+    count (the cross-query law pinned in tests). Same degree-ordered
+    O(m^1.5) wedge enumeration, factored into the reusable
+    ``operators/graph_metrics.triangle_counts`` (orient up the
+    (degree, id) order, wedge from out-neighbors, close against the
+    canonical edge set); the oracle restates all three stages in
+    SQL."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
+        _copurchase_pairs,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.graph_metrics import (
+        triangle_counts,
+    )
+
+    edges = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("lo"), F.col("pb").alias("hi")
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part"), "n_triangles"
+    )
+
+
+_TRIANGLE_ORACLE = """
+    WITH pairs AS (
+        SELECT a.l_partkey AS lo, b.l_partkey AS hi
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY lo, hi HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT lo AS node FROM pairs
+            UNION ALL SELECT hi FROM pairs)
+        GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (dl.d < dh.d) OR (dl.d = dh.d AND p.lo < p.hi)
+                    THEN p.lo ELSE p.hi END AS src,
+               CASE WHEN (dl.d < dh.d) OR (dl.d = dh.d AND p.lo < p.hi)
+                    THEN p.hi ELSE p.lo END AS dst
+        FROM pairs p
+        JOIN deg dl ON dl.node = p.lo
+        JOIN deg dh ON dh.node = p.hi
+    ),
+    tri AS (
+        SELECT w.src, w.lo, w.hi FROM (
+            SELECT e1.src, e1.dst AS lo, e2.dst AS hi
+            FROM oriented e1 JOIN oriented e2
+              ON e1.src = e2.src AND e1.dst < e2.dst) w
+        JOIN pairs p ON p.lo = w.lo AND p.hi = w.hi
+    )
+    SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT src AS node FROM tri
+        UNION ALL SELECT lo FROM tri
+        UNION ALL SELECT hi FROM tri)
+    GROUP BY node
+"""
+
+
 STAGED["ann_radius_ivf_hier"] = (ann_radius_ivf_hier_q, _hier_radius_oracle())
 STAGED["corpus_curation_funnel"] = (corpus_curation_funnel_q, _funnel_oracle())
+STAGED["graph_triangle_per_node"] = (graph_triangle_per_node_q, _TRIANGLE_ORACLE)
 
 
 def register_r12(names: list[str] | None = None) -> None:

@@ -1,0 +1,78 @@
+"""Distributed graph metrics over edge-list DataFrames.
+
+``triangle_counts`` implements the canonical scalable triangle
+enumeration: orient every undirected edge from its lower to its higher
+endpoint under the (degree, id) total order, generate wedges only from
+each node's OUT-neighbors, and close them against the canonical edge
+set. Degree ordering bounds every out-degree by O(sqrt(m)), so wedge
+volume is O(m^1.5) worst case (vs O(sum deg^2) for naive wedge
+generation, which a power-law hub makes quadratic) — the shape that
+survives a 100 TB co-occurrence graph. Every step is a keyed
+equi-join or aggregate; nothing is collected.
+
+Reference parity: the reference has no graph tooling; this extends
+the engine's graph family (PageRank, label propagation) with the
+standard clustering/cohesion primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_counts(
+    edges: DataFrame, u_col: str = "lo", v_col: str = "hi"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected
+    simple graph given as canonical edges (``u_col`` < ``v_col``,
+    distinct). Returns (node, n_triangles) for every node in at least
+    one triangle; each triangle contributes 1 to each of its three
+    corners (so sum(n_triangles) = 3 x #triangles).
+
+    Uniqueness: a triangle is emitted exactly once, at its minimum
+    corner under the (degree, node-id) order — both wedge arms point
+    "up" the order, and the closing edge is checked against the
+    canonical (u < v by id) set, so orientation of the third edge is
+    irrelevant."""
+    pairs = edges.select(
+        F.col(u_col).alias("lo"), F.col(v_col).alias("hi")
+    ).distinct()
+    deg = (
+        pairs.select(F.col("lo").alias("node"))
+        .unionAll(pairs.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    up = (F.col("dl") < F.col("dh")) | (
+        (F.col("dl") == F.col("dh")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        pairs.join(deg.select(F.col("node").alias("lo"), F.col("d").alias("dl")), "lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("d").alias("dh")), "hi")
+        .select(
+            F.when(up, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+            F.when(up, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        )
+    )
+    e1 = oriented.select("src", F.col("dst").alias("b"))
+    e2 = oriented.select("src", F.col("dst").alias("c"))
+    # wedge arms ordered by id so each unordered out-pair appears once;
+    # the closing edge is looked up in canonical id order, which is
+    # exactly (least, greatest) of (b, c)
+    wedges = (
+        e1.join(e2, "src")
+        .filter(F.col("b") < F.col("c"))
+        .select(
+            "src", F.col("b").alias("lo"), F.col("c").alias("hi")
+        )
+    )
+    tri = wedges.join(pairs, ["lo", "hi"])
+    corners = (
+        tri.select(F.col("src").alias("node"))
+        .unionAll(tri.select(F.col("lo").alias("node")))
+        .unionAll(tri.select(F.col("hi").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

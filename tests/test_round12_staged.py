@@ -141,3 +141,56 @@ def test_radius_hier_plan_drops_the_rank_window(spark, sf_dir):
     n_radius = windows(r12.ann_radius_ivf_hier_q(spark, sf_dir))
     n_topk = windows(r11.ann_ivf_hier_topk_q(spark, sf_dir))
     assert n_radius == n_topk - 1
+
+
+def test_triangle_counts_planted_graph(spark):
+    """Planted structure: K4 on {1,2,3,4} (four triangles — each node
+    in exactly 3), one pendant edge (5 in no triangle, absent from the
+    result), and a disjoint K3 {6,7,8} (each node in exactly 1). Also
+    pins the global law sum(n_triangles) == 3 x #triangles."""
+    from incubyte_vaccination_data_pipeline_spark.operators.graph_metrics import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (6, 7), (6, 8), (7, 8)], "lo int, hi int"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+    assert sum(got.values()) == 3 * 5  # 4 triangles in K4 + 1 in K3
+
+
+def test_triangle_counts_duplicate_edges_ignored(spark):
+    """The edge set is distinct-ed: multi-edges (a part pair sharing
+    several orders) must not inflate counts."""
+    from incubyte_vaccination_data_pipeline_spark.operators.graph_metrics import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (1, 3), (1, 3)], "lo int, hi int"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_plan_equi_joins_only(spark, sf_dir):
+    """Wedge generation and closure are equi-joins on src / (lo, hi)
+    — no cartesian or broadcast-NLJ fallback at any scale."""
+    df = r12.graph_triangle_per_node_q(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_per_node_triangles_sum_to_three_times_global(spark, sf_dir):
+    """The cross-query law binding the staged per-node decomposition
+    to the registered global count over the SAME shared edge frame:
+    every triangle has exactly three corners."""
+    per_node = r12.graph_triangle_per_node_q(spark, sf_dir)
+    total = sum(r["n_triangles"] for r in per_node.collect())
+    global_row = catalog.QUERIES["graph_triangle_count"](
+        spark, sf_dir
+    ).collect()[0]
+    assert total == 3 * global_row["n_triangles"]
