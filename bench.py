@@ -8,9 +8,12 @@ round-over-round regressions attributable; best-of is still recorded
 alongside for continuity with rounds 1-9).
 
 Round 11 — the protocol acts on noise instead of merely reporting it:
-if the sample's total spread exceeds SPREAD_FRAC_BOUND of the total,
-the noisiest queries are re-timed (the machine-load transient has
-usually passed) and each query keeps its LOWEST-SPREAD 3-run sample;
+if the ACTIONABLE spread (summed over queries whose own spread exceeds
+both retry floors — the load signature, as opposed to the irreducible
+~0.1 s/query JIT/GC jitter floor) exceeds
+ACTIONABLE_SPREAD_FRAC_BOUND of the total, those queries are re-timed
+(the machine-load transient has usually passed) and each keeps its
+LOWEST-SPREAD 3-run sample;
 median AND best-of both come from that one sample (best-of stays
 best-of-3, comparable with rounds 1-9 — a noisy query must not improve
 the continuity column just by sampling more runs, and a query's best
@@ -46,11 +49,17 @@ HEADLINE = sorted(catalog.QUERIES)
 
 RUNS = 3  # timed runs after the discarded warmup (median recorded)
 
-#: noise gate: if sum(per-query spread) exceeds this fraction of the
-#: total, re-time the noisy queries before writing the artifact.
-#: Calibration: clean rounds read ~10% (r9: 8.1s/78.1s), the two
-#: loaded-machine samples 20-24% (r8, r10).
-SPREAD_FRAC_BOUND = 0.15
+#: noise gate: if the ACTIONABLE spread (summed only over queries
+#: whose own spread exceeds both retry floors — the load signature)
+#: exceeds this fraction of the total, re-time those queries before
+#: writing the artifact. The gate deliberately excludes the
+#: irreducible per-query JIT/GC jitter floor: at 212 queries that
+#: floor alone sums to ~0.1 s/query = ~15% of the total on an IDLE
+#: box (measured r11), so a raw-sum bound either never fires or
+#: always fires — the actionable component is what a loaded machine
+#: actually moves (r11 idle-box actionable ~5%; the r10 loaded
+#: sample's damage was concentrated in exactly this class).
+ACTIONABLE_SPREAD_FRAC_BOUND = 0.05
 #: a query is re-timed when its spread exceeds BOTH floors — absolute
 #: (micro-queries jitter by scheduling quanta; retrying them buys
 #: nothing) and relative to its own median
@@ -129,20 +138,23 @@ def main() -> None:
         cold[name] = round(time_runs(fn, 1)[0], 4)
         samples[name] = time_runs(fn, RUNS)
 
-    # noise gate: while the sample-wide spread exceeds the bound,
-    # re-time the noisy queries; each keeps its lowest-spread sample
-    # (medians stay medians — retrying never cherry-picks single runs)
+    # noise gate: while the ACTIONABLE spread (load signature — only
+    # queries over both retry floors) exceeds the bound, re-time those
+    # queries; each keeps its lowest-spread sample (medians stay
+    # medians — retrying never cherry-picks single runs)
     for _ in range(MAX_RETRY_PASSES):
         total = sum(_stats(r)[0] for r in samples.values())
-        spread = sum(_stats(r)[2] for r in samples.values())
-        if total <= 0 or spread <= SPREAD_FRAC_BOUND * total:
-            break
         noisy = sorted(
             (n for n in HEADLINE if _needs_retry(samples[n])),
             key=lambda n: _stats(samples[n])[2],
             reverse=True,
         )
-        if not noisy:
+        actionable = sum(_stats(samples[n])[2] for n in noisy)
+        if (
+            not noisy
+            or total <= 0
+            or actionable <= ACTIONABLE_SPREAD_FRAC_BOUND * total
+        ):
             break
         for name in noisy:
             rerun = time_runs(catalog.QUERIES[name], RUNS)
@@ -150,6 +162,9 @@ def main() -> None:
                 samples[name] = rerun
             retries[name] = retries.get(name, 0) + 1
 
+    actionable_final = sum(
+        _stats(r)[2] for r in samples.values() if _needs_retry(r)
+    )
     timings = {n: round(_stats(r)[0], 4) for n, r in samples.items()}
     # best-of from the SAME 3-run sample as the median: still exactly
     # best-of-3 (comparable with rounds 1-9, and a retried query never
@@ -180,6 +195,14 @@ def main() -> None:
         "queries_retries": retries,
         "noise_spread_sec": round(spread, 4),
         "spread_frac": round(spread / total, 4) if total else 0.0,
+        # the load signature: spread summed only over queries above
+        # both retry floors — the raw sum above it includes the
+        # irreducible ~0.1 s/query JIT/GC jitter floor (~15% of total
+        # at 212 queries on an idle box) that no re-run removes
+        "spread_actionable_sec": round(actionable_final, 4),
+        "spread_actionable_frac": (
+            round(actionable_final / total, 4) if total else 0.0
+        ),
         "retried_queries": len(retries),
         "load_avg_start": load_start,
         "load_avg_end": _loadavg(),

@@ -25,7 +25,7 @@ def test_needs_retry_requires_both_floors():
 
 
 def test_retry_bounds_are_sane():
-    assert 0 < bench.SPREAD_FRAC_BOUND < 0.25
+    assert 0 < bench.ACTIONABLE_SPREAD_FRAC_BOUND < 0.15
     assert bench.MAX_RETRY_PASSES >= 1
     # _stats takes r[len//2]: a true median only for ODD samples — an
     # even RUNS would silently record the upper-middle run
