@@ -978,6 +978,11 @@ def ann_ivf_hier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         n_probe_coarse=HIER_PROBE_COARSE,
         n_probe_fine=HIER_PROBE_FINE,
+        # pin the historical sort-merge probe join: this query holds a
+        # round-11 driver-window slot, and the broadcast hint (15x at
+        # 10x data, SCALE.md r11) changes the analyzed plan. Flip to
+        # the operator default at the round-12 fingerprint refresh.
+        broadcast_probes=False,
     )
 
 

@@ -1770,6 +1770,7 @@ def topk_two_level(
     n_probe_fine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k THROUGH the two-level index — the
     search twin of the hierarchical dedup path: each query probes its
@@ -1804,6 +1805,7 @@ def topk_two_level(
         n_probe_fine,
         id_col,
         vec_col,
+        broadcast_probes,
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -1823,10 +1825,23 @@ def _two_level_scored(
     n_probe_fine: int,
     id_col: str,
     vec_col: str,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Probe + exact-score through the two-level index: the shared
     (query_id, neighbor_id, cosine) frame under ``topk_two_level``'s
-    rank tail and ``radius_two_level``'s threshold tail."""
+    rank tail and ``radius_two_level``'s threshold tail.
+
+    ``broadcast_probes`` (default True) broadcasts the per-(query,
+    probed-cell) frame into the inverted-file join. Catalyst's size
+    estimate for that frame is inflated by its explode + join + window
+    derivation, so without the hint the join falls back to sort-merge
+    on a LOW-CARDINALITY cell key — measured 47s vs 3.2s (15x) on the
+    10x corpus at a 25% probe budget (SCALE.md r11). The frame is
+    genuinely small under this function's few-queries contract
+    (|Q| x n_probe_fine rows); a data-scale query SET belongs on the
+    shuffle-join ``knn_join_ivf`` shape instead. False pins the
+    historical sort-merge plan (the round-11 driver certificate of
+    ``ann_ivf_hier_topk``; migrate at the next window opportunity)."""
     from pyspark.sql import Window
 
     q = queries.select(
@@ -1870,6 +1885,8 @@ def _two_level_scored(
         norm_expr(vec_col).alias("nn"),
         "cell",
     )
+    if broadcast_probes:
+        pcells = F.broadcast(pcells)
     scored = (
         inv.join(pcells, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1898,6 +1915,7 @@ def radius_two_level(
     n_probe_fine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Range (radius) search THROUGH the two-level index: the same
     probe + in-join exact scoring as :func:`topk_two_level`, with
@@ -1915,6 +1933,7 @@ def radius_two_level(
         n_probe_fine,
         id_col,
         vec_col,
+        broadcast_probes,
     )
     # same optimizer fence as range_search / radius_search_ivf
     return (

@@ -245,10 +245,17 @@ def run_ann_two_level_search(
     npc = max(2, coarse_n // 2)
     npf = max(4, (coarse_n * fine) // 4)
     queries = emb.filter(F.col("vec_id") % 20 == 3)  # 5% query set
+    # broadcast the probe frame only while it is genuinely
+    # broadcast-sized: the 5% query set is DATA-SCALE (|Q| grows with
+    # the corpus), and |Q| x n_probe_fine rows each carrying the query
+    # vector reach hundreds of millions of rows at 100x — that regime
+    # belongs on the shuffle join (the knn_join_ivf rule)
+    bcast = (n // 20) * npf <= 2_000_000
     t0 = time.perf_counter()
     topk_two_level(
         emb, queries, coarse, fc, inv, fine,
         k=5, n_probe_coarse=npc, n_probe_fine=npf,
+        broadcast_probes=bcast,
     ).write.format("noop").mode("overwrite").save()
     t_join = time.perf_counter() - t0
     sample = queries.filter(F.col("vec_id") % 200 == 3)
@@ -256,6 +263,7 @@ def run_ann_two_level_search(
     approx = topk_two_level(
         emb, sample, coarse, fc, inv, fine,
         k=5, n_probe_coarse=npc, n_probe_fine=npf,
+        broadcast_probes=bcast,
     ).select("query_id", "neighbor_id")
     n_exact = exact.count()
     n_hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
@@ -506,9 +514,12 @@ def run_staged12(spark, sf_dir: str, label: str, target_cell: int = 256) -> None
     npf = max(4, (coarse_n * fine) // 4)
     queries = emb.filter(F.col("vec_id") % 20 == 3)  # 5% query set
     t0 = time.perf_counter()
+    # same probe-frame regime rule as run_ann_two_level_search
+    bcast = (n // 20) * npf <= 2_000_000
     n_rows = radius_two_level(
         queries, coarse, fc, inv, fine,
         threshold=RANGE_THRESHOLD, n_probe_coarse=npc, n_probe_fine=npf,
+        broadcast_probes=bcast,
     ).count()
     t_radius = time.perf_counter() - t0
     print(
