@@ -271,12 +271,17 @@ def graph_triangle_per_node_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIANGLE_ORACLE = """
+def _triangle_oracle() -> str:
+    from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
+        TRIANGLE_MIN_SUPPORT,
+    )
+
+    return f"""
     WITH pairs AS (
         SELECT a.l_partkey AS lo, b.l_partkey AS hi
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY lo, hi HAVING COUNT(*) >= 2
+        GROUP BY lo, hi HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
     ),
     deg AS (
         SELECT node, COUNT(*) AS d FROM (
@@ -311,7 +316,7 @@ _TRIANGLE_ORACLE = """
 
 STAGED["ann_radius_ivf_hier"] = (ann_radius_ivf_hier_q, _hier_radius_oracle())
 STAGED["corpus_curation_funnel"] = (corpus_curation_funnel_q, _funnel_oracle())
-STAGED["graph_triangle_per_node"] = (graph_triangle_per_node_q, _TRIANGLE_ORACLE)
+STAGED["graph_triangle_per_node"] = (graph_triangle_per_node_q, _triangle_oracle())
 
 
 def register_r12(names: list[str] | None = None) -> None:

@@ -35,9 +35,18 @@ def triangle_counts(
     "up" the order, and the closing edge is checked against the
     canonical (u < v by id) set, so orientation of the third edge is
     irrelevant."""
-    pairs = edges.select(
-        F.col(u_col).alias("lo"), F.col(v_col).alias("hi")
-    ).distinct()
+    # lineage discipline (the graph_triangle_count precedent): pairs
+    # is referenced three times (degree build, wedge closure, via
+    # oriented) and oriented twice (both wedge arms) — without the
+    # lazy checkpoints Spark re-derives the distinct + degree joins
+    # per self-join branch, multiplying the most expensive upstream
+    # aggregation for any caller whose edge frame isn't already
+    # materialized
+    pairs = (
+        edges.select(F.col(u_col).alias("lo"), F.col(v_col).alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = (
         pairs.select(F.col("lo").alias("node"))
         .unionAll(pairs.select(F.col("hi").alias("node")))
@@ -54,6 +63,7 @@ def triangle_counts(
             F.when(up, F.col("lo")).otherwise(F.col("hi")).alias("src"),
             F.when(up, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
         )
+        .localCheckpoint(eager=False)
     )
     e1 = oriented.select("src", F.col("dst").alias("b"))
     e2 = oriented.select("src", F.col("dst").alias("c"))

@@ -289,6 +289,8 @@ def test_bench_compact_line_fits_driver_tail():
         "queries": timings,
         "noise_spread_sec": 12.3456,
         "spread_frac": 0.1234,
+        "spread_actionable_sec": 12.3456,
+        "spread_actionable_frac": 0.1234,
         "retried_queries": 12,
         "load_avg_start": [12.34, 12.34, 12.34],
         "load_avg_end": [12.34, 12.34, 12.34],
