@@ -94,6 +94,18 @@ round10_ext.register()
 # never-verified newcomers.
 round10_ext.register_r11()
 
+# round 12: the three queries staged across round 11 — radius search
+# through the two-level index (the last flat/hier x topk/radius matrix
+# member), the LLM-curation funnel as one value-checked row, and
+# per-node triangle participation over the shared co-purchase graph.
+# One call lands all 3; the growth sim at 215 keeps the
+# re-verification gap at ceil(215/50) = 5, and the EDF rotation seats
+# the 12 at-bound round-7-cohort queries AHEAD of the newcomers (new
+# queries key the odd half-round slot behind an at-bound cohort).
+from incubyte_vaccination_data_pipeline_spark.catalog import round12_staged  # noqa: E402
+
+round12_staged.register_r12()
+
 FLAGSHIP_COUNTRY = vax.FLAGSHIP_COUNTRY
 
 # The driver verifies the first N registered queries per round (observed

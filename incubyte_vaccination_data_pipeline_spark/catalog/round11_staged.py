@@ -978,11 +978,10 @@ def ann_ivf_hier_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         n_probe_coarse=HIER_PROBE_COARSE,
         n_probe_fine=HIER_PROBE_FINE,
-        # pin the historical sort-merge probe join: this query holds a
-        # round-11 driver-window slot, and the broadcast hint (15x at
-        # 10x data, SCALE.md r11) changes the analyzed plan. Flip to
-        # the operator default at the round-12 fingerprint refresh.
-        broadcast_probes=False,
+        # operator default (broadcast probe frame, 15x on the probe
+        # join at 10x data — SCALE.md r11). Round 11 pinned False to
+        # hold its driver-window fingerprint; flipped at the round-12
+        # kickoff refresh, which re-fronts the query as stale.
     )
 
 

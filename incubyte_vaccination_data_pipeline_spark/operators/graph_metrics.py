@@ -25,10 +25,16 @@ def triangle_counts(
     edges: DataFrame, u_col: str = "lo", v_col: str = "hi"
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected
-    simple graph given as canonical edges (``u_col`` < ``v_col``,
-    distinct). Returns (node, n_triangles) for every node in at least
-    one triangle; each triangle contributes 1 to each of its three
-    corners (so sum(n_triangles) = 3 x #triangles).
+    simple graph given as an edge list. Edges are canonicalized
+    defensively (least/greatest before distinct), so reversed or
+    bidirectional input rows collapse to one undirected edge instead
+    of silently doubling degrees and breaking wedge closure — the
+    caller does NOT have to pre-sort endpoints. Self-loops (u == v)
+    are dropped (a loop is not an edge of a simple graph and would
+    otherwise close spurious "triangles" through itself). Returns
+    (node, n_triangles) for every node in at least one triangle; each
+    triangle contributes 1 to each of its three corners (so
+    sum(n_triangles) = 3 x #triangles).
 
     Uniqueness: a triangle is emitted exactly once, at its minimum
     corner under the (degree, node-id) order — both wedge arms point
@@ -43,7 +49,11 @@ def triangle_counts(
     # aggregation for any caller whose edge frame isn't already
     # materialized
     pairs = (
-        edges.select(F.col(u_col).alias("lo"), F.col(v_col).alias("hi"))
+        edges.select(
+            F.least(F.col(u_col), F.col(v_col)).alias("lo"),
+            F.greatest(F.col(u_col), F.col(v_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -533,7 +533,9 @@ def topk_ivf(
             coarse, fine, assigned, fine_n = build_two_level_index(
                 corpus, n_centroids, id_col=id_col, vec_col=vec_col
             )
-            npc, npf = _two_level_probe_budget(len(coarse), fine_n, n_probe)
+            npc, npf = _two_level_probe_budget(
+                len(coarse), fine_n, n_probe, requested_cells=n_centroids
+            )
             return topk_two_level(
                 corpus,
                 queries,
@@ -612,7 +614,9 @@ def radius_search_ivf(
             coarse, fine, assigned, fine_n = build_two_level_index(
                 corpus, n_cells, id_col=id_col, vec_col=vec_col
             )
-            npc, npf = _two_level_probe_budget(len(coarse), fine_n, n_probe)
+            npc, npf = _two_level_probe_budget(
+                len(coarse), fine_n, n_probe, requested_cells=n_cells
+            )
             return radius_two_level(
                 queries,
                 coarse,
@@ -1438,7 +1442,10 @@ def two_level_split(n_cells: int) -> tuple[int, int]:
 
 
 def _two_level_probe_budget(
-    coarse_n: int, fine_n: int, n_probe: int | None
+    coarse_n: int,
+    fine_n: int,
+    n_probe: int | None,
+    requested_cells: int | None = None,
 ) -> tuple[int, int]:
     """(n_probe_coarse, n_probe_fine) for the routed path. Default:
     the derived probe fraction of the ACTUAL coarse x fine grid. An
@@ -1447,14 +1454,25 @@ def _two_level_probe_budget(
     reachable (``n_probe == total cells`` degenerates to exact search,
     the flat-path law the routing tests pin; a coarse budget pinned at
     the derived fraction would silently cap recall regardless of the
-    caller's budget)."""
+    caller's budget).
+
+    ``requested_cells`` is the cell count the CALLER asked for; the
+    two-level grid (``coarse * ceil(cells / coarse)``) can exceed it,
+    so an explicit ``n_probe`` expressed against the requested count
+    is rescaled to the actual grid (ceil, so the probed FRACTION never
+    shrinks) — without it, ``n_probe == requested_cells`` (the flat
+    path's exact-search degenerate) would leave the grid's excess
+    cells unprobed and silently lose exactness. ``n_probe >=
+    requested_cells`` therefore always degenerates to full-grid
+    probing."""
     import math
 
-    npf = (
-        n_probe
-        if n_probe is not None
-        else derived_ivf_probes(coarse_n * fine_n)
-    )
+    grid = coarse_n * fine_n
+    if n_probe is None:
+        npf = derived_ivf_probes(grid)
+    else:
+        req = requested_cells if requested_cells is not None else grid
+        npf = grid if n_probe >= req else math.ceil(n_probe * grid / req)
     npc = min(
         coarse_n,
         max(derived_ivf_probes(coarse_n), math.ceil(npf / fine_n)),

@@ -30,3 +30,47 @@ def test_retry_bounds_are_sane():
     # _stats takes r[len//2]: a true median only for ODD samples — an
     # even RUNS would silently record the upper-middle run
     assert bench.RUNS >= 3 and bench.RUNS % 2 == 1
+    # the comparability bar is the ADJUDICATION bar, deliberately wider
+    # than the retry trigger (the harness works noise down to 5% before
+    # the stamp judges what remains against 15%)
+    assert bench.COMPARABLE_SPREAD_BAR > bench.ACTIONABLE_SPREAD_FRAC_BOUND
+
+
+def test_actionable_only_counts_retry_class():
+    """The actionable sum excludes spread under the retry floors — the
+    irreducible JIT/GC jitter a re-run cannot remove."""
+    samples = {
+        "noisy": [1.0, 1.1, 2.0],     # both floors exceeded
+        "micro": [0.05, 0.06, 0.15],  # relative only: jitter
+        "big": [10.0, 10.1, 10.3],    # absolute only: just big
+    }
+    act, total = bench._actionable(samples)
+    assert act == 1.0  # only the noisy query's spread
+    assert round(total, 2) == 1.1 + 0.06 + 10.1
+    assert not bench._under_bound(samples)  # 1.0 > 5% of 11.26
+    # retiming the one noisy query to a tight sample clears the bound
+    samples["noisy"] = [1.0, 1.01, 1.02]
+    assert bench._under_bound(samples)
+
+
+def test_comparability_stamp():
+    """The artifact self-adjudicates: loaded start or residual
+    actionable spread -> comparable: false with named reasons and a
+    pointer at the matched-conditions fallback; an idle clean run ->
+    comparable: true, no reasons."""
+    clean = bench.comparability([0.4, 0.5, 0.5], 0.04, cpus=32)
+    assert clean["comparable"] is True and clean["reasons"] == []
+    assert clean["load_bound"] == 4.0  # 32 / 8
+    assert "companion" not in clean
+
+    loaded = bench.comparability([5.0, 4.6, 4.3], 0.04, cpus=32)
+    assert loaded["comparable"] is False
+    assert any("load_avg_start" in r for r in loaded["reasons"])
+    assert "companion" in loaded
+
+    noisy = bench.comparability([0.4, 0.5, 0.5], 0.24, cpus=32)
+    assert noisy["comparable"] is False
+    assert any("spread_actionable_frac" in r for r in noisy["reasons"])
+
+    # None loadavg (platform without getloadavg) only adjudicates spread
+    assert bench.comparability(None, 0.04, cpus=32)["comparable"] is True

@@ -294,6 +294,8 @@ def test_bench_compact_line_fits_driver_tail():
         "retried_queries": 12,
         "load_avg_start": [12.34, 12.34, 12.34],
         "load_avg_end": [12.34, 12.34, 12.34],
+        # worst case: non-comparable with BOTH reasons + companion text
+        "comparability": bench.comparability([99.99, 99.99, 99.99], 0.9999),
         "sf": 0.1,
     }
     line = _json.dumps(bench.compact_payload(payload, timings))

@@ -1,34 +1,22 @@
-"""Round-12 staged queries: driver-style DuckDB side-by-sides BEFORE
-registration (window protection keeps them staged this round — see
-catalog/round12_staged.py) plus the semantic pins the oracle alone
-cannot express."""
+"""Round-11-staged queries (registered in round 12 via register_r12):
+registration pin plus the semantic pins the oracle alone cannot
+express. Their DuckDB side-by-sides live in tests/test_oracle.py now
+that they're registered."""
 
 from __future__ import annotations
 
-import duckdb
-import pytest
-
 from incubyte_vaccination_data_pipeline_spark import catalog
 from incubyte_vaccination_data_pipeline_spark.catalog import round12_staged as r12
-from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import TESTDATA_TABLES
-from tests.test_oracle import _normalize, _values_equal
 
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    yield con
-    con.close()
-
-
-def test_staged_r12_not_yet_registered():
-    """Registering mid-round would re-sort the driver window under the
-    11 round-11 registrations' promised slots; register_r12() lands
-    these at the round-12 kickoff."""
-    assert not (set(r12.STAGED) & set(catalog.QUERIES))
-    assert not (set(r12.STAGED) & set(catalog.ORACLES))
+def test_staged_r12_registered_round12():
+    """Round 12: register_r12() landed the staged trio in the live
+    registry (catalog/__init__.py), so the 3 queries now take driver
+    CORRECTNESS rows and their DuckDB side-by-sides run in the live
+    oracle sweep (tests/test_oracle.py) instead of a staged copy
+    here."""
+    assert set(r12.STAGED) <= set(catalog.QUERIES)
+    assert set(r12.STAGED) <= set(catalog.ORACLES)
 
 
 def test_hier_scored_ctes_shared_with_registered_rank_oracle():
@@ -41,23 +29,6 @@ def test_hier_scored_ctes_shared_with_registered_rank_oracle():
     chain = r11._hier_scored_ctes()
     assert catalog.ORACLES["ann_ivf_hier_topk"].startswith(chain)
     assert r12.STAGED["ann_radius_ivf_hier"][1].startswith(chain)
-
-
-@pytest.mark.parametrize("name", sorted(r12.STAGED))
-def test_staged_r12_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, oracle = r12.STAGED[name]
-    spark_df = fn(spark, sf_dir).toPandas()
-    duck_df = duck.execute(oracle).df()
-    assert len(spark_df) == len(duck_df)
-    spark_df.columns = [c.lower() for c in spark_df.columns]
-    duck_df.columns = [c.lower() for c in duck_df.columns]
-    s, d = _normalize(spark_df), _normalize(duck_df)
-    assert sorted(s.columns) == sorted(d.columns)
-    for col in s.columns:
-        for av, bv in zip(s[col], d[col]):
-            if av is None and bv is None:
-                continue
-            assert _values_equal(av, bv), (name, col, av, bv)
 
 
 def test_radius_hier_subset_of_bruteforce_with_equal_scores(spark, sf_dir):
@@ -170,6 +141,24 @@ def test_triangle_counts_duplicate_edges_ignored(spark):
 
     edges = spark.createDataFrame(
         [(1, 2), (1, 2), (2, 3), (1, 3), (1, 3)], "lo int, hi int"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_canonicalizes_reversed_edges(spark):
+    """Defensive canonicalization (least/greatest before distinct): a
+    reversed row, a bidirectional pair, and a self-loop must collapse
+    to the same K3 as the canonical edge list — not double degrees,
+    break wedge closure, or close a 'triangle' through a loop."""
+    from incubyte_vaccination_data_pipeline_spark.operators.graph_metrics import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        # K3 with (2,1) reversed, (1,3)+(3,1) bidirectional, (2,2) loop
+        [(2, 1), (2, 3), (1, 3), (3, 1), (2, 2)],
+        "lo int, hi int",
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1}

@@ -138,6 +138,33 @@ def test_probe_budget_honors_explicit_full_probe():
     assert npf == min(sim.derived_ivf_probes(500), npc * 25)
 
 
+def test_probe_budget_scales_to_actual_grid():
+    """two_level_split's grid (coarse * ceil(cells / coarse)) can
+    exceed the REQUESTED cell count; an explicit n_probe expressed
+    against the request must rescale to the grid, or n_probe ==
+    requested_cells (the flat path's exact-search degenerate) leaves
+    the grid's excess cells unprobed and silently loses exactness."""
+    # 4999 requested -> 71 x 71 = 5041 grid: full-probe request must
+    # cover the WHOLE grid, not just 4999 of its cells
+    coarse, fine = sim.two_level_split(4999)
+    assert coarse * fine > 4999  # the advisory's premise
+    npc, npf = sim._two_level_probe_budget(
+        coarse, fine, 4999, requested_cells=4999
+    )
+    assert (npc, npf) == (coarse, coarse * fine)
+    # over-asking (n_probe > requested) also degenerates to full grid
+    npc, npf = sim._two_level_probe_budget(
+        coarse, fine, 10_000, requested_cells=4999
+    )
+    assert (npc, npf) == (coarse, coarse * fine)
+    # partial budgets keep (at least) the requested probed fraction
+    npc, npf = sim._two_level_probe_budget(
+        coarse, fine, 100, requested_cells=4999
+    )
+    assert npf / (coarse * fine) >= 100 / 4999
+    assert npf == __import__("math").ceil(100 * coarse * fine / 4999)
+
+
 def test_cross_coarse_multi_assignment_spans_boundaries(spark, sf_dir):
     """coarse_m=1 confines a vector's assign_m cells to ONE coarse
     cell; coarse_m=assign_m ranks globally across the m nearest
