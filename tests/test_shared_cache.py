@@ -186,12 +186,46 @@ def test_hier_caches_swept_with_shared_state(spark, sf_dir):
     BoundedCache-backed index frames."""
     from incubyte_vaccination_data_pipeline_spark.catalog import round11_staged as r11
 
-    r11._hier_fine(spark, sf_dir)  # populates coarse AND fine caches
+    r11._hier_cells(spark, sf_dir)  # populates coarse, fine AND cells
     assert any(sc._key_matches(k, sf_dir) for k in r11._HIER_COARSE_CACHE)
     assert any(sc._key_matches(k, sf_dir) for k in r11._HIER_FINE_CACHE)
+    assert any(sc._key_matches(k, sf_dir) for k in r11._HIER_CELLS_CACHE)
     sc.release_shared_state(sf_dir)
     assert not any(sc._key_matches(k, sf_dir) for k in r11._HIER_COARSE_CACHE)
     assert not any(sc._key_matches(k, sf_dir) for k in r11._HIER_FINE_CACHE)
+    assert not any(sc._key_matches(k, sf_dir) for k in r11._HIER_CELLS_CACHE)
+
+
+def test_hier_cells_rank1_agrees_with_inv(spark, sf_dir):
+    """The dedup (assign_m=2) and search (assign_m=1) inverted files
+    rank fine cells with the same tie-breaks, so every vector's
+    BEST cell must agree between the two persisted frames — the law
+    that would let one build serve both if the m=2 frame carried its
+    rank (recorded round-12 measurement: the two builds share the
+    persisted fine-centroid frame, so the second build is one
+    broadcast-score window, not a second Lloyd chain)."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.catalog import round11_staged as r11
+
+    inv = {
+        r["vec_id"]: r["cell"]
+        for r in r11._hier_inv(spark, sf_dir).collect()
+    }
+    # m=2 frame: the best cell is the one _two_level_score ranked
+    # first; recover it as the min over (rank order) — the frame drops
+    # __arn, but scores order (dot DESC, fid ASC) == cell order only
+    # per vector via a fresh ranked build, so assert set-level laws:
+    # every vector appears exactly twice and its m=1 cell is among them
+    cells = r11._hier_cells(spark, sf_dir)
+    counts = cells.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n"))
+    assert counts.filter(F.col("n") != r11.HIER_ASSIGN_M).count() == 0
+    pairs = {
+        (r["vec_id"], r["cell"]) for r in cells.collect()
+    }
+    for vid, cell in inv.items():
+        assert (vid, cell) in pairs
+    sc.release_shared_state(sf_dir)
 
 
 def test_near_dup_ivf_rejects_centroids_plus_cells(spark, sf_dir):
