@@ -458,6 +458,63 @@ def run_ann(
     assigned.unpersist()
 
 
+def run_ann_occupancy(spark, sf_dir: str, n_centroids: int, label: str) -> None:
+    """Occupancy-aware probing on the clustered corpus (VERDICT r11
+    item 6), COST-MATCHED to the fixed-4-probe row: measure the
+    average corpus fraction fixed-4 actually scans per query, set
+    ``coverage`` to exactly that fraction, and compare recall@5 at
+    equal average candidate work. Fixed-count probing overspends on
+    dense queries and starves sparse ones; cutting by cumulative
+    occupancy reallocates the same budget."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        ivf_assigned,
+        ivf_centroids,
+        ivf_probes_expr,
+        topk_bruteforce,
+        topk_ivf,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=n_centroids)
+    assigned = ivf_assigned(emb, cents).persist()
+    n_corpus = assigned.count()
+    counts = {r["cid"]: r["count"] for r in assigned.groupBy("cid").count().collect()}
+    sample = emb.filter(F.col("vec_id") % 200 == 3)
+
+    # the corpus fraction fixed-4 scans, averaged over the sample
+    cnt_arr = F.array(*[F.lit(int(counts.get(i, 0))) for i in range(len(cents))])
+    f4 = (
+        sample.select(
+            F.explode(ivf_probes_expr("embedding", cents, 4)).alias("cid"),
+            F.col("vec_id"),
+        )
+        .select(F.element_at(cnt_arr, F.col("cid") + 1).alias("c"))
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    ) / (sample.count() * n_corpus)
+
+    exact = topk_bruteforce(emb, sample, k=5).select("query_id", "neighbor_id")
+    t0 = time.perf_counter()
+    occ = topk_ivf(
+        emb, sample, k=5, centroids=cents, assigned_corpus=assigned,
+        coverage=f4,
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    n_hit = exact.join(occ, ["query_id", "neighbor_id"]).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"  [{label}] coverage={f4:.4f} (matched to fixed-4's scanned "
+        f"fraction) recall@5={n_hit / max(n_exact, 1):.3f} "
+        f"({n_hit}/{n_exact}) wall={dt:6.2f}s"
+    )
+    assigned.unpersist()
+
+
 def run_staged12(spark, sf_dir: str, label: str, target_cell: int = 256) -> None:
     """Round-12 staged queries at Nx: the curation funnel (its stages
     are the already-measured dedup machinery plus two hash equi-joins
@@ -722,6 +779,12 @@ def main() -> None:
                     cl_cells,
                     f"{args.factor}x clustered, FIXED 4 probes",
                     recall=True,
+                )
+                run_ann_occupancy(
+                    spark,
+                    cl_root,
+                    cl_cells,
+                    f"{args.factor}x clustered, OCCUPANCY-matched budget",
                 )
             finally:
                 if args.keep:

@@ -164,3 +164,79 @@ def test_ivf_default_cells_derive_from_corpus(spark, sf_dir):
     # each centroid is unit-norm (search math relies on it)
     for c in cents[:3]:
         assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_occupancy_probes_laws(spark):
+    """occupancy_probes_expr cuts the distance-ranked cell list at the
+    shortest prefix reaching the coverage target: uniform occupancy
+    degenerates to the constant-fraction default; concentrated
+    occupancy probes fewer cells when the dense cell ranks first and
+    more when the query sits in the sparse region; coverage=1.0
+    probes everything; min_probe floors."""
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        occupancy_probes_expr,
+    )
+
+    # 4 unit centroids along distinct axes; queries ON the axes make
+    # the ranked order deterministic (dot = 1 for own cell, 0 others
+    # except the tie-broken tail — use distinct-dot queries instead)
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    # query leaning c0 > c1 > c2 > c3 strictly
+    df = spark.createDataFrame([([0.8, 0.5, 0.3, 0.1],)], ["v"])
+
+    def probes(counts, coverage, min_probe=1):
+        col = occupancy_probes_expr(
+            "v", cents, counts, coverage=coverage, min_probe=min_probe
+        )
+        return df.select(col.alias("p")).collect()[0]["p"]
+
+    # uniform: coverage 0.25 -> exactly 1 of 4 cells, 0.5 -> 2, 1.0 -> 4
+    assert probes([10, 10, 10, 10], 0.25) == [0]
+    assert probes([10, 10, 10, 10], 0.50) == [0, 1]
+    assert probes([10, 10, 10, 10], 1.00) == [0, 1, 2, 3]
+    # dense first-ranked cell: one probe already covers 70%
+    assert probes([70, 10, 10, 10], 0.5) == [0]
+    # sparse first-ranked cells: must escalate to reach half the corpus
+    assert probes([5, 5, 5, 85], 0.5) == [0, 1, 2, 3]
+    # min_probe floors even when one cell suffices
+    assert probes([100, 1, 1, 1], 0.1, min_probe=2) == [0, 1]
+    # exact-boundary: cum reaching target stops growth (>= before add)
+    assert probes([25, 25, 25, 25], 0.5) == [0, 1]
+
+
+def test_topk_ivf_coverage_option(spark, sf_dir):
+    """The coverage opt-in returns the same schema, every returned
+    pair carries its exact cosine (subset-of-bruteforce law), and the
+    routed two-level default refuses the flat-only option loudly."""
+    import pytest as _pytest
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        TWO_LEVEL_CELL_THRESHOLD,
+        topk_bruteforce,
+        topk_ivf,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = ivf_centroids(emb, n_centroids=8)
+    got = topk_ivf(emb, queries, k=5, centroids=cents, coverage=0.5).collect()
+    assert got
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in topk_bruteforce(emb, queries, k=emb.count()).collect()
+    }
+    for r in got:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+    class _FakeCount:
+        def count(self):
+            return (TWO_LEVEL_CELL_THRESHOLD + 1) ** 2
+
+    with _pytest.raises(ValueError, match="coverage"):
+        topk_ivf(_FakeCount(), queries, coverage=0.5)
