@@ -254,6 +254,8 @@ def _ivf_oracle(
     radius: float | None = None,
     pair_threshold: float | None = None,
     assign_m: int = 2,
+    occupancy_coverage: float | None = None,
+    occupancy_min_probe: int = 1,
 ) -> str:
     """Full SQL restatement of the IVF pipeline: content-addressed
     seeds (smallest ``md5(vec_id)``), unit-normalization, one Lloyd
@@ -307,6 +309,42 @@ def _ivf_oracle(
         WHERE a.vec_id < b.vec_id
     )"""
     )
+    # ``occupancy_coverage`` swaps the fixed-count probes CTE for the
+    # OCCUPANCY cut (round-12 ``occupancy_probes_expr``): rank the
+    # query's cells (score DESC, cid), left-join the inverted-file
+    # cell counts (empty cells contribute 0 but keep their rank), and
+    # keep the prefix whose EXCLUSIVE running occupancy is below
+    # ceil(coverage x corpus), floored at ``occupancy_min_probe`` —
+    # the same semantics as the Spark fold (>= before add).
+    # occupancy_coverage=None renders byte-identical text to the
+    # pre-parameter oracle (sha256-checked in tests).
+    probes_cte = f"""probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+            FROM a1 WHERE {query_pred})
+        WHERE rn <= {nprobe}
+    )"""
+    if occupancy_coverage is not None:
+        probes_cte = f"""counts AS (
+        SELECT cid, COUNT(*) AS cnt FROM assigned GROUP BY cid
+    ),
+    probes AS (
+        SELECT query_id, cid FROM (
+            SELECT p.query_id, p.cid, p.rn,
+                   COALESCE(SUM(c.cnt) OVER (
+                       PARTITION BY p.query_id ORDER BY p.rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_excl
+            FROM (
+                SELECT vec_id AS query_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+                FROM a1 WHERE {query_pred}) p
+            LEFT JOIN counts c USING (cid))
+        WHERE cum_excl < CAST(ceil({occupancy_coverage} *
+              (SELECT COUNT(*) FROM embeddings)) AS BIGINT)
+           OR rn <= {occupancy_min_probe}
+    )"""
     if pair_threshold is not None:
         tail = f"""SELECT p.vec_a, p.vec_b,
            round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
@@ -381,13 +419,7 @@ def _ivf_oracle(
             FROM a1)
         WHERE rn = 1
     ),
-    probes AS (
-        SELECT vec_id AS query_id, cid FROM (
-            SELECT vec_id, cid, ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
-            FROM a1 WHERE {query_pred})
-        WHERE rn <= {nprobe}
-    ),
+    {probes_cte},
     cand AS (
         SELECT p.query_id, a.neighbor_id
         FROM probes p JOIN assigned a USING (cid)

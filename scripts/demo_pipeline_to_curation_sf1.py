@@ -124,6 +124,15 @@ def main() -> None:
         # collision odds ~ n^2 / 2^63, immaterial at 1e8 rows
         cust = F.col("Cust_I").cast("long")
         u = F.concat_ws("_", F.col("Country"), F.col("Cust_I"))
+        # the generator gives each of a customer's 4 consults a
+        # DISTINCT vaccination code (gid steps of 8 are distinct mod
+        # 5), so a VAC_ID-suffixed narrative has no exact twins;
+        # customers with cust % 11 == 0 get a fixed token instead —
+        # their consult rows become VERBATIM duplicates, making the
+        # exact stage non-vacuous at an exactly-computable rate
+        vac_tok = F.when(cust % 11 == 0, F.lit("none")).otherwise(
+            F.col("VAC_ID")
+        )
         docs = stored.select(
             F.pmod(
                 F.xxhash64("Country", "Cust_I", "VAC_ID", "Open_Dt",
@@ -138,14 +147,21 @@ def main() -> None:
                 F.lit("case"), u, F.lit("review"), u,
                 F.lit("intake"), u, F.lit("followup"), u,
                 F.lit("clinic"), u, F.lit("record"), u,
-                F.lit("vaccination"), F.col("VAC_ID"),
+                F.lit("vaccination"), vac_tok,
             ).alias("text"),
             F.col("Country").alias("country"),
             cust.alias("cust"),
         )
 
-        n_exact_expect = stored.select("Country", "Cust_I", "VAC_ID").distinct().count()
+        # independent restatement of the expected distinct-text count
+        # (from warehouse COLUMNS, not from the texts the dedup sees)
+        n_exact_expect = (
+            stored.select("Country", "Cust_I", vac_tok.alias("vt"))
+            .distinct()
+            .count()
+        )
         n_customers = stored.select("Country", "Cust_I").distinct().count()
+        n_warehouse_docs = n_warehouse
 
         # ---- leg 2 stage 1+2: exact then near-dup dedup ------------
         t0 = time.perf_counter()
@@ -155,8 +171,9 @@ def main() -> None:
         t_exact = time.perf_counter() - t0
         assert n_exact == n_exact_expect, (
             f"exact dedup kept {n_exact}, expected EXACTLY {n_exact_expect} "
-            f"(distinct country x customer x vaccination)"
+            f"(distinct country x customer x vaccination-token)"
         )
+        assert n_warehouse_docs - n_exact > 0, "exact stage vacuous"
 
         t0 = time.perf_counter()
         pairs = minhash_candidate_pairs(
