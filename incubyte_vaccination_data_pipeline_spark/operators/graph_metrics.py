@@ -96,3 +96,77 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    u_col: str = "lo",
+    v_col: str = "hi",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """The k-core of an undirected simple graph: iteratively peel
+    nodes of degree < ``k`` until none remain (the standard density
+    decomposition — a node survives iff it has >= k neighbors that
+    ALSO survive; the cohesion primitive between connected components
+    (k=1) and cliques). Returns (node, degree) over the surviving
+    subgraph, degree computed AFTER the final peel.
+
+    ``max_rounds=None`` runs to the fixpoint: each round is one
+    degree aggregate + one semi-join on each endpoint, lineage
+    truncated per round with ``durable_checkpoint`` (reliable
+    checkpoint on clusters — the ``duplicate_clusters`` loop
+    discipline), driver work bounded to one edge-count per round. A
+    fixed ``max_rounds=m`` leaves the plan fully lazy (no counts, no
+    checkpoints) — m peels are an UPPER approximation of the core
+    (supersets it); the catalog pins a small m so its DuckDB oracle
+    is a fixed CTE pipeline, exactly the LPA_ROUNDS precedent.
+
+    Edges are canonicalized defensively like :func:`triangle_counts`
+    (least/greatest, self-loops dropped, distinct).
+
+    Scale: every round is keyed aggregates and equi-joins; the edge
+    frame only shrinks. Peel-round count on real graphs is small
+    (O(log n) typical); a 100 TB co-occurrence graph runs the
+    fixpoint path with the checkpoint dir set.
+    """
+    from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+        durable_checkpoint,
+    )
+
+    cur = (
+        edges.select(
+            F.least(F.col(u_col), F.col(v_col)).alias("lo"),
+            F.greatest(F.col(u_col), F.col(v_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+    def _degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("lo").alias("node"))
+            .unionAll(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    def _peel(e: DataFrame) -> DataFrame:
+        keep = _degrees(e).filter(F.col("degree") >= k).select("node")
+        return e.join(
+            keep.select(F.col("node").alias("lo")), "lo", "left_semi"
+        ).join(keep.select(F.col("node").alias("hi")), "hi", "left_semi")
+
+    if max_rounds is not None:
+        for _ in range(max_rounds):
+            cur = _peel(cur)
+        return _degrees(cur)
+
+    cur = durable_checkpoint(cur)
+    n = cur.count()
+    while True:
+        nxt = durable_checkpoint(_peel(cur))
+        m = nxt.count()
+        if m == n:
+            return _degrees(nxt)
+        cur, n = nxt, m

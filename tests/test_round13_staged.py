@@ -131,4 +131,68 @@ def test_occupancy_plan_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Window") == 1
+    # operator lines render as "Window [..."; bare "Window" also
+    # matches windowspecdefinition mentions inside expressions
+    assert plan.count("Window [") == 1
+
+
+def test_kcore_planted_graph_and_fixpoint_subset(spark, sf_dir):
+    """Planted: K4 plus a tail 4-5-6 hanging off node 4. The 3-core
+    is exactly K4 (each node degree 3); the tail peels in two rounds
+    (6 first, then 5... actually 5 and 6 both drop round 1 — degrees
+    1 and 2 < 3 — and 4's degree falls to 3, staying). Fixed-round
+    peel must SUPERSET the fixpoint core on the shared co-purchase
+    graph (the upper-approximation law), and reversed/duplicate/loop
+    edges canonicalize like triangle_counts."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
+        _copurchase_pairs,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.graph_metrics import (
+        kcore,
+    )
+    from pyspark.sql import functions as F
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(5, 4), (5, 6), (2, 1), (3, 3)],  # reversed dup + loop
+        "lo int, hi int",
+    )
+    got = {r["node"]: r["degree"] for r in kcore(edges, 3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # fixed-round approximation supersets the fixpoint on real data
+    real = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("lo"), F.col("pb").alias("hi")
+    )
+    fixed = {r["node"] for r in kcore(real, r13.KCORE_K,
+                                      max_rounds=r13.KCORE_ROUNDS).collect()}
+    fix = {r["node"] for r in kcore(real, r13.KCORE_K).collect()}
+    assert fix <= fixed
+    assert fix, "fixpoint core empty at test SF"
+
+
+def test_stratified_exact_budgets(spark, sf_dir):
+    """Per-stratum counts are EXACTLY ceil(frac x stratum size) —
+    computed independently from the raw table — and the sample is
+    deterministic across runs (content-hash order)."""
+    import math
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    sizes = {
+        r["lang"]: r["count"]
+        for r in read_table(spark, sf_dir, "documents")
+        .groupBy("lang").count().collect()
+    }
+    rows = r13.sample_stratified_exact_q(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+        assert 1 <= r["rn"] <= math.ceil(r13.STRAT_FRAC * sizes[r["lang"]])
+    assert got == {
+        lang: math.ceil(r13.STRAT_FRAC * n) for lang, n in sizes.items()
+    }
+    again = {(r["doc_id"], r["rn"]) for r in
+             r13.sample_stratified_exact_q(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["rn"]) for r in rows}
