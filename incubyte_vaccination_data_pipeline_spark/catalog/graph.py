@@ -206,6 +206,18 @@ def graph_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
 #: keeps ~4k signal edges)
 TRIANGLE_MIN_SUPPORT = 2
 
+#: the ONE SQL restatement of ``_copurchase_pairs`` in (lo, hi) alias
+#: form — shared by the per-node triangle and k-core-peel oracles so
+#: the support semantics live in one place (the pa/pb-aliased copies
+#: in this module's older oracles are fingerprint-frozen and must not
+#: be re-pointed; byte-identity of every consumer is test-pinned)
+PAIRS_LOHI_CTE = f"""pairs AS (
+        SELECT a.l_partkey AS lo, b.l_partkey AS hi
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY lo, hi HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+    )"""
+
 
 @query(
     "graph_triangle_count",

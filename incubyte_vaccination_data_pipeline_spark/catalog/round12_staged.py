@@ -273,16 +273,11 @@ def graph_triangle_per_node_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _triangle_oracle() -> str:
     from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
-        TRIANGLE_MIN_SUPPORT,
+        PAIRS_LOHI_CTE,
     )
 
     return f"""
-    WITH pairs AS (
-        SELECT a.l_partkey AS lo, b.l_partkey AS hi
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY lo, hi HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
-    ),
+    WITH {PAIRS_LOHI_CTE},
     deg AS (
         SELECT node, COUNT(*) AS d FROM (
             SELECT lo AS node FROM pairs

@@ -445,12 +445,13 @@ def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
-def ivf_probes_expr(
-    vec_col: str, centroids: list[list[float]], n_probe: int
-) -> Column:
-    """The ``n_probe`` nearest centroid ids for a query vector, as an
-    array (explode to fan the query out over its probe cells)."""
-    ranked = F.array_sort(
+def _ranked_cells_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """ALL centroid ids ranked by descending dot product (ties by cid
+    ASC), as an array of (neg, cid) structs — the single source of the
+    probe ordering shared by :func:`ivf_probes_expr` (fixed-count cut)
+    and :func:`occupancy_probes_expr` (occupancy cut), so the two cuts
+    can never diverge on ordering or tie-breaks."""
+    return F.array_sort(
         F.array(
             *[
                 F.struct(
@@ -461,6 +462,14 @@ def ivf_probes_expr(
             ]
         )
     )
+
+
+def ivf_probes_expr(
+    vec_col: str, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest centroid ids for a query vector, as an
+    array (explode to fan the query out over its probe cells)."""
+    ranked = _ranked_cells_expr(vec_col, centroids)
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
 
 
@@ -499,17 +508,7 @@ def occupancy_probes_expr(
     """
     import math
 
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-_dot_lit(vec_col, c)).alias("neg"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-    )
+    ranked = _ranked_cells_expr(vec_col, centroids)
     cnts = F.array(*[F.lit(int(c)) for c in cell_counts])
     target = F.lit(int(math.ceil(coverage * max(1, sum(cell_counts)))))
     with_cnt = F.transform(
@@ -567,6 +566,7 @@ def topk_ivf(
     centroids: list[list[float]] | None = None,
     assigned_corpus: DataFrame | None = None,
     coverage: float | None = None,
+    cell_counts: list[int] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -603,8 +603,11 @@ def topk_ivf(
     occupancy reaches ``coverage`` of the corpus — equalizing
     candidate work per query on skewed/clustered corpora (a fixed
     count overspends on dense queries and starves sparse ones). The
-    cell counts are read from the inverted file (one bounded
-    C-row collect per build). Flat path only: the routed two-level
+    cell counts come from ``cell_counts`` when given (amortize them
+    alongside the prebuilt index — the catalog caches them per
+    corpus) and are otherwise read from the inverted file here (one
+    bounded C-row collect PER CALL — fine ad-hoc, wasteful in a
+    build-once/probe-many loop). Flat path only: the routed two-level
     path raises (apply coverage at the coarse level by passing
     explicit sub-threshold ``centroids`` instead).
     """
@@ -651,11 +654,12 @@ def topk_ivf(
         else ivf_assigned(corpus, centroids, id_col=id_col, vec_col=vec_col)
     )
     if coverage is not None:
-        # occupancy-aware probing: cell sizes from the inverted file —
-        # a bounded collect (C rows), paid once per (index, coverage)
-        cell_counts = [0] * len(centroids)
-        for r in c.groupBy("cid").count().collect():
-            cell_counts[r["cid"]] = int(r["count"])
+        if cell_counts is None:
+            # cell sizes from the inverted file — a bounded C-row
+            # collect, but PER CALL; amortizing callers pass them in
+            cell_counts = [0] * len(centroids)
+            for r in c.groupBy("cid").count().collect():
+                cell_counts[r["cid"]] = int(r["count"])
         probes = occupancy_probes_expr(
             vec_col, centroids, cell_counts, coverage=coverage
         )

@@ -11,7 +11,10 @@ registry growth, shared-cache pressure, or machine load.
 Usage:  python scripts/ab_drift.py names.txt [out.json]
 
 Standalone by design: no imports from bench.py, so the script can be
-dropped (untracked) into an older tree that predates it.
+dropped (untracked) into an older tree that predates it. The tree
+under test is the one the SCRIPT FILE lives in (copy the script into
+each worktree) — cwd-based resolution would silently time whichever
+tree you happen to be standing in.
 """
 
 from __future__ import annotations
@@ -21,7 +24,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.getcwd())
+_TREE = os.path.dirname(os.path.abspath(__file__))
+if os.path.basename(_TREE) == "scripts":  # in-repo copy vs dropped-in
+    _TREE = os.path.dirname(_TREE)
+sys.path.insert(0, _TREE)
 
 from incubyte_vaccination_data_pipeline_spark import catalog  # noqa: E402
 from incubyte_vaccination_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -58,7 +64,9 @@ def main() -> None:
         "wall_sec": round(time.time() - wall0, 1),
         "load_start": load0,
         "load_end": [round(v, 2) for v in os.getloadavg()],
-        "tree": os.popen("git rev-parse --short HEAD").read().strip(),
+        "tree": os.popen(
+            f"git -C {_TREE} rev-parse --short HEAD"
+        ).read().strip(),
         "queries": meds,
         "queries_cold": colds,
     }
