@@ -699,6 +699,8 @@ def radius_search_ivf(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     assigned_corpus: DataFrame | None = None,
+    coverage: float | None = None,
+    cell_counts: list[int] | None = None,
 ) -> DataFrame:
     """Range (radius) search THROUGH the IVF index: every neighbor
     with cosine >= ``threshold``, scoring only the query's ``n_probe``
@@ -713,10 +715,23 @@ def radius_search_ivf(
     its exact cosine, so results are a subset of :func:`range_search`
     with identical scores. Returns (query_id, neighbor_id, cosine).
     Default build routes to the two-level index past
-    :data:`TWO_LEVEL_CELL_THRESHOLD` cells, like :func:`topk_ivf`."""
+    :data:`TWO_LEVEL_CELL_THRESHOLD` cells, like :func:`topk_ivf`.
+
+    ``coverage`` / ``cell_counts``: same occupancy-aware probing
+    opt-in as :func:`topk_ivf` (per-query variable probe lists cut at
+    a target cumulative inverted-file occupancy; flat path only —
+    completes the fixed/occupancy x topk/radius matrix at the
+    operator level)."""
     if centroids is None:
         n_cells = derived_ivf_cells(corpus.count())
         if n_cells > TWO_LEVEL_CELL_THRESHOLD:
+            if coverage is not None:
+                raise ValueError(
+                    "coverage (occupancy-aware probing) is a flat-path "
+                    "option; the derived build routes two-level past "
+                    f"{TWO_LEVEL_CELL_THRESHOLD} cells — pass explicit "
+                    "centroids to pin the flat path"
+                )
             coarse, fine, assigned, fine_n = build_two_level_index(
                 corpus, n_cells, id_col=id_col, vec_col=vec_col
             )
@@ -745,11 +760,21 @@ def radius_search_ivf(
         if assigned_corpus is not None
         else ivf_assigned(corpus, centroids, id_col=id_col, vec_col=vec_col)
     )
+    if coverage is not None:
+        if cell_counts is None:
+            cell_counts = [0] * len(centroids)
+            for r in c.groupBy("cid").count().collect():
+                cell_counts[r["cid"]] = int(r["count"])
+        probes = occupancy_probes_expr(
+            vec_col, centroids, cell_counts, coverage=coverage
+        )
+    else:
+        probes = ivf_probes_expr(vec_col, centroids, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm_expr(vec_col).alias("qn"),
-        F.explode(ivf_probes_expr(vec_col, centroids, n_probe)).alias("cid"),
+        F.explode(probes).alias("cid"),
     )
     return (
         c.join(F.broadcast(q), on="cid")

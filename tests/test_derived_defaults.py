@@ -240,3 +240,45 @@ def test_topk_ivf_coverage_option(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="coverage"):
         topk_ivf(_FakeCount(), queries, coverage=0.5)
+
+
+def test_radius_ivf_coverage_option(spark, sf_dir):
+    """radius_search_ivf's occupancy opt-in (the fixed/occupancy x
+    topk/radius matrix completion): subset-of-bruteforce with equal
+    cosines, cell_counts amortization path used, routed default
+    refuses the flat-only option."""
+    import pytest as _pytest
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        TWO_LEVEL_CELL_THRESHOLD,
+        ivf_assigned,
+        radius_search_ivf,
+        range_search,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = ivf_centroids(emb, n_centroids=8)
+    assigned = ivf_assigned(emb, cents)
+    counts = [0] * len(cents)
+    for r in assigned.groupBy("cid").count().collect():
+        counts[r["cid"]] = int(r["count"])
+    got = radius_search_ivf(
+        emb, queries, threshold=0.2, centroids=cents,
+        assigned_corpus=assigned, coverage=0.5, cell_counts=counts,
+    ).collect()
+    assert got
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in range_search(emb, queries, 0.2).collect()
+    }
+    for r in got:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+    class _FakeCount:
+        def count(self):
+            return (TWO_LEVEL_CELL_THRESHOLD + 1) ** 2
+
+    with _pytest.raises(ValueError, match="coverage"):
+        radius_search_ivf(_FakeCount(), queries, 0.2, coverage=0.5)
