@@ -106,6 +106,18 @@ from incubyte_vaccination_data_pipeline_spark.catalog import round12_staged  # n
 
 round12_staged.register_r12()
 
+# round 13: the three queries staged across round 12 — top-k through
+# the shared flat IVF index under the occupancy-coverage probe cut,
+# the fixed-round k-core peel over the shared co-purchase graph, and
+# exact-budget stratified sampling (the counted complement to the
+# rate-based sampler). One call lands all 3; the growth sim at 218
+# keeps the re-verification gap at ceil(218/50) = 5, and the EDF
+# rotation seats the 17 at-bound round-8-cohort queries AHEAD of the
+# newcomers.
+from incubyte_vaccination_data_pipeline_spark.catalog import round13_staged  # noqa: E402
+
+round13_staged.register_r13()
+
 FLAGSHIP_COUNTRY = vax.FLAGSHIP_COUNTRY
 
 # The driver verifies the first N registered queries per round (observed

@@ -150,8 +150,13 @@ def graph_kcore_peel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcore_oracle() -> str:
     # the CTE chain hand-writes exactly TWO peel rounds (d0/keep0/e1,
     # d1/keep1/e2); bumping KCORE_ROUNDS without rewriting it would
-    # silently desynchronize query and oracle
-    assert KCORE_ROUNDS == 2, "_kcore_oracle hardcodes two peel rounds"
+    # silently desynchronize query and oracle — a real exception, not
+    # assert, so `python -O` cannot strip the guard
+    if KCORE_ROUNDS != 2:
+        raise RuntimeError(
+            "_kcore_oracle hardcodes two peel rounds; rewrite the CTE "
+            f"chain before setting KCORE_ROUNDS={KCORE_ROUNDS}"
+        )
     from incubyte_vaccination_data_pipeline_spark.catalog.graph import (
         PAIRS_LOHI_CTE,
     )

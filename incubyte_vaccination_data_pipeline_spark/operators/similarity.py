@@ -479,6 +479,7 @@ def occupancy_probes_expr(
     cell_counts: list[int],
     coverage: float = 0.25,
     min_probe: int = 1,
+    corpus_n: int | None = None,
 ) -> Column:
     """OCCUPANCY-AWARE probe list: the query's distance-ranked cells,
     cut at the SHORTEST prefix whose cumulative inverted-file
@@ -505,12 +506,21 @@ def occupancy_probes_expr(
     literal array, fold once to find the cut position, slice. The
     counts come from the inverted file — C integers, a bounded
     collect the index build already affords.
+
+    ``cell_counts`` must come from a single-assignment (m=1) inverted
+    file for ``coverage`` to keep its fraction-of-corpus meaning: a
+    multi-assigned (m>1) file's counts sum to ~m x corpus size, which
+    silently inflates the coverage target by the same factor. When the
+    counts ARE multi-assigned (the dedup-side m=2 file), pass the true
+    ``corpus_n`` explicitly — the target becomes
+    ``ceil(coverage * corpus_n)`` and the counts only pace the cut.
     """
     import math
 
     ranked = _ranked_cells_expr(vec_col, centroids)
     cnts = F.array(*[F.lit(int(c)) for c in cell_counts])
-    target = F.lit(int(math.ceil(coverage * max(1, sum(cell_counts)))))
+    denom = corpus_n if corpus_n is not None else sum(cell_counts)
+    target = F.lit(int(math.ceil(coverage * max(1, denom))))
     with_cnt = F.transform(
         ranked,
         lambda s: F.element_at(cnts, s["cid"] + 1),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -64,9 +65,10 @@ def main() -> None:
         "wall_sec": round(time.time() - wall0, 1),
         "load_start": load0,
         "load_end": [round(v, 2) for v in os.getloadavg()],
-        "tree": os.popen(
-            f"git -C {_TREE} rev-parse --short HEAD"
-        ).read().strip(),
+        "tree": subprocess.run(
+            ["git", "-C", str(_TREE), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip(),
         "queries": meds,
         "queries_cold": colds,
     }

@@ -1,35 +1,24 @@
-"""Round-13 staged queries: driver-style DuckDB side-by-sides BEFORE
-registration (window protection keeps them staged this round — see
-catalog/round13_staged.py) plus the semantic pins the oracle alone
-cannot express."""
+"""Round-12-staged queries (registered in round 13 via register_r13):
+registration pin plus the semantic pins the oracle alone cannot
+express. Their DuckDB side-by-sides live in tests/test_oracle.py now
+that they're registered."""
 
 from __future__ import annotations
 
-import duckdb
 import hashlib
-import pytest
 
 from incubyte_vaccination_data_pipeline_spark import catalog
 from incubyte_vaccination_data_pipeline_spark.catalog import round13_staged as r13
-from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import TESTDATA_TABLES
-from tests.test_oracle import _normalize, _values_equal
 
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    yield con
-    con.close()
-
-
-def test_staged_r13_not_yet_registered():
-    """Registering mid-round would re-sort the driver window under the
-    slots round 12 promised; register_r13() lands these at the
-    round-13 kickoff."""
-    assert not (set(r13.STAGED) & set(catalog.QUERIES))
-    assert not (set(r13.STAGED) & set(catalog.ORACLES))
+def test_staged_r13_registered_round13():
+    """Round 13: register_r13() landed the staged trio in the live
+    registry (catalog/__init__.py), so the 3 queries now take driver
+    CORRECTNESS rows and their DuckDB side-by-sides run in the live
+    oracle sweep (tests/test_oracle.py) instead of a staged copy
+    here."""
+    assert set(r13.STAGED) <= set(catalog.QUERIES)
+    assert set(r13.STAGED) <= set(catalog.ORACLES)
 
 
 def test_ivf_oracle_occupancy_param_byte_identity():
@@ -55,23 +44,6 @@ def test_ivf_oracle_occupancy_param_byte_identity():
     }
     for key, text in got.items():
         assert hashlib.sha256(text.encode()).hexdigest() == want[key], key
-
-
-@pytest.mark.parametrize("name", sorted(r13.STAGED))
-def test_staged_r13_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, oracle = r13.STAGED[name]
-    spark_df = fn(spark, sf_dir).toPandas()
-    duck_df = duck.execute(oracle).df()
-    assert len(spark_df) == len(duck_df)
-    spark_df.columns = [c.lower() for c in spark_df.columns]
-    duck_df.columns = [c.lower() for c in duck_df.columns]
-    s, d = _normalize(spark_df), _normalize(duck_df)
-    assert sorted(s.columns) == sorted(d.columns)
-    for col in s.columns:
-        for av, bv in zip(s[col], d[col]):
-            if av is None and bv is None:
-                continue
-            assert _values_equal(av, bv), (name, col, av, bv)
 
 
 def test_occupancy_differs_from_fixed_probe_where_cells_skew(spark, sf_dir):
