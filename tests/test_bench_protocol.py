@@ -74,3 +74,21 @@ def test_comparability_stamp():
 
     # None loadavg (platform without getloadavg) only adjudicates spread
     assert bench.comparability(None, 0.04, cpus=32)["comparable"] is True
+
+
+def test_compact_pointer_tracks_promotion():
+    """The compact payload names the file that actually holds this
+    run's full timing set: a promoted (comparable, canonical-SF) run
+    replaces BENCH_local.json; any other run lands in
+    BENCH_last_run.json — the committed idle-box record survives a
+    loaded driver invocation or a small-SF smoke (r12 verdict #3)."""
+    timings = {"q": 1.0}
+    payload = {"queries": timings, "sf": 0.1}
+    assert (
+        bench.compact_payload(payload, timings, promoted=True)["queries_full"]
+        == "BENCH_local.json"
+    )
+    assert (
+        bench.compact_payload(payload, timings, promoted=False)["queries_full"]
+        == "BENCH_last_run.json"
+    )
