@@ -925,6 +925,69 @@ def _hashed_word_kgrams(
     )
 
 
+def substring_gram_frames(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build-once gram-frame triple behind the substring-dedup pair:
+    ``(pos, per_doc_gram, gram_docs)``. :func:`substring_dup_stats`
+    and :func:`substring_dup_coverage` each re-ran the k-gram explode
+    + md5 AND re-shuffled the exploded frame on the gram key per
+    materialization; sharing the triple pays both exactly once per
+    corpus (the caller persists each frame — this module stays
+    stateless, like the rest of the operator layer).
+
+    The ONE gram-key exchange is the ``fanout_repartition`` by
+    ``(v1, v2)`` right after the explode: hash partitioning on
+    (v1, v2) is a subset of every downstream grouping/join key, so
+    ``per_doc_gram`` (groupBy v1,v2,doc), ``gram_docs`` (groupBy
+    v1,v2) and the nd-attach joins all reuse the layout with no
+    further exchange — at any corpus size the gram shuffle is paid
+    once instead of three times. The per-gram distinct-doc count
+    ``nd`` is JOINED ON at build (layout-reusing, paid once), so a
+    consuming query's per-run work is a single aggregation over its
+    cached frame — ``min_docs`` stays a query-time predicate because
+    nd travels as a column.
+
+    * pos (doc, pos, v1, v2, nd): every k-gram occurrence with its
+      word position and its gram's distinct-doc count — the coverage
+      side's interval-union input.
+    * per_doc_gram (v1, v2, doc, occ, nd): occurrence count per
+      (gram, doc) — unique on its key, so nd is a plain count of its
+      rows per gram.
+    * gram_docs (v1, v2, nd): distinct-doc count per gram.
+
+    The caller should persist ``pos`` BEFORE materializing the other
+    two so the explode is computed once (the catalog's shared cache
+    does; see ``catalog/round11_staged._substr_frames``).
+    """
+    pos_raw = fanout_repartition(
+        _hashed_word_kgrams(df, text_col, id_col, k, with_positions=True),
+        "v1",
+        "v2",
+    )
+    gram_docs = (
+        pos_raw.groupBy("v1", "v2", "doc")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    # pos_raw appears twice in pos's plan (join left + under gram_docs)
+    # behind the SAME canonical exchange, so materializing pos runs the
+    # explode + gram shuffle once (ReusedExchange); per_doc_gram then
+    # derives from pos — off the persisted frame when the caller
+    # persists pos first — and nd rides the groupBy (constant per gram)
+    pos = pos_raw.join(gram_docs, ["v1", "v2"])
+    per_doc_gram = (
+        pos.groupBy("v1", "v2", "doc", "nd")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .select("v1", "v2", "doc", "occ", "nd")
+    )
+    return pos, per_doc_gram, gram_docs
+
+
 def substring_dup_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -932,6 +995,7 @@ def substring_dup_stats(
     k: int = 8,
     min_docs: int = 2,
     flag_frac: float = 0.2,
+    frames: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document duplicated-substring statistics — the exact
     cross-document substring-dedup signal (the long-k-gram analysis
@@ -958,18 +1022,34 @@ def substring_dup_stats(
     Returns (doc_id, n_shingles, dup_shingles, dup_frac, dup_heavy);
     documents with fewer than ``k`` words carry no k-gram and are
     absent, matching the empty ``range()`` in the SQL restatement.
+
+    ``frames``: a prebuilt :func:`substring_gram_frames` triple —
+    its per_doc_gram counts position ROWS per (gram, doc), which are
+    exactly the occurrence counts the unshared path builds, and
+    carries nd pre-joined, so the per-run work collapses to the final
+    per-doc aggregation over one cached frame; values are identical,
+    only the plan changes.
     """
-    hashed = _hashed_word_kgrams(df, text_col, id_col, k, with_positions=False)
-    per_doc_gram = hashed.groupBy("v1", "v2", "doc").agg(
-        F.count(F.lit(1)).alias("occ")
-    )
-    # per_doc_gram is already unique on (v1, v2, doc), so the distinct-doc
-    # count per gram is a plain count — map-side combinable.
-    gram_docs = per_doc_gram.groupBy("v1", "v2").agg(
-        F.count(F.lit(1)).alias("nd")
-    )
+    if frames is not None:
+        # nd is pre-joined in the shared frame: the per-run work is
+        # this one aggregation over a cached frame
+        _, joined, _ = frames
+    else:
+        hashed = _hashed_word_kgrams(
+            df, text_col, id_col, k, with_positions=False
+        )
+        per_doc_gram = hashed.groupBy("v1", "v2", "doc").agg(
+            F.count(F.lit(1)).alias("occ")
+        )
+        # per_doc_gram is already unique on (v1, v2, doc), so the
+        # distinct-doc count per gram is a plain count — map-side
+        # combinable.
+        gram_docs = per_doc_gram.groupBy("v1", "v2").agg(
+            F.count(F.lit(1)).alias("nd")
+        )
+        joined = per_doc_gram.join(gram_docs, ["v1", "v2"])
     stats = (
-        per_doc_gram.join(gram_docs, ["v1", "v2"])
+        joined
         .groupBy("doc")
         .agg(
             F.sum("occ").alias("n_shingles"),
@@ -994,6 +1074,7 @@ def substring_dup_coverage(
     id_col: str = "doc_id",
     k: int = 8,
     min_docs: int = 2,
+    frames: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Removal-plan accounting for exact substring dedup: how many
     WORDS of each document sit inside at least one cross-document
@@ -1014,14 +1095,27 @@ def substring_dup_coverage(
     covered_words, removal_frac) for every doc with >= k words;
     covered_words = 0 rows are kept — the plan needs the "nothing to
     delete" docs too.
+
+    ``frames``: a prebuilt :func:`substring_gram_frames` triple — its
+    pos frame carries nd pre-joined (a plain count of unique
+    (gram, doc) rows, which equals the countDistinct over position
+    rows the unshared path computes), so the per-run work is the
+    duplicated-position filter + interval union over one cached frame.
     """
-    hashed = _hashed_word_kgrams(df, text_col, id_col, k, with_positions=True)
-    gram_docs = hashed.groupBy("v1", "v2").agg(
-        F.countDistinct("doc").alias("nd")
-    )
+    if frames is not None:
+        dup_pos = frames[0].filter(F.col("nd") >= min_docs)
+    else:
+        hashed = _hashed_word_kgrams(
+            df, text_col, id_col, k, with_positions=True
+        )
+        gram_docs = hashed.groupBy("v1", "v2").agg(
+            F.countDistinct("doc").alias("nd")
+        )
+        dup_pos = hashed.join(gram_docs, ["v1", "v2"]).filter(
+            F.col("nd") >= min_docs
+        )
     covered = (
-        hashed.join(gram_docs, ["v1", "v2"])
-        .filter(F.col("nd") >= min_docs)
+        dup_pos
         .select(
             "doc", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("w")
         )

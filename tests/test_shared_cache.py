@@ -245,3 +245,58 @@ def test_near_dup_ivf_rejects_centroids_plus_cells(spark, sf_dir):
     cells = emb.selectExpr("vec_id", "embedding", "0 AS cell")
     with pytest.raises(ValueError, match="mutually exclusive"):
         cosine_near_dup_pairs_ivf(emb, centroids=[[0.0] * 4], cells=cells)
+
+
+def test_substring_shared_frames_match_unshared_operators(spark, sf_dir):
+    """The persisted gram-frame triple (round 13,
+    catalog/round11_staged._substr_frames) must be value-invisible:
+    both registered substring queries — which consume the shared
+    frames — return EXACTLY the unshared operator paths' rows. Also
+    pins the frames' nd law: per_doc_gram-row count per gram ==
+    countDistinct(doc) over position rows."""
+    from incubyte_vaccination_data_pipeline_spark.catalog import (
+        round11_staged as r11,
+    )
+    from incubyte_vaccination_data_pipeline_spark.operators.dedup import (
+        substring_dup_coverage,
+        substring_dup_stats,
+    )
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    shared = {
+        tuple(r)
+        for r in r11.text_substring_dedup_q(spark, sf_dir).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in substring_dup_stats(
+            docs,
+            k=r11.SUBSTR_K,
+            min_docs=r11.SUBSTR_MIN_DOCS,
+            flag_frac=r11.SUBSTR_FLAG_FRAC,
+        ).collect()
+    }
+    assert shared == plain and shared
+
+    shared_cov = {
+        tuple(r)
+        for r in r11.text_substring_removal_plan_q(spark, sf_dir).collect()
+    }
+    plain_cov = {
+        tuple(r)
+        for r in substring_dup_coverage(
+            docs, k=r11.SUBSTR_K, min_docs=r11.SUBSTR_MIN_DOCS
+        ).collect()
+    }
+    assert shared_cov == plain_cov and shared_cov
+
+    # the cache is registered: sweeping the corpus drops the entry
+    key_hits = [
+        k for k in r11._SUBSTR_FRAMES_CACHE if sf_dir in k
+    ]
+    assert key_hits
+    sc.release_shared_state(sf_dir)
+    assert not [k for k in r11._SUBSTR_FRAMES_CACHE if sf_dir in k]
