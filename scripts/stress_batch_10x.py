@@ -525,6 +525,95 @@ def run_ann_occupancy(spark, sf_dir: str, n_centroids: int, label: str) -> None:
     assigned.unpersist()
 
 
+def run_ann_drift(
+    spark, train_dir: str, probe_dir: str, label: str
+) -> None:
+    """STALE-QUANTIZER drift scenario (r12 verdict item 5): centroids
+    Lloyd-trained on yesterday's corpus (the 1x clustered draw), the
+    search serving today's — 10x bigger AND with the Zipf weights
+    rotated across the same cluster centers, so the dense clusters the
+    quantizer equalized went sparse and vice versa. Geometry static,
+    occupancy drifted: the r12 finding (a data-adapted quantizer
+    already equalizes occupancy, occupancy probing not worth a default
+    switch) was measured with the quantizer trained ON the probed
+    corpus; this measures the option's actual use case, where
+    refreshing the C cell counts is a metadata scan but re-running
+    Lloyd is a full re-index.
+
+    Protocol: fixed-4 recall@5 vs occupancy recall@5 at coverage
+    matched to fixed-4's measured scanned fraction — same stale
+    centroids, same average candidate work, counts from the CURRENT
+    inverted file."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        derived_ivf_cells,
+        ivf_assigned,
+        ivf_centroids,
+        ivf_probes_expr,
+        topk_bruteforce,
+        topk_ivf,
+    )
+
+    train = spark.read.parquet(os.path.join(train_dir, "embeddings.parquet"))
+    probe = spark.read.parquet(os.path.join(probe_dir, "embeddings.parquet"))
+    # the quantizer was sized and trained when the corpus was the 1x
+    # draw — both stay frozen while the corpus drifts
+    n_cells = derived_ivf_cells(train.count())
+    cents = ivf_centroids(train, n_centroids=n_cells)
+
+    assigned = ivf_assigned(probe, cents).persist()
+    n_corpus = assigned.count()
+    counts = {
+        r["cid"]: r["count"] for r in assigned.groupBy("cid").count().collect()
+    }
+    cell_counts = [int(counts.get(i, 0)) for i in range(len(cents))]
+    sample = probe.filter(F.col("vec_id") % 200 == 3)
+    n_sample = sample.count()
+
+    # the corpus fraction fixed-4 scans under the DRIFTED occupancy
+    cnt_arr = F.array(*[F.lit(c) for c in cell_counts])
+    f4 = (
+        sample.select(
+            F.explode(ivf_probes_expr("embedding", cents, 4)).alias("cid")
+        )
+        .select(F.element_at(cnt_arr, F.col("cid") + 1).alias("c"))
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    ) / (n_sample * n_corpus)
+
+    exact = (
+        topk_bruteforce(probe, sample, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_exact = exact.count()
+
+    def recall(approx) -> str:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).count()
+        return f"{hits / max(n_exact, 1):.3f} ({hits}/{n_exact})"
+
+    fixed = topk_ivf(
+        probe, sample, k=5, centroids=cents, assigned_corpus=assigned,
+        n_probe=4,
+    )
+    occ = topk_ivf(
+        probe, sample, k=5, centroids=cents, assigned_corpus=assigned,
+        coverage=f4, cell_counts=cell_counts,
+    )
+    print(
+        f"  [{label}] cells={n_cells} corpus={n_corpus} "
+        f"queries={n_sample} matched_coverage={f4:.4f}\n"
+        f"    fixed-4    recall@5={recall(fixed)}\n"
+        f"    occupancy  recall@5={recall(occ)}"
+    )
+    exact.unpersist()
+    assigned.unpersist()
+
+
 def run_staged12(spark, sf_dir: str, label: str, target_cell: int = 256) -> None:
     """Round-12 staged queries at Nx: the curation funnel (its stages
     are the already-measured dedup machinery plus two hash equi-joins
@@ -599,7 +688,9 @@ def run_staged12(spark, sf_dir: str, label: str, target_cell: int = 256) -> None
     release_shared_state(sf_dir)
 
 
-def build_clustered_corpus(spark, factor: int, n_clusters: int = 40) -> str:
+def build_clustered_corpus(
+    spark, factor: int, n_clusters: int = 40, weight_shift: int = 0
+) -> str:
     """A deliberately CLUSTERED Nx embedding corpus — the honest
     worst case the near-uniform stress corpus cannot exercise
     (SCALE.md's recall-certificate caveat): ``n_clusters`` md5-seeded
@@ -607,7 +698,13 @@ def build_clustered_corpus(spark, factor: int, n_clusters: int = 40) -> str:
     few dense clusters own most of the corpus, a long tail is barely
     covered) and tight Gaussian spread (sigma 0.15), so IVF cells
     both split dense clusters and starve tail ones. Deterministic
-    (fixed numpy seed), same schema as the testdata embeddings."""
+    (fixed numpy seed), same schema as the testdata embeddings.
+
+    ``weight_shift`` rotates the Zipf weights across the (identical)
+    cluster centers: cluster ``c`` gets weight rank ``(c + shift) %
+    n_clusters``. Shift 0 is the original draw; a non-zero shift is
+    the DRIFTED twin — same geometry, dense clusters went sparse and
+    vice versa — for the stale-quantizer scenario."""
     import numpy as np
 
     n_total = 2000 * factor
@@ -615,9 +712,9 @@ def build_clustered_corpus(spark, factor: int, n_clusters: int = 40) -> str:
     dims = 64
     centers = rng.standard_normal((n_clusters, dims))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    weights = 1.0 / np.arange(1, n_clusters + 1)
+    weights = 1.0 / (1.0 + (np.arange(n_clusters) + weight_shift) % n_clusters)
     sizes = np.floor(weights / weights.sum() * n_total).astype(int)
-    sizes[0] += n_total - sizes.sum()
+    sizes[np.argmax(weights)] += n_total - sizes.sum()
     rows = []
     vid = 0
     for c in range(n_clusters):
@@ -658,9 +755,10 @@ def main() -> None:
         "--sections",
         default="dedup,simhash,ann,staged,staged12",
         help="comma-separated subset of {dedup,simhash,ann,staged,staged12,"
-        "clustered} to run (e.g. --sections ann re-measures the recall "
-        "certificate without re-paying the ~10-min dedup table; "
-        "clustered runs the worst-case Zipf-clustered recall row)",
+        "clustered,drift} to run (e.g. --sections ann re-measures the "
+        "recall certificate without re-paying the ~10-min dedup table; "
+        "clustered runs the worst-case Zipf-clustered recall row; drift "
+        "runs the stale-quantizer fixed-vs-occupancy comparison)",
     )
     args = ap.parse_args()
     sections = {x for x in args.sections.split(",") if x}
@@ -683,7 +781,10 @@ def main() -> None:
     from incubyte_vaccination_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="ivdp-stress-batch")
-    scratch = build_scratch(spark, args.factor)
+    # clustered/drift build their own corpora — don't pay the base
+    # scratch for a run that never reads it
+    need_scratch = bool(sections - {"clustered", "drift"})
+    scratch = build_scratch(spark, args.factor) if need_scratch else None
     try:
         if "dedup" in sections:
             # untimed session warmup: the first pass pays JVM/codegen/
@@ -802,6 +903,29 @@ def main() -> None:
                 else:
                     shutil.rmtree(cl_root, ignore_errors=True)
 
+        if "drift" in sections:
+            train_root = build_clustered_corpus(spark, 1)
+            probe_root = build_clustered_corpus(
+                spark, args.factor, weight_shift=13
+            )
+            try:
+                print(
+                    "== ANN recall, STALE quantizer (trained 1x, probing "
+                    f"{args.factor}x weight-rotated) =="
+                )
+                run_ann_drift(
+                    spark,
+                    train_root,
+                    probe_root,
+                    f"stale cents, {args.factor}x drifted corpus",
+                )
+            finally:
+                for root in (train_root, probe_root):
+                    if args.keep:
+                        print(f"drift scratch kept at {root}")
+                    else:
+                        shutil.rmtree(root, ignore_errors=True)
+
         if "ann" not in sections:
             return
 
@@ -833,7 +957,9 @@ def main() -> None:
             n_probe=None,
         )
     finally:
-        if args.keep:
+        if scratch is None:
+            pass
+        elif args.keep:
             print(f"scratch kept at {scratch}")
         else:
             shutil.rmtree(scratch, ignore_errors=True)
