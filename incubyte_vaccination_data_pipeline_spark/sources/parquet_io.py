@@ -157,12 +157,14 @@ def read_warehouse_jdbc(
 
 
 def _remove_spark_table_dir(path: str) -> None:
-    """Delete ``path`` only if it is absent, empty, or recognizably a
+    """Delete ``path`` only if it is absent, empty, recognizably a
     prior Spark table directory (``_SUCCESS`` marker or ``part-*``
-    data files at the top level). A mistyped location must raise, not
-    silently erase an unrelated directory (overwrite is also kept
-    two-step — drop then write — so the check is the only thing
-    standing between a typo and data loss)."""
+    data files at the top level), or the debris of Spark's own
+    ABORTED write (only ``_temporary``/``.crc`` machinery — a killed
+    job's staging dir). A mistyped location must raise, not silently
+    erase an unrelated directory (overwrite is also kept two-step —
+    drop then write — so the check is the only thing standing between
+    a typo and data loss)."""
     import os
     import shutil
 
@@ -175,11 +177,23 @@ def _remove_spark_table_dir(path: str) -> None:
         e == "_SUCCESS" or e.startswith("part-") or e.startswith("_committed")
         for e in entries
     )
-    if not looks_like_table:
+    # a killed/crashed write leaves ONLY Spark's own machinery behind
+    # (a _temporary staging dir, .crc sidecars) — no completed-write
+    # marker, but unambiguously Spark's aborted output, so reclaim it
+    # instead of refusing forever (r12 verdict item 7: a partial
+    # pytest kill left spark-warehouse/<table>/_temporary and the
+    # guard blocked every later run)
+    aborted_debris = entries and all(
+        e == "_temporary" or (e.startswith(".") and e.endswith(".crc"))
+        for e in entries
+    )
+    if not (looks_like_table or aborted_debris):
         raise ValueError(
             f"refusing to delete {path!r}: does not look like a Spark "
-            f"table directory (no _SUCCESS/part-* files); remove it "
-            f"manually if overwrite is really intended"
+            f"table directory (no _SUCCESS/part-* files, and entries "
+            f"beyond Spark's own _temporary/.crc write machinery); "
+            f"remove it manually if overwrite is really intended "
+            f"(rm -r {path!r})"
         )
     shutil.rmtree(path, ignore_errors=True)
 

@@ -197,6 +197,42 @@ def test_remove_spark_table_dir_guards_unrelated_dirs(tmp_path):
         _remove_spark_table_dir(str(f))
 
 
+def test_remove_spark_table_dir_reclaims_aborted_write_debris(tmp_path):
+    """A killed write leaves ONLY Spark's own machinery (_temporary
+    staging, .crc sidecars) — no completed-write marker. That is
+    unambiguously Spark's aborted output, so the next overwrite must
+    reclaim it instead of refusing forever (r12 verdict item 7: a
+    killed pytest run left spark-warehouse/<table>/_temporary and
+    blocked 5 later tests). Machinery MIXED with foreign files still
+    refuses."""
+    import pytest
+
+    from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import (
+        _remove_spark_table_dir,
+    )
+
+    # _temporary-only (the killed-run shape): reclaim
+    aborted = tmp_path / "aborted"
+    (aborted / "_temporary" / "0").mkdir(parents=True)
+    _remove_spark_table_dir(str(aborted))
+    assert not aborted.exists()
+    # _temporary + crc sidecar: reclaim
+    crcs = tmp_path / "crcs"
+    crcs.mkdir()
+    (crcs / "_temporary").mkdir()
+    (crcs / "._SUCCESS.crc").touch()
+    _remove_spark_table_dir(str(crcs))
+    assert not crcs.exists()
+    # _temporary next to a foreign file: refuse, keep everything
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    (mixed / "_temporary").mkdir()
+    (mixed / "notes.txt").write_text("important")
+    with pytest.raises(ValueError, match="refusing to delete"):
+        _remove_spark_table_dir(str(mixed))
+    assert (mixed / "notes.txt").exists()
+
+
 def test_ragged_csv_rows_null_fill_and_deadletter(spark, tmp_path):
     """Malformed CSV rows (fewer/more cells than the header) must not
     fail the scan: the all-string reader null-fills short rows and
