@@ -688,6 +688,54 @@ def run_staged12(spark, sf_dir: str, label: str, target_cell: int = 256) -> None
     release_shared_state(sf_dir)
 
 
+def run_staged14(spark, sf_dir: str, label: str, factor: int = 1) -> None:
+    """Round-14 staged queries at Nx: KMV source overlap (one distinct
+    over (source, gram-hash) + constant-size signatures — honest
+    expectation ~linear in tokens, flat in pair count), the embedding
+    QC report (single map-side-combinable pass), and the bootstrap CI
+    (constant x32 fan-out with map-side combine; orders replicated
+    inline since the scratch corpus only ships documents/embeddings)."""
+    from pyspark.sql import functions as F
+
+    from incubyte_vaccination_data_pipeline_spark.catalog.round14_staged import (
+        agg_bootstrap_ci_q,
+        corpus_source_overlap_q,
+        embedding_vector_qc_q,
+    )
+
+    if factor > 1 and not os.path.exists(os.path.join(sf_dir, "orders.parquet")):
+        orders = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+        parts = [
+            orders
+            if i == 0
+            else orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + i * 100_000_000
+            )
+            for i in range(factor)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(max(8, factor)).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        )
+
+    for name, fn in (
+        ("corpus_source_overlap", corpus_source_overlap_q),
+        ("embedding_vector_qc", embedding_vector_qc_q),
+        ("agg_bootstrap_ci", agg_bootstrap_ci_q),
+    ):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        print(
+            f"  [{label}] {name:24s} cold={runs[0]:6.2f}s "
+            f"warm={min(runs[1:]):6.2f}s"
+        )
+
+
 def build_clustered_corpus(
     spark, factor: int, n_clusters: int = 40, weight_shift: int = 0
 ) -> str:
@@ -755,7 +803,7 @@ def main() -> None:
         "--sections",
         default="dedup,simhash,ann,staged,staged12",
         help="comma-separated subset of {dedup,simhash,ann,staged,staged12,"
-        "clustered,drift} to run (e.g. --sections ann re-measures the "
+        "staged14,clustered,drift} to run (e.g. --sections ann re-measures the "
         "recall certificate without re-paying the ~10-min dedup table; "
         "clustered runs the worst-case Zipf-clustered recall row; drift "
         "runs the stale-quantizer fixed-vs-occupancy comparison)",
@@ -862,6 +910,12 @@ def main() -> None:
             run_staged12(spark, BASE_SF, "1x warmup (discard)")
             run_staged12(spark, BASE_SF, "1x")
             run_staged12(spark, scratch, f"{args.factor}x")
+
+        if "staged14" in sections:
+            print("== round-14 staged (KMV overlap / vector QC / bootstrap) ==")
+            run_staged14(spark, BASE_SF, "1x warmup (discard)")
+            run_staged14(spark, BASE_SF, "1x")
+            run_staged14(spark, scratch, f"{args.factor}x", factor=args.factor)
 
         if "clustered" in sections:
             from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
