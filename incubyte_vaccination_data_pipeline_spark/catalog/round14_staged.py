@@ -332,9 +332,16 @@ def agg_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile runs over 32 rows per group."""
     orders = read_table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,2)")
-    fan = orders.select(
+    # the x32 explode + per-row md5 multiplies the input's parallelism
+    # deficit: a single-file parquet scan arrives as 1 split and would
+    # run the whole fan-out on one core (measured 21s -> ~1s at sf0.1)
+    # — the module-standard pre-explode fanout spreads it
+    fan = fanout_repartition(
+        orders.select("o_orderpriority", dec.alias("p"), "o_orderkey"),
+        "o_orderkey",
+    ).select(
         "o_orderpriority",
-        dec.alias("p"),
+        "p",
         "o_orderkey",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("r"),
     )
