@@ -90,7 +90,7 @@ def _substr_frames(spark: SparkSession, sf_dir: str):
     (r12 verdict item 4). The shared triple pays the explode and the
     gram exchange once per corpus; both queries keep only their final
     per-doc aggregation as per-run work. Values are pinned identical
-    to the unshared operator paths (test_round11_staged)."""
+    to the unshared operator paths (tests/test_shared_cache.py)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SUBSTR_FRAMES_CACHE:
         frames = substring_gram_frames(

@@ -208,6 +208,24 @@ def test_occupancy_probes_laws(spark):
     # exact-boundary: cum reaching target stops growth (>= before add)
     assert probes([25, 25, 25, 25], 0.5) == [0, 1]
 
+    # corpus_n keeps coverage's fraction-of-corpus meaning under
+    # multi-assigned counts (r12 advice): m=2 counts sum to 2x the
+    # corpus, silently doubling the implicit target — an explicit
+    # corpus_n pins the denominator
+    from incubyte_vaccination_data_pipeline_spark.operators.similarity import (
+        occupancy_probes_expr as ope,
+    )
+
+    m2_counts = [50, 50, 50, 50]  # 100-vector corpus, assign_m=2
+    implicit = df.select(
+        ope("v", cents, m2_counts, coverage=0.5).alias("p")
+    ).collect()[0]["p"]
+    pinned = df.select(
+        ope("v", cents, m2_counts, coverage=0.5, corpus_n=100).alias("p")
+    ).collect()[0]["p"]
+    assert implicit == [0, 1]  # target ceil(0.5*200)=100 -> 2 cells
+    assert pinned == [0]  # target ceil(0.5*100)=50 -> 1 cell
+
 
 def test_topk_ivf_coverage_option(spark, sf_dir):
     """The coverage opt-in returns the same schema, every returned
