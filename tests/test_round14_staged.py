@@ -269,3 +269,75 @@ def test_bootstrap_subsample_sizes(spark, sf_dir):
     assert len(set(sizes.values())) > 1  # replicates differ
     # ceil-law sanity on the expectation
     assert abs(sum(sizes.values()) / (n * r14.BOOT_REPS) - 0.8) < 0.02
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_kmv_estimator_random_corpora_vs_reference(spark, seed):
+    """Randomized cross-check of the FULL estimator path (union > K is
+    exercised by construction): seeded random word soups with planted
+    shared phrases, a pure-Python KMV replay (hashlib md5, sorted-hex
+    signatures, merge-and-cut) computed independently of any Spark
+    code path, exact equality on (k_used, k_inter, estimate) for
+    every pair."""
+    import random
+    import tempfile
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(120)]
+    shared = " ".join(rng.choice(vocab) for _ in range(60))
+    texts = {}
+    for s in range(4):
+        docs = []
+        for _ in range(12):
+            body = " ".join(rng.choice(vocab) for _ in range(80))
+            # plant the shared passage into some docs of sources 0/1
+            if s < 2 and rng.random() < 0.5:
+                body = body + " " + shared
+            docs.append(body)
+        texts[f"s{s}"] = docs
+
+    rows = []
+    i = 0
+    for src in sorted(texts):
+        for t in texts[src]:
+            rows.append((i, t, "xx", src, len(t)))
+            i += 1
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            (r["source_a"], r["source_b"]): (
+                r["k_used"], r["k_inter"], r["kmv_jaccard"]
+            )
+            for r in r14.corpus_source_overlap_q(spark, tmp).collect()
+        }
+
+    def sig(src):
+        grams = set()
+        for t in texts[src]:
+            w = t.lower().split(" ")
+            for j in range(len(w) - r14.OVERLAP_SHINGLE_K + 1):
+                grams.add(
+                    hashlib.md5(
+                        " ".join(w[j : j + r14.OVERLAP_SHINGLE_K]).encode()
+                    ).hexdigest()
+                )
+        return set(sorted(grams)[: r14.KMV_K]), len(grams)
+
+    any_union_over_k = False
+    for a in sorted(texts):
+        for b in sorted(texts):
+            if a >= b:
+                continue
+            sa, na = sig(a)
+            sb, nb = sig(b)
+            if na > r14.KMV_K or nb > r14.KMV_K:
+                any_union_over_k = True
+            merged = sorted(sa | sb)[: r14.KMV_K]
+            inter = sum(1 for m in merged if m in sa and m in sb)
+            want = (len(merged), inter, round(inter / len(merged), 6))
+            assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+    assert any_union_over_k, "fuzz corpus too small to exercise the cut"
