@@ -826,52 +826,77 @@ def kcenter_coreset(
     k-center is provably robust to sampling); the scan path is
     unchanged.
 
+    The running min-distance is INCREMENTAL (round 13): each round
+    persists (id, vec, dmin) with ``dmin = least(prev_dmin,
+    dist2(vec, newest_center))`` and unpersists the previous frame —
+    one literal-center distance per row per round, O(N·k·d) total,
+    where the naive re-derivation (least over ALL chosen centers each
+    round) pays O(N·k²·d) and grows a codegen expression with k.
+    ``least`` over exact doubles is associative with no rounding, so
+    the incremental min equals the all-at-once min bit-for-bit — the
+    registered oracle (which unrolls every round in SQL) and the
+    operator's own k-rows stay value-identical.
+
     Fully deterministic: the seed is the smallest id, per-round
     distances fold per-dimension in index order against literal
     center vectors (exact double op sequence, engine-portable), the
     min-over-centers is exact (no rounding), and the argmax
     tie-breaks on the lowest id."""
-    # project + persist once: every greedy round scans this frame (the
-    # TakeOrdered argmax), and without the persist each of the k-1
-    # rounds re-reads the source (parquet scan + decode per round). The
-    # persisted projection is (id, vec) only — the minimal working set.
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).persist()
+    # project + persist once: every greedy round scans the current
+    # frame (the TakeOrdered argmax); without a persist each round
+    # would re-read the source (parquet scan + decode per round). The
+    # working set is (id, vec, running dmin) only.
+    cur = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).persist()
+    prev = cur
     # try/finally: a Spark failure mid-greedy-round (or the empty-input
-    # raise below) must not leave the projection persisted for the rest
+    # raise below) must not leave a projection persisted for the rest
     # of a long-lived session (ADVICE r9)
     try:
-        seed_rows = base.orderBy("__id").limit(1).collect()
+        seed_rows = cur.orderBy("__id").limit(1).collect()
         if not seed_rows:
             raise ValueError("kcenter_coreset: input frame is empty")
         seed = seed_rows[0]
         centers: list[tuple[int, int, float]] = [(0, seed["__id"], 0.0)]
-        center_vecs = [[float(x) for x in seed["__v"]]]
+        seed_vec = [float(x) for x in seed["__v"]]
+        cur, prev = (
+            cur.select(
+                "__id", "__v", F.expr(_dist2_lit("__v", seed_vec)).alias("__d")
+            ).persist(),
+            cur,
+        )
         for r in range(1, k):
-            mind = "least(" + ", ".join(
-                _dist2_lit("__v", c) for c in center_vecs
-            ) + ")" if len(center_vecs) > 1 else _dist2_lit("__v", center_vecs[0])
             chosen_ids = [c[1] for c in centers]
             nxt = (
-                base.filter(~F.col("__id").isin(chosen_ids))
-                .select(
-                    "__id",
-                    "__v",
-                    F.expr(mind).alias("__d"),
-                )
+                cur.filter(~F.col("__id").isin(chosen_ids))
                 .orderBy(F.desc("__d"), F.asc("__id"))
                 .limit(1)
                 .collect()
             )
+            # the TakeOrdered materialized cur's cache; the previous
+            # round's frame is no longer referenced
+            prev.unpersist()
+            prev = cur
             if not nxt:
                 # k exceeds the number of distinct ids: every row is
                 # already a center — return the centers found so far
                 # rather than raising from an empty collect (ADVICE r8)
                 break
-            nxt = nxt[0]
-            centers.append((r, nxt["__id"], float(nxt["__d"])))
-            center_vecs.append([float(x) for x in nxt["__v"]])
+            row = nxt[0]
+            centers.append((r, row["__id"], float(row["__d"])))
+            new_vec = [float(x) for x in row["__v"]]
+            cur = cur.select(
+                "__id",
+                "__v",
+                F.least(
+                    F.col("__d"), F.expr(_dist2_lit("__v", new_vec))
+                ).alias("__d"),
+            ).persist()
     finally:
-        base.unpersist()
+        cur.unpersist()
+        if prev is not cur:
+            prev.unpersist()
     return centers
 
 
