@@ -31,6 +31,11 @@ would re-sort the driver window under the slots round 13 promised —
   arithmetic, CI = the 2.5/97.5 interpolated percentiles of the
   replicate means. The replicate fan-out is a constant x32 explode
   with map-side combine — no extra shuffle class at any scale.
+
+- ``events_ohlc_bars`` — hourly OHLC bars per event type: the
+  first/last-by-time aggregation every hypertable serves
+  (TimescaleDB first()/last()), one exchange on the bar key serving
+  the ordered window, the partition aggregates, and the rn = 1 cut.
 """
 
 from __future__ import annotations
@@ -435,3 +440,80 @@ def register_r14(names: list[str] | None = None) -> None:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc_bars
+# ---------------------------------------------------------------------------
+
+
+def events_ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the first/last-by-time
+    aggregation every hypertable serves (TimescaleDB ``first()`` /
+    ``last()``, Druid firstAggregator): open = value of the earliest
+    event in the bar, close = the latest (total order via the unique
+    event_id tie-break), high/low = max/min value, volume = row count.
+
+    Plan shape: ONE exchange on the bar key serves everything — the
+    ordered window (first_value/last_value over the full frame), the
+    unordered partition aggregates (max/min/count), and the rn = 1
+    cut all reuse the same hash partitioning and sort. At warehouse
+    scale the same frame computes incrementally per arriving time
+    partition (bars never span partitions); a groupBy max_by/min_by
+    form would skip the sort but Spark/DuckDB disagree on composite
+    argmax tie-breaks, so the window form IS the portable contract."""
+    events = read_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    wp = Window.partitionBy("event_type", "bar")
+    wo = wp.orderBy("ts", "event_id")
+    wfull = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        events.select("event_type", bar.alias("bar"), "ts", "event_id", "value")
+        .withColumn("open", F.first("value").over(wfull))
+        .withColumn("close", F.last("value").over(wfull))
+        .withColumn("high", F.max("value").over(wp))
+        .withColumn("low", F.min("value").over(wp))
+        .withColumn("volume", F.count(F.lit(1)).over(wp))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bar").alias("bar_start"),
+            F.round("open", 6).alias("open"),
+            F.round("high", 6).alias("high"),
+            F.round("low", 6).alias("low"),
+            F.round("close", 6).alias("close"),
+            "volume",
+        )
+    )
+
+
+_OHLC_ORACLE = """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar, ts, event_id, value,
+               FIRST_VALUE(value) OVER w_ord AS open,
+               LAST_VALUE(value) OVER
+                   (PARTITION BY event_type, date_trunc('hour', ts)
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS close,
+               MAX(value) OVER w_part AS high,
+               MIN(value) OVER w_part AS low,
+               COUNT(*) OVER w_part AS volume,
+               ROW_NUMBER() OVER w_ord AS rn
+        FROM events
+        WINDOW
+            w_part AS (PARTITION BY event_type, date_trunc('hour', ts)),
+            w_ord AS (PARTITION BY event_type, date_trunc('hour', ts)
+                      ORDER BY ts, event_id)
+    )
+    SELECT event_type, bar AS bar_start,
+           ROUND(open, 6) AS open, ROUND(high, 6) AS high,
+           ROUND(low, 6) AS low, ROUND(close, 6) AS close,
+           CAST(volume AS BIGINT) AS volume
+    FROM b WHERE rn = 1
+"""
+
+STAGED["events_ohlc_bars"] = (events_ohlc_bars_q, _OHLC_ORACLE)

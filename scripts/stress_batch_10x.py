@@ -701,29 +701,35 @@ def run_staged14(spark, sf_dir: str, label: str, factor: int = 1) -> None:
         agg_bootstrap_ci_q,
         corpus_source_overlap_q,
         embedding_vector_qc_q,
+        events_ohlc_bars_q,
     )
 
-    if factor > 1 and not os.path.exists(os.path.join(sf_dir, "orders.parquet")):
-        orders = spark.read.parquet(f"{BASE_SF}/orders.parquet")
-        parts = [
-            orders
-            if i == 0
-            else orders.withColumn(
-                "o_orderkey", F.col("o_orderkey") + i * 100_000_000
+    for table, key in (("orders", "o_orderkey"), ("events", "event_id")):
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        # build_scratch symlinks a 1x events.parquet for read_table
+        # compatibility — replace it with a real Nx replication here
+        if factor > 1 and os.path.islink(path):
+            os.unlink(path)
+        if factor > 1 and not os.path.exists(path):
+            base = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+            parts = [
+                base
+                if i == 0
+                else base.withColumn(key, F.col(key) + i * 100_000_000)
+                for i in range(factor)
+            ]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+            big.repartition(max(8, factor)).write.mode("overwrite").parquet(
+                path
             )
-            for i in range(factor)
-        ]
-        big = parts[0]
-        for p in parts[1:]:
-            big = big.unionByName(p)
-        big.repartition(max(8, factor)).write.mode("overwrite").parquet(
-            os.path.join(sf_dir, "orders.parquet")
-        )
 
     for name, fn in (
         ("corpus_source_overlap", corpus_source_overlap_q),
         ("embedding_vector_qc", embedding_vector_qc_q),
         ("agg_bootstrap_ci", agg_bootstrap_ci_q),
+        ("events_ohlc_bars", events_ohlc_bars_q),
     ):
         runs = []
         for _ in range(3):

@@ -341,3 +341,45 @@ def test_kmv_estimator_random_corpora_vs_reference(spark, seed):
             want = (len(merged), inter, round(inter / len(merged), 6))
             assert got[(a, b)] == want, (a, b, got[(a, b)], want)
     assert any_union_over_k, "fuzz corpus too small to exercise the cut"
+
+
+def test_ohlc_bars_laws(spark, sf_dir):
+    """Bar invariants the oracle can't state by itself: low <= open,
+    close <= high per bar; volumes sum to the table count; open/close
+    equal an independently collected first/last event value per bar
+    (total order via the unique event_id tie-break); bars are
+    hour-aligned."""
+    from collections import defaultdict
+
+    rows = r14.events_ohlc_bars_q(spark, sf_dir).collect()
+    assert rows
+    events = read_table(spark, sf_dir, "events").collect()
+    assert sum(r["volume"] for r in rows) == len(events)
+
+    by_bar = defaultdict(list)
+    for e in events:
+        bar = e["ts"].replace(minute=0, second=0, microsecond=0)
+        by_bar[(e["event_type"], bar)].append((e["ts"], e["event_id"], e["value"]))
+    for r in rows:
+        key = (r["event_type"], r["bar_start"])
+        assert r["bar_start"].minute == 0 and r["bar_start"].second == 0
+        evs = sorted(by_bar[key])
+        assert r["volume"] == len(evs)
+        assert r["open"] == round(evs[0][2], 6)
+        assert r["close"] == round(evs[-1][2], 6)
+        assert r["low"] <= min(r["open"], r["close"]) + 1e-9
+        assert r["high"] >= max(r["open"], r["close"]) - 1e-9
+
+
+def test_ohlc_plan_single_exchange(spark, sf_dir):
+    """The family contract: every window and the final cut ride ONE
+    hash exchange on the bar key — a second exchange means a window
+    stopped reusing the partitioning."""
+    plan = (
+        r14.events_ohlc_bars_q(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
