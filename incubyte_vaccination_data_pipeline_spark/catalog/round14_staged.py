@@ -36,6 +36,12 @@ would re-sort the driver window under the slots round 13 promised —
   first/last-by-time aggregation every hypertable serves
   (TimescaleDB first()/last()), one exchange on the bar key serving
   the ordered window, the partition aggregates, and the rn = 1 cut.
+
+- ``events_asof_nearest`` — nearest-direction as-of join (pandas
+  ``merge_asof(direction='nearest')``), completing the engine's
+  backward / backward+tolerance / nearest as-of matrix: the backward
+  union-carry run twice (max/min of the payload struct over mirrored
+  windows) + a row-local gap CASE — never a range join.
 """
 
 from __future__ import annotations
@@ -517,3 +523,91 @@ _OHLC_ORACLE = """
 """
 
 STAGED["events_ohlc_bars"] = (events_ohlc_bars_q, _OHLC_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# events_asof_nearest
+# ---------------------------------------------------------------------------
+
+
+def events_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas ``merge_asof(direction='nearest')``,
+    completing the engine's backward / backward+tolerance / nearest
+    as-of matrix): every purchase event gets the view event of the
+    same user CLOSEST in time — before or after — with equal distance
+    resolving to the earlier view. The right side is pre-deduplicated
+    per (user, ts) keeping the max event_id, so the pick is total-
+    ordered at any SF.
+
+    Plan shape (``operators/asof.asof_join_nearest``): both sides
+    union once, ONE exchange on user_id serves the backward
+    max(struct) carry and the mirrored forward min(struct) carry (the
+    second window re-sorts in place), and the final pick is a
+    row-local CASE on the two gaps — never a range join, never
+    per-key Python."""
+    from incubyte_vaccination_data_pipeline_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = asof_join_nearest(
+        purchases,
+        views,
+        on=["user_id"],
+        payload_cols=["event_id", "value"],
+        payload_prefix="view_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        "view_ts",
+        "view_event_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+_ASOF_NEAREST_ORACLE = """
+    WITH views AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view')
+        WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           ROUND(p.value, 6) AS value,
+           v.ts AS view_ts,
+           v.event_id AS view_event_id,
+           ROUND(v.value, 6) AS view_value
+    FROM events p
+    LEFT JOIN LATERAL (
+        SELECT ts, event_id, value
+        FROM views v
+        WHERE v.user_id = p.user_id
+        ORDER BY abs(epoch(v.ts) - epoch(p.ts)), v.ts
+        LIMIT 1
+    ) v ON TRUE
+    WHERE p.event_type = 'purchase'
+"""
+
+STAGED["events_asof_nearest"] = (events_asof_nearest_q, _ASOF_NEAREST_ORACLE)

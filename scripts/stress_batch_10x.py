@@ -701,6 +701,7 @@ def run_staged14(spark, sf_dir: str, label: str, factor: int = 1) -> None:
         agg_bootstrap_ci_q,
         corpus_source_overlap_q,
         embedding_vector_qc_q,
+        events_asof_nearest_q,
         events_ohlc_bars_q,
     )
 
@@ -730,6 +731,7 @@ def run_staged14(spark, sf_dir: str, label: str, factor: int = 1) -> None:
         ("embedding_vector_qc", embedding_vector_qc_q),
         ("agg_bootstrap_ci", agg_bootstrap_ci_q),
         ("events_ohlc_bars", events_ohlc_bars_q),
+        ("events_asof_nearest", events_asof_nearest_q),
     ):
         runs = []
         for _ in range(3):

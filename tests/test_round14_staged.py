@@ -383,3 +383,97 @@ def test_ohlc_plan_single_exchange(spark, sf_dir):
     )
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_vs_python_reference(spark, sf_dir):
+    """Every purchase's picked view equals an independent Python
+    nearest-scan over the collected events (min |gap|, tie -> earlier
+    view, per-(user, ts) dedup keeping max event_id) — the operator's
+    two window carries vs a direct reference."""
+    events = read_table(spark, sf_dir, "events").collect()
+    views = {}
+    for e in events:
+        if e["event_type"] != "view":
+            continue
+        key = (e["user_id"], e["ts"])
+        if key not in views or e["event_id"] > views[key]["event_id"]:
+            views[key] = e
+    by_user = {}
+    for (u, _), e in views.items():
+        by_user.setdefault(u, []).append(e)
+
+    rows = r14.events_asof_nearest_q(spark, sf_dir).collect()
+    n_purch = sum(1 for e in events if e["event_type"] == "purchase")
+    assert len(rows) == n_purch
+    for r in rows:
+        cands = by_user.get(r["user_id"], [])
+        if not cands:
+            assert r["view_event_id"] is None
+            continue
+        best = min(
+            cands,
+            key=lambda v: (abs((v["ts"] - r["ts"]).total_seconds()), v["ts"]),
+        )
+        assert r["view_event_id"] == best["event_id"], (
+            r["event_id"], r["view_event_id"], best["event_id"]
+        )
+        assert r["view_ts"] == best["ts"]
+
+
+def test_asof_nearest_tie_and_direction_laws(spark):
+    """Planted frame: equal-distance ties pick the EARLIER right row;
+    a right row at the exact left timestamp wins outright; keys with
+    no right rows keep NULL payload."""
+    from incubyte_vaccination_data_pipeline_spark.operators.asof import (
+        asof_join_nearest,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [
+            (1, t0, 100),        # right at +/-2s: tie -> earlier (-2s)
+            (2, t0, 200),        # right exactly AT t0 -> itself
+            (3, t0, 300),        # only a future right -> forward pick
+            (4, t0, 400),        # no right rows -> NULL
+        ],
+        "user_id int, ts timestamp, event_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 - 2 * s, 11, 1.0),
+            (1, t0 + 2 * s, 12, 2.0),
+            (2, t0, 21, 3.0),
+            (2, t0 + 5 * s, 22, 4.0),
+            (3, t0 + 30 * s, 31, 5.0),
+        ],
+        "user_id int, ts timestamp, event_id int, value double",
+    )
+    out = {
+        r["user_id"]: r
+        for r in asof_join_nearest(
+            left, right, on=["user_id"],
+            payload_cols=["event_id", "value"], payload_prefix="r_",
+        ).collect()
+    }
+    assert out[1]["r_event_id"] == 11  # tie -> earlier
+    assert out[2]["r_event_id"] == 21  # exact timestamp wins
+    assert out[3]["r_event_id"] == 31  # forward-only pick
+    assert out[4]["r_event_id"] is None and out[4]["r_ts"] is None
+
+
+def test_asof_nearest_plan_shape(spark, sf_dir):
+    """No range join, no cartesian: the view dedup pays one exchange
+    on (user, ts) and the union carry one on user — both carries ride
+    the SAME second exchange (a third exchange means the mirrored
+    window stopped reusing the partitioning)."""
+    plan = (
+        r14.events_asof_nearest_q(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 2
