@@ -78,12 +78,16 @@ MAX_RETRY_PASSES = 2
 #: whether its headline total can be compared across rounds, instead
 #: of a judge diffing it against a committed matched-conditions twin.
 #: A run is stamped non-comparable when the machine was already loaded
-#: at start (1-min loadavg above cpus * LOAD_BOUND_CPU_FRAC — r10/r11
-#: driver runs started at loadavg ~5 on 32 cpus and inflated the total
-#: ~25%) or when the actionable spread stays over the adjudication bar
-#: after retries (the bar the r10 verdict set; distinct from the 5%
-#: retry TRIGGER above, which is deliberately tighter so the harness
-#: works the noise down before giving up).
+#: at start (max of the 1-min AND 5-min loadavg above cpus *
+#: LOAD_BOUND_CPU_FRAC — r10/r11 driver runs started at 1-min loadavg
+#: ~5 on 32 cpus and inflated the total ~25%, and the r13 driver run
+#: slipped through a 1-min-only gate at [2.09, 4.59, ...]: the 1-min
+#: average had momentarily dipped while the box was still busy, and
+#: every per-query median read ~13% above the idle record — r13
+#: verdict item 3) or when the actionable spread stays over the
+#: adjudication bar after retries (the bar the r10 verdict set;
+#: distinct from the 5% retry TRIGGER above, which is deliberately
+#: tighter so the harness works the noise down before giving up).
 LOAD_BOUND_CPU_FRAC = 1 / 8
 COMPARABLE_SPREAD_BAR = 0.15
 
@@ -94,13 +98,18 @@ COMPACT_TOP_N = 25
 
 
 def compact_payload(
-    payload: dict, timings: dict[str, float], promoted: bool = True
+    payload: dict,
+    timings: dict[str, float],
+    promoted: bool = True,
+    run_file: str = "BENCH_last_run.json",
 ) -> dict:
     """A copy of the bench payload with only the slowest queries, sized
     to fit the driver's tail window (regression-tested). ``promoted``
     names the file that actually holds THIS run's full timing set:
     BENCH_local.json only when the run replaced the committed idle-box
-    record, else the per-run BENCH_last_run.json."""
+    record, else the per-run timestamped ``run_file`` — a non-promoted
+    run's pointer must stay resolvable instead of being overwritten by
+    the next run (r13 advice)."""
     compact = {
         k: v
         for k, v in payload.items()
@@ -111,9 +120,7 @@ def compact_payload(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:COMPACT_TOP_N]
     )
     compact["n_queries"] = len(timings)
-    compact["queries_full"] = (
-        "BENCH_local.json" if promoted else "BENCH_last_run.json"
-    )
+    compact["queries_full"] = "BENCH_local.json" if promoted else run_file
     return compact
 
 
@@ -160,9 +167,13 @@ def comparability(
     cpus = cpus or os.cpu_count() or 1
     load_bound = round(cpus * LOAD_BOUND_CPU_FRAC, 2)
     reasons = []
-    if load_start and load_start[0] > load_bound:
+    # gate on BOTH the 1-min and 5-min averages: a box that was busy
+    # minutes ago still has hot caches evicted / cgroup pressure, and
+    # the r13 driver run showed a momentary 1-min dip can mask that
+    load_eff = max(load_start[:2]) if load_start else None
+    if load_eff is not None and load_eff > load_bound:
         reasons.append(
-            f"load_avg_start {load_start[0]} > bound {load_bound}"
+            f"max(load_avg_start 1m/5m) {load_eff} > bound {load_bound}"
         )
     if actionable_frac > COMPARABLE_SPREAD_BAR:
         reasons.append(
@@ -297,11 +308,24 @@ def main() -> None:
     # own companion pointer cites (r12 verdict item 3).
     here = os.path.dirname(os.path.abspath(__file__))
     promoted = bool(payload["comparability"]["comparable"]) and sf == CANONICAL_SF
+    # non-promoted runs keep a resolvable per-run copy (timestamped,
+    # gitignored) so the compact payload's queries_full pointer in a
+    # recorded driver artifact cannot silently dangle or alias a later
+    # run's timings (r13 advice); BENCH_last_run.json stays as the
+    # fixed "most recent run" convenience name
+    run_file = (
+        "BENCH_last_run.json"
+        if promoted
+        else f"BENCH_last_run_{int(time.time())}.json"
+    )
     try:
         with open(os.path.join(here, "BENCH_last_run.json"), "w") as f:
             f.write(line + "\n")
         if promoted:
             with open(os.path.join(here, "BENCH_local.json"), "w") as f:
+                f.write(line + "\n")
+        else:
+            with open(os.path.join(here, run_file), "w") as f:
                 f.write(line + "\n")
     except OSError:
         pass
@@ -309,7 +333,7 @@ def main() -> None:
     # that 2000-char tail window (slowest queries only), so the
     # driver's parse of the final line succeeds (r1/r2 recorded
     # parsed: null because the full ~100-query line overflowed it)
-    print(json.dumps(compact_payload(payload, timings, promoted)))
+    print(json.dumps(compact_payload(payload, timings, promoted, run_file)))
 
 
 if __name__ == "__main__":

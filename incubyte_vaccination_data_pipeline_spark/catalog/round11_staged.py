@@ -93,10 +93,19 @@ def _substr_frames(spark: SparkSession, sf_dir: str):
     to the unshared operator paths (tests/test_shared_cache.py)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SUBSTR_FRAMES_CACHE:
-        frames = substring_gram_frames(
+        pos, per_doc_gram, gram_docs = substring_gram_frames(
             read_table(spark, sf_dir, "documents"), k=SUBSTR_K
         )
-        _SUBSTR_FRAMES_CACHE[key] = tuple(f.persist() for f in frames)
+        # persist only the two frames the registered queries consume
+        # (stats reads per_doc_gram, coverage reads pos); gram_docs
+        # stays lazy — pinning a corpus-sized per-gram frame in
+        # executor storage with no consumer wastes storage memory and
+        # evicts frames that ARE reused (r13 advice)
+        _SUBSTR_FRAMES_CACHE[key] = (
+            pos.persist(),
+            per_doc_gram.persist(),
+            gram_docs,
+        )
     return _SUBSTR_FRAMES_CACHE[key]
 
 

@@ -90,11 +90,21 @@ def corpus_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan regardless of how many dumps are compared."""
     k = OVERLAP_SHINGLE_K
     docs = read_table(spark, sf_dir, "documents")
+    # pre-explode spread is keyed by (source, doc_id), NOT source
+    # alone: with few large dumps (the query's use case) a source-keyed
+    # layout caps the corpus-sized explode + md5 at n_sources tasks
+    # regardless of cluster size (r13 advice). The distinct then pays
+    # one real (source, m) shuffle — map-side partial dedup first —
+    # and the signature cut re-establishes the source layout on the
+    # already-distinct (far smaller) frame.
     words = fanout_repartition(
         docs.select(
-            "source", F.split(F.lower(F.col("text")), " ").alias("w")
+            "source",
+            "doc_id",
+            F.split(F.lower(F.col("text")), " ").alias("w"),
         ).filter(F.size("w") >= k),
         "source",
+        "doc_id",
     )
     gram_expr = (
         f"transform(sequence(1, size(w) - {k - 1}),"

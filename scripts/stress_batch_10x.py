@@ -713,12 +713,23 @@ def run_staged14(spark, sf_dir: str, label: str, factor: int = 1) -> None:
             os.unlink(path)
         if factor > 1 and not os.path.exists(path):
             base = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
-            parts = [
-                base
-                if i == 0
-                else base.withColumn(key, F.col(key) + i * 100_000_000)
-                for i in range(factor)
-            ]
+
+            def replica(i: int):
+                if i == 0:
+                    return base
+                r = base.withColumn(key, F.col(key) + i * 100_000_000)
+                # shift user_id alongside the primary key: a replica
+                # that repeats user_id/ts verbatim collapses back to
+                # ~1x in any per-(user_id, ts) dedup/grouping, so the
+                # Nx run would scale the probe side but not the join
+                # keyspace and understate shuffle growth (r13 advice)
+                if "user_id" in base.columns:
+                    r = r.withColumn(
+                        "user_id", F.col("user_id") + i * 100_000_000
+                    )
+                return r
+
+            parts = [replica(i) for i in range(factor)]
             big = parts[0]
             for p in parts[1:]:
                 big = big.unionByName(p)

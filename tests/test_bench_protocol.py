@@ -68,6 +68,13 @@ def test_comparability_stamp():
     assert any("load_avg_start" in r for r in loaded["reasons"])
     assert "companion" in loaded
 
+    # the r13 driver signature: 1-min average momentarily dipped under
+    # the bound while the 5-min average shows the box was busy — the
+    # gate must consider max(1-min, 5-min) (r13 verdict item 3)
+    recently_loaded = bench.comparability([2.09, 4.59, 5.21], 0.04, cpus=32)
+    assert recently_loaded["comparable"] is False
+    assert any("load_avg_start" in r for r in recently_loaded["reasons"])
+
     noisy = bench.comparability([0.4, 0.5, 0.5], 0.24, cpus=32)
     assert noisy["comparable"] is False
     assert any("spread_actionable_frac" in r for r in noisy["reasons"])
@@ -79,9 +86,9 @@ def test_comparability_stamp():
 def test_compact_pointer_tracks_promotion():
     """The compact payload names the file that actually holds this
     run's full timing set: a promoted (comparable, canonical-SF) run
-    replaces BENCH_local.json; any other run lands in
-    BENCH_last_run.json — the committed idle-box record survives a
-    loaded driver invocation or a small-SF smoke (r12 verdict #3)."""
+    replaces BENCH_local.json; any other run lands in a per-run
+    timestamped file so the recorded pointer stays resolvable instead
+    of being overwritten by the next run (r12 verdict #3, r13 advice)."""
     timings = {"q": 1.0}
     payload = {"queries": timings, "sf": 0.1}
     assert (
@@ -89,6 +96,8 @@ def test_compact_pointer_tracks_promotion():
         == "BENCH_local.json"
     )
     assert (
-        bench.compact_payload(payload, timings, promoted=False)["queries_full"]
-        == "BENCH_last_run.json"
+        bench.compact_payload(
+            payload, timings, promoted=False, run_file="BENCH_last_run_99.json"
+        )["queries_full"]
+        == "BENCH_last_run_99.json"
     )
