@@ -133,6 +133,11 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "*", F.col("b.band_off").alias("band_off"), F.col("b.masked").alias("masked")
         ).drop("b")
 
+    # r14 note: an explicit .repartition("dirty_id") before the
+    # distinct removes 2 of the 6 exchanges (the distinct and the
+    # window re-key), but measured a wash at sf0.1 (1.23s -> 1.26s
+    # interleaved A/B) because it also forfeits the distinct's
+    # map-side partial dedup before the exchange — kept as-is.
     cand = (
         bands(dirty, "dirty_name")
         .join(bands(customer, "c_name"), ["band_off", "masked"])

@@ -216,18 +216,17 @@ def integrity_check_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(wide.select(F.explode(checks).alias("p")).select("p.*"))
 
     for name, table, key in _PK_CHECKS:
+        # r14 (guide §2.4): n_rows = sum of per-key counts, so the
+        # duplicate check and the row count ride ONE scan + ONE keyed
+        # shuffle — the previous shape paid a second full scan and a
+        # crossJoin of two single-row aggregates per table
         t = read_table(spark, sf_dir, table)
-        dupes = (
-            t.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") > 1)
-            .agg(F.count(F.lit(1)).alias("n_violations"))
-        )
-        total = t.agg(F.count(F.lit(1)).alias("n_rows"))
+        per_key = t.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
         rows.append(
-            total.crossJoin(dupes).select(
-                F.lit(name).alias("check_name"), "n_rows", "n_violations"
-            )
+            per_key.agg(
+                F.coalesce(F.sum("__c"), F.lit(0)).alias("n_rows"),
+                F.count(F.when(F.col("__c") > 1, 1)).alias("n_violations"),
+            ).select(F.lit(name).alias("check_name"), "n_rows", "n_violations")
         )
     out = rows[0]
     for r in rows[1:]:

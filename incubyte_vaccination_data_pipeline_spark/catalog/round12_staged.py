@@ -134,15 +134,38 @@ def corpus_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = augmented_documents(spark, sf_dir)
-    reps = exact_dedup(docs).select(F.col("rep_doc_id").alias("doc_id"))
+    # r14 restructure (guide §1.2: don't compute things twice): the
+    # crossJoin-of-aggregates shape re-executed each branch's WHOLE
+    # lineage per run — exact_dedup's md5 groupBy ran ~4x (semi-join,
+    # its own count, and again under tr / final) and the contamination
+    # join twice (count + anti-join). Now every stage decision becomes
+    # a compact per-doc FLAG (reps / members / contaminated are
+    # checkpointed id frames; 1:1 left joins cannot fan out because
+    # each is unique on doc_id), and ALL funnel counts — including the
+    # conditional BPE token sum, evaluated only on final survivors —
+    # come out of ONE wide aggregate over one pass of the corpus.
+    # n_exact_unique = count of exact_dedup reps (one per distinct
+    # md5(text) by construction), so the separate full-text
+    # countDistinct(md5) pass is gone. Values are unchanged; only the
+    # number of times each subtree executes.
+    reps = (
+        exact_dedup(docs)
+        .select(F.col("rep_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=False)  # compact: one id per distinct text
+    )
     members = (
         shared_duplicate_clusters(spark, sf_dir)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
-    cleaned = docs.join(reps, "doc_id", "left_semi").join(
-        members, "doc_id", "left_anti"
-    )
+    flagged = docs.join(
+        reps.withColumn("__rep", F.lit(True)), "doc_id", "left"
+    ).join(members.withColumn("__mem", F.lit(True)), "doc_id", "left")
+    is_rep = F.coalesce("__rep", F.lit(False))
+    is_mem = F.coalesce("__mem", F.lit(False))
+    is_cleaned = is_rep & ~is_mem
+    is_train = is_cleaned & (F.col("doc_id") % 17 != 0)
+
     # eval samples the RAW corpus (benchmarks are built from raw text;
     # this is also what makes the screen non-vacuous — the cleaned
     # corpus is md5-distinct by construction, so a cleaned-vs-cleaned
@@ -151,37 +174,34 @@ def corpus_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surviving original into the train side, and the screen must
     # catch it
     ev = docs.filter(F.col("doc_id") % 17 == 0)
-    tr = cleaned.filter(F.col("doc_id") % 17 != 0)
+    tr = flagged.filter(is_train).select("doc_id", "text")
     contaminated = (
         exact_contamination(tr, ev)
         .select(F.col("train_doc_id").alias("doc_id"))
         .distinct()
+        .localCheckpoint(eager=False)  # tiny: leaked train ids
     )
-    final = tr.join(contaminated, "doc_id", "left_anti")
-
-    a_docs = docs.agg(
+    full = flagged.join(
+        contaminated.withColumn("__cont", F.lit(True)), "doc_id", "left"
+    )
+    is_cont = F.coalesce("__cont", F.lit(False))
+    is_final = is_train & ~is_cont
+    return full.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(F.md5("text")).alias("n_exact_unique"),
-    )
-    a_members = members.agg(F.count(F.lit(1)).alias("n_near_members"))
-    a_cleaned = cleaned.agg(F.count(F.lit(1)).alias("n_cleaned"))
-    a_contam = contaminated.agg(
-        F.count(F.lit(1)).alias("n_contaminated_train")
-    )
-    a_final = final.agg(
-        F.count(F.lit(1)).alias("n_final"),
-        F.sum(bpe_token_count("text") + 1).alias("__tok"),
+        F.sum(is_rep.cast("bigint")).alias("n_exact_unique"),
+        F.sum(is_mem.cast("bigint")).alias("n_near_members"),
+        F.sum(is_cleaned.cast("bigint")).alias("n_cleaned"),
+        F.sum(is_cont.cast("bigint")).alias("n_contaminated_train"),
+        F.sum(is_final.cast("bigint")).alias("n_final"),
+        F.sum(F.when(is_final, bpe_token_count("text") + 1)).alias("__tok"),
     ).select(
+        "n_docs",
+        "n_exact_unique",
+        "n_near_members",
+        "n_cleaned",
+        "n_contaminated_train",
         "n_final",
-        F.expr("CAST((__tok + 511) DIV 512 AS BIGINT)").alias(
-            "n_packed_seqs"
-        ),
-    )
-    return (
-        a_docs.crossJoin(a_members)
-        .crossJoin(a_cleaned)
-        .crossJoin(a_contam)
-        .crossJoin(a_final)
+        F.expr("CAST((__tok + 511) DIV 512 AS BIGINT)").alias("n_packed_seqs"),
     )
 
 
