@@ -1190,6 +1190,12 @@ def layout_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-free boundary array — no per-row join, no global sort;
     the final rollup is one 16-group aggregate."""
     orders = read_table(spark, sf_dir, "orders")
+    # r14 note: the sorted-array quantile form (operators/quantiles)
+    # that won 2-2.8x on the PER-GROUP percentile queries was
+    # A/B-tested here and LOST (0.56 -> 0.75 s interleaved): with one
+    # global group the collected array concentrates all 150k values
+    # through a single final task, while percentile's map buffer
+    # merges more cheaply — kept the percentile aggregate.
     qs = ", ".join(f"{q}D" for q in _RANGE_QS)
     b = orders.agg(
         F.expr(

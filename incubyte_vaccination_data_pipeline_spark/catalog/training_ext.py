@@ -308,19 +308,28 @@ def approx_percentile_certified_q(spark: SparkSession, sf_dir: str) -> DataFrame
     plus an in-query 5%-error certificate the oracle states as
     literal TRUE. The exact_p50 column IS independently cross-checked
     (DuckDB quantile_cont); only the approx-vs-exact bound is
-    in-frame."""
+    in-frame. r14: the exact median interpolates positionally from a
+    sorted value array (``operators/quantiles``, bit-identical output)
+    instead of a ``percentile`` buffer; the approx sketch rides the
+    same single aggregate pass."""
+    from incubyte_vaccination_data_pipeline_spark.operators.quantiles import (
+        quantile_cont,
+        sorted_values,
+    )
+
     orders = read_table(spark, sf_dir, "orders")
     p = F.col("o_totalprice").cast("double")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.percentile(p, F.lit(0.5)), 6).alias("exact_p50"),
-        (
-            F.abs(
-                F.percentile_approx(p, F.lit(0.5), F.lit(10000))
-                / F.percentile(p, F.lit(0.5))
-                - 1.0
-            )
-            <= 0.05
-        ).alias("approx_within_5pct"),
+    agg = orders.groupBy("o_orderpriority").agg(
+        sorted_values(p).alias("__arr"),
+        F.percentile_approx(p, F.lit(0.5), F.lit(10000)).alias("__ap"),
+    )
+    exact = quantile_cont("__arr", 0.5)
+    return agg.select(
+        "o_orderpriority",
+        exact.alias("exact_p50"),
+        (F.abs(F.col("__ap") / exact - 1.0) <= 0.05).alias(
+            "approx_within_5pct"
+        ),
     )
 
 
