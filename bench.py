@@ -91,6 +91,26 @@ MAX_RETRY_PASSES = 2
 LOAD_BOUND_CPU_FRAC = 1 / 8
 COMPARABLE_SPREAD_BAR = 0.15
 
+#: promotion sanity gate (round 15, VERDICT r14 item 2): before a run
+#: REPLACES the committed idle-box record, any query whose median reads
+#: more than SANITY_JUMP_FACTOR x its previous committed value (and at
+#: least SANITY_ABS_FLOOR_SEC above it — micro-queries double by
+#: scheduling jitter) is re-timed once; if the jump persists, the run
+#: is NOT promoted (it still writes its timestamped artifact). The
+#: motivating case: stream_session_gap_stateful read 5.32 s in the r14
+#: committed record (2.01 s in r13's, 1.84 s in the driver's own run,
+#: code untouched) — a single slow-but-stable micro-batch window the
+#: spread-based retry gate cannot see. A REAL regression an operator
+#: has analyzed is accepted explicitly by naming the query in
+#: $SPARK_GRAFT_SANITY_ACCEPT (comma-separated) — the gate forces the
+#: analysis, it does not forbid the record.
+SANITY_JUMP_FACTOR = 2.0
+SANITY_ABS_FLOOR_SEC = 0.5
+
+#: newest per-run timestamped artifacts kept on disk (r14 advice:
+#: they accumulated unboundedly)
+KEEP_RUN_FILES = 20
+
 #: the driver keeps only this many trailing stdout chars; the LAST
 #: printed line must parse from inside that window
 DRIVER_TAIL_CHARS = 2000
@@ -154,6 +174,32 @@ def _actionable(samples: dict[str, list[float]]) -> tuple[float, float]:
 def _under_bound(samples: dict[str, list[float]]) -> bool:
     act, total = _actionable(samples)
     return total <= 0 or act <= ACTIONABLE_SPREAD_FRAC_BOUND * total
+
+
+def sanity_flags(
+    timings: dict[str, float], prev_timings: dict[str, float]
+) -> list[str]:
+    """Queries whose median jumped > SANITY_JUMP_FACTOR x their value
+    in the previous committed record (by at least the absolute floor):
+    the single-query-noise signature the promotion gate re-times."""
+    return sorted(
+        n
+        for n, v in timings.items()
+        if n in prev_timings
+        and prev_timings[n] > 0
+        and v > SANITY_JUMP_FACTOR * prev_timings[n]
+        and v - prev_timings[n] > SANITY_ABS_FLOOR_SEC
+    )
+
+
+def _prev_committed_queries(here: str) -> dict[str, float]:
+    """Per-query medians of the committed idle-box record (empty when
+    absent/unreadable — first run on a fresh tree promotes freely)."""
+    try:
+        with open(os.path.join(here, "BENCH_local.json")) as f:
+            return dict(json.load(f).get("queries") or {})
+    except (OSError, ValueError):
+        return {}
 
 
 def comparability(
@@ -247,6 +293,36 @@ def main() -> None:
             if _under_bound(samples):
                 break
 
+    # promotion sanity pass (r15, VERDICT r14 item 2): a query reading
+    # >2x its previous committed median is either a mid-sweep slow
+    # window (re-time exonerates it — keep the LOWER-median sample,
+    # which can only move the record back TOWARD the committed value,
+    # never below the query's true floor) or a real regression (the
+    # jump persists -> the run is not promoted unless the operator has
+    # analyzed it and named the query in $SPARK_GRAFT_SANITY_ACCEPT).
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_q = _prev_committed_queries(here) if sf == CANONICAL_SF else {}
+    medians = lambda: {n: _stats(r)[0] for n, r in samples.items()}  # noqa: E731
+    sanity_retimed = sanity_flags(medians(), prev_q)
+    for name in sanity_retimed:
+        rerun = time_runs(catalog.QUERIES[name], RUNS)
+        if _stats(rerun)[0] < _stats(samples[name])[0]:
+            samples[name] = rerun
+    persistent = sanity_flags(medians(), prev_q)
+    accepted = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_SANITY_ACCEPT", "").split(",")
+        if s.strip()
+    }
+    sanity_block = {
+        "jump_factor": SANITY_JUMP_FACTOR,
+        "abs_floor_sec": SANITY_ABS_FLOOR_SEC,
+        "retimed": sanity_retimed,
+        "persistent": persistent,
+        "accepted": sorted(set(persistent) & accepted),
+    }
+    sanity_ok = not (set(persistent) - accepted)
+
     actionable_final, _ = _actionable(samples)
     timings = {n: round(_stats(r)[0], 4) for n, r in samples.items()}
     # best-of from the SAME 3-run sample as the median: still exactly
@@ -294,6 +370,10 @@ def main() -> None:
         "comparability": comparability(
             load_start, round(actionable_final / total, 4) if total else 0.0
         ),
+        # promotion sanity verdict (r15): which queries were re-timed
+        # against the committed record and whether any >2x jump
+        # persisted (a persistent jump blocks promotion below)
+        "sanity": sanity_block,
         "sf": sf,
     }
     line = json.dumps(payload)
@@ -306,17 +386,22 @@ def main() -> None:
     # comparable at the canonical SF — a driver-invoked run on a loaded
     # box, or a small-SF smoke, can no longer clobber the record its
     # own companion pointer cites (r12 verdict item 3).
-    here = os.path.dirname(os.path.abspath(__file__))
-    promoted = bool(payload["comparability"]["comparable"]) and sf == CANONICAL_SF
+    promoted = (
+        bool(payload["comparability"]["comparable"])
+        and sf == CANONICAL_SF
+        and sanity_ok
+    )
     # non-promoted runs keep a resolvable per-run copy (timestamped,
     # gitignored) so the compact payload's queries_full pointer in a
     # recorded driver artifact cannot silently dangle or alias a later
     # run's timings (r13 advice); BENCH_last_run.json stays as the
-    # fixed "most recent run" convenience name
+    # fixed "most recent run" convenience name. Millisecond suffix:
+    # two runs starting the same SECOND aliased each other's pointer
+    # (r14 advice), and stale per-run copies are pruned below.
     run_file = (
         "BENCH_last_run.json"
         if promoted
-        else f"BENCH_last_run_{int(time.time())}.json"
+        else f"BENCH_last_run_{int(time.time() * 1000)}.json"
     )
     try:
         with open(os.path.join(here, "BENCH_last_run.json"), "w") as f:
@@ -327,6 +412,17 @@ def main() -> None:
         else:
             with open(os.path.join(here, run_file), "w") as f:
                 f.write(line + "\n")
+        # bound the per-run copies (r14 advice: unbounded accumulation):
+        # keep the newest KEEP_RUN_FILES timestamped artifacts — wide
+        # enough that a recorded round artifact's pointer survives the
+        # round's own runs, while a long soak can't fill the tree
+        stale = sorted(
+            f
+            for f in os.listdir(here)
+            if re.fullmatch(r"BENCH_last_run_\d+\.json", f)
+        )[:-KEEP_RUN_FILES]
+        for f in stale:
+            os.remove(os.path.join(here, f))
     except OSError:
         pass
     # ... and the LAST stdout line is a compact payload sized to fit

@@ -31,8 +31,11 @@ from pyspark.sql import functions as F
 
 def sorted_values(col: Column | str) -> Column:
     """Aggregate expression: the group's values as an ascending array
-    (the quantile buffer). NULLs must be filtered by the caller when
-    the quantile should ignore them (``percentile`` semantics)."""
+    (the quantile buffer). ``collect_list`` skips NULLs, matching
+    ``percentile``'s NULL-ignoring semantics — no caller-side filter
+    is needed (an all-NULL group yields an empty array, which the
+    ``quantile_cont_sql`` size guard turns into NULL, again matching
+    ``percentile``)."""
     return F.sort_array(F.collect_list(col))
 
 

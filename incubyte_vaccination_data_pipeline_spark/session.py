@@ -53,6 +53,18 @@ def get_spark(
         # long-lived sessions (shared_cache evictions, per-round loop
         # checkpoints) don't accumulate them unboundedly.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # PySpark 4's DataFrame-debugging hook wraps EVERY functions/
+        # Column/DataFrame call with call-site capture: getActiveSession
+        # + conf.get + PySparkCurrentOrigin.set/clear — ~13 py4j
+        # round-trips per F.col (~3 ms) instead of 3 (~0.75 ms),
+        # measured on this box. That is driver-side plan-CONSTRUCTION
+        # overhead multiplied by every expression of every query (guide
+        # §1.2 "per-task work" applied to the driver): disabling it cut
+        # catalog-wide query-build time ~2x with identical plans and
+        # results. Cost: error messages lose the Python call-site line
+        # (the JVM stack trace and error class are unchanged); flip to
+        # "true" when debugging a query interactively.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -83,6 +83,31 @@ def test_comparability_stamp():
     assert bench.comparability(None, 0.04, cpus=32)["comparable"] is True
 
 
+def test_sanity_flags_jump_detection():
+    """Promotion sanity gate (r15, VERDICT r14 item 2): a query reading
+    >2x its previous committed median (and >0.5 s above it) is flagged
+    for re-time before the run may replace the committed record. The
+    motivating case is pinned: stream_session_gap_stateful read 5.32 s
+    in the r14 committed record vs 2.01 s in r13's with untouched code
+    — a slow-but-stable micro-batch window the spread-based retry gate
+    cannot see (3-run spread was small, so no retry fired)."""
+    prev = {"stream_session_gap_stateful": 2.01, "q6_forecast": 0.2}
+    now = {"stream_session_gap_stateful": 5.32, "q6_forecast": 0.45}
+    # the stream query is flagged; the micro-query doubling is not
+    # (0.25 s absolute excess is scheduling jitter, under the floor)
+    assert bench.sanity_flags(now, prev) == ["stream_session_gap_stateful"]
+    # a clean run: nothing flagged
+    assert bench.sanity_flags({"a": 1.9}, {"a": 1.0}) == []
+    # queries absent from the previous record never flag (new queries)
+    assert bench.sanity_flags({"new_q": 9.0}, {}) == []
+
+
+def test_sanity_bounds_are_sane():
+    assert bench.SANITY_JUMP_FACTOR >= 2.0
+    assert 0 < bench.SANITY_ABS_FLOOR_SEC <= 1.0
+    assert bench.KEEP_RUN_FILES >= 5
+
+
 def test_compact_pointer_tracks_promotion():
     """The compact payload names the file that actually holds this
     run's full timing set: a promoted (comparable, canonical-SF) run
