@@ -32,9 +32,40 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incubyte_vaccination_data_pipeline_spark.catalog.registry import query
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
+from incubyte_vaccination_data_pipeline_spark.shared_cache import BoundedCache
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
 
 _DEC = "decimal(18,2)"
+
+#: per-(app, corpus) daily integer-cent revenue frame — the identical
+#: scan + (event_type, day) aggregate prefix five time-series queries
+#: repeated per run (ses, holt_linear, holt_winters, autocorrelation,
+#: changepoint_cusum). Checkpointed once per corpus under the
+#: shared-cache policy (r15, VERDICT r14 item 5): the frame is
+#: |types| x |calendar days| rows (~150 at any data scale — the series
+#: length is bounded by days, not corpus rows), so the amortization is
+#: pure win and the pinned frame is negligible.
+_SHARED_DAILY = BoundedCache()
+
+
+def _daily_cents_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed builder (plan guards assert on this — a
+    checkpointed frame's plan is an opaque LogicalRDD)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+
+
+def shared_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "daily_cents")
+    return _SHARED_DAILY.get_or_build(
+        key,
+        lambda: durable_checkpoint(_daily_cents_frame(spark, sf_dir), eager=False),
+    )
 
 
 @query(
@@ -469,10 +500,9 @@ def events_ses_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     series (trivial) and the only shuffles are the two keyed
     aggregations. For multi-year series the same fold runs over a
     year-bucketed nesting with carried seeds."""
-    events = read_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    # shared per-corpus prefix (see shared_daily_cents): one scan +
+    # one (event_type, day) aggregate serves all five series queries
+    daily = shared_daily_cents(spark, sf_dir)
     series = daily.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
     )
@@ -667,10 +697,9 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     CALENDAR DAYS, not corpus rows, so the per-type arrays stay tiny
     at any data scale; two keyed aggregations are the only shuffles,
     and the per-day fold is O(days^2) on ~30-day series."""
-    events = read_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    # shared per-corpus prefix (see shared_daily_cents): one scan +
+    # one (event_type, day) aggregate serves all five series queries
+    daily = shared_daily_cents(spark, sf_dir)
     series = daily.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
     )
@@ -970,10 +999,9 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily aggregate, a second the per-type arrays; the lag fan-out is
     {lags} rows per type. Lag products stay in bigint (1e14 per term,
     ~30 terms — far under overflow)."""
-    events = read_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    # shared per-corpus prefix (see shared_daily_cents): one scan +
+    # one (event_type, day) aggregate serves all five series queries
+    daily = shared_daily_cents(spark, sf_dir)
     s = daily.groupBy("event_type").agg(
         F.expr("transform(sort_array(collect_list(struct(day, cents))),"
                " e -> e.cents)").alias("a"),
@@ -1061,10 +1089,9 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-type series are calendar-bounded; prefix sums fold over
     the sorted array per row (O(days^2) on ~30-day series); two keyed
     shuffles; O(types) output."""
-    events = read_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    # shared per-corpus prefix (see shared_daily_cents): one scan +
+    # one (event_type, day) aggregate serves all five series queries
+    daily = shared_daily_cents(spark, sf_dir)
     s = daily.groupBy("event_type").agg(
         F.expr("transform(sort_array(collect_list(struct(day, cents))),"
                " e -> e.day)").alias("days"),

@@ -522,10 +522,14 @@ def events_holt_winters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     CALENDAR DAYS, not corpus rows; two keyed aggregations are the
     only shuffles and the per-day prefix fold is O(days^2) on ~30-day
     series."""
-    events = read_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    from incubyte_vaccination_data_pipeline_spark.catalog.events_ext import (
+        shared_daily_cents,
+    )
+
+    # shared per-corpus prefix (events_ext.shared_daily_cents): one
+    # scan + one (event_type, day) aggregate serves all five series
+    # queries instead of being recomputed per run
+    daily = shared_daily_cents(spark, sf_dir)
     series = daily.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
     )

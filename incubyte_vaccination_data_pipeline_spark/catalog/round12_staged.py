@@ -36,6 +36,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
+    durable_checkpoint,
+)
 from incubyte_vaccination_data_pipeline_spark.sources.parquet_io import read_table
 
 STAGED: dict = {}
@@ -148,10 +151,9 @@ def corpus_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5(text) by construction), so the separate full-text
     # countDistinct(md5) pass is gone. Values are unchanged; only the
     # number of times each subtree executes.
-    reps = (
-        exact_dedup(docs)
-        .select(F.col("rep_doc_id").alias("doc_id"))
-        .localCheckpoint(eager=False)  # compact: one id per distinct text
+    reps = durable_checkpoint(
+        exact_dedup(docs).select(F.col("rep_doc_id").alias("doc_id")),
+        eager=False,  # compact: one id per distinct text
     )
     members = (
         shared_duplicate_clusters(spark, sf_dir)
@@ -175,11 +177,11 @@ def corpus_curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catch it
     ev = docs.filter(F.col("doc_id") % 17 == 0)
     tr = flagged.filter(is_train).select("doc_id", "text")
-    contaminated = (
+    contaminated = durable_checkpoint(
         exact_contamination(tr, ev)
         .select(F.col("train_doc_id").alias("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=False)  # tiny: leaked train ids
+        .distinct(),
+        eager=False,  # tiny: leaked train ids
     )
     full = flagged.join(
         contaminated.withColumn("__cont", F.lit(True)), "doc_id", "left"

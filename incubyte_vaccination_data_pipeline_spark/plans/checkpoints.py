@@ -38,9 +38,13 @@ def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     duration of the eager materialization and release it immediately
     after (the checkpointed RDD is its own storage from then on).  A
     lazy reliable checkpoint (``eager=False``) materializes at the
-    caller's first action, outside this function's scope, so no
-    persist is taken there — callers on that path should persist
-    around their own first action if the lineage is expensive.
+    caller's first action, outside this function's scope; the input is
+    persisted here too (r14 advice — without it the checkpoint-write
+    job re-evaluates the full lineage once more whenever the first
+    action lands), and released by the ContextCleaner once the frame
+    is no longer referenced (``spark.cleaner.referenceTracking``, on
+    by default) rather than by an explicit unpersist this function has
+    no scope to place.
 
     Retention: reliable checkpoint files are NOT removed by
     ``unpersist()``; the session factory (``session.get_spark``) sets
@@ -65,5 +69,11 @@ def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
             finally:
                 if not already_persisted:
                     df.unpersist()
+        # lazy reliable path: persist so the checkpoint-write job (at
+        # the caller's first action) reads cached blocks instead of
+        # re-running the lineage; the ContextCleaner releases it when
+        # the frame is garbage-collected (see docstring)
+        if df.storageLevel == StorageLevel.NONE:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)

@@ -1150,9 +1150,12 @@ def test_survival_retention_calendar_bounded(spark, sf_dir):
 
 def test_autocorrelation_two_shuffles_no_join(spark, sf_dir):
     """ACF must be two keyed aggregations + a per-row array fold —
-    no join, no per-lag re-scan."""
+    no join, no per-lag re-scan. r15: the daily aggregate comes from
+    the shared checkpointed frame (events_ext.shared_daily_cents), so
+    the plan shows NO parquet scan at all — the one-scan-one-aggregate
+    guard lives on the builder (test_shared_daily_cents_builder_and_reuse)."""
     plan = _plan(QUERIES["events_autocorrelation"](spark, sf_dir))
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 0
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
 
@@ -1169,8 +1172,10 @@ def test_benford_single_aggregate_broadcast_total(spark, sf_dir):
 
 
 def test_cusum_no_join_calendar_bounded(spark, sf_dir):
+    # r15: daily aggregate from the shared checkpointed frame — no
+    # parquet scan in the consumer (builder guard covers the scan)
     plan = _plan(QUERIES["events_changepoint_cusum"](spark, sf_dir))
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 0
     assert "Join" not in plan
 
 
@@ -1212,3 +1217,30 @@ def test_bot_signals_single_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # window + (possible) agg reuse
+
+
+def test_shared_daily_cents_builder_and_reuse(spark, sf_dir):
+    """r15: the five time-series queries (ses, holt_linear,
+    holt_winters, autocorrelation, changepoint_cusum) share one
+    checkpointed (event_type, day, cents) frame per corpus. The
+    UN-checkpointed builder must stay one scan + one keyed aggregate
+    (the checkpointed frame's plan is an opaque LogicalRDD, so the
+    guard asserts on the builder — r8 gotcha), and repeated calls must
+    return the SAME cached frame object."""
+    from incubyte_vaccination_data_pipeline_spark.catalog.events_ext import (
+        _daily_cents_frame,
+        shared_daily_cents,
+    )
+
+    plan = _plan(_daily_cents_frame(spark, sf_dir))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 1, f"daily-cents builder needs one shuffle, saw {shuffles}"
+    assert plan.count("Scan parquet") == 1, "builder must scan events once"
+
+    a = shared_daily_cents(spark, sf_dir)
+    b = shared_daily_cents(spark, sf_dir)
+    assert a is b, "shared frame must be cached per (app, corpus)"
+    # the shared frame computes exactly what the builder computes
+    sa = {tuple(r) for r in a.collect()}
+    sb = {tuple(r) for r in _daily_cents_frame(spark, sf_dir).collect()}
+    assert sa == sb

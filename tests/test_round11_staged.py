@@ -303,10 +303,13 @@ def test_holt_winters_pure_periodic_series_is_exact(spark):
         rows.append(("periodic", day, cents / 100.0))
     df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
     # reuse the staged query's pipeline by substituting the events read
+    # (r15: the daily aggregate comes from events_ext.shared_daily_cents,
+    # so the patch target moved there; the per-(app, dir) cache entry for
+    # the synthetic "ignored" dir is keyed apart from real corpora)
     import unittest.mock as mock
 
     with mock.patch(
-        "incubyte_vaccination_data_pipeline_spark.catalog.round11_staged.read_table",
+        "incubyte_vaccination_data_pipeline_spark.catalog.events_ext.read_table",
         return_value=df,
     ):
         out = sorted(
