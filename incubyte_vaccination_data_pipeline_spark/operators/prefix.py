@@ -32,6 +32,19 @@ from incubyte_vaccination_data_pipeline_spark.plans.checkpoints import (
 #: r15 interleaved A/B can flip it per pass without code edits
 CHECKPOINT_INPUT = True
 
+#: target bytes per range when deriving ``n_ranges`` from the input's
+#: Catalyst size estimate (r15, guide §2 "make partitioning
+#: scale-adaptive — derive from input size rather than a constant"):
+#: each range is one independent window task, so ranges want to be
+#: work-sized, not core-count-sized. ``n_ranges`` stays capped at
+#: ``spark.sql.shuffle.partitions`` (the prior constant), so at
+#: cluster scale the behavior is unchanged; on small inputs the
+#: derivation stops paying 32 sampling ranges + 32 window tasks +
+#: a 32-row offsets collect for a few-MB frame (interleaved A/B at
+#: sf0.1: pack 1.20 -> 0.98 s, pareto 1.28 -> 1.12, equiheight
+#: 0.43 -> 0.40 median).
+TARGET_RANGE_BYTES = 32 << 20
+
 
 def global_cumsum(
     df: DataFrame,
@@ -61,7 +74,19 @@ def global_cumsum(
     spark = df.sparkSession
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if n_ranges is None:
-        n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = 0
+        # derive from input size, clamp to [2, shuffle partitions]
+        # (the prior constant is the cap, so cluster-scale inputs keep
+        # the old width; see TARGET_RANGE_BYTES)
+        n_ranges = (
+            max(2, min(cap, -(-est // TARGET_RANGE_BYTES))) if est > 0 else cap
+        )
     # r14: checkpoint the INPUT before repartitionByRange — the range
     # partitioner's sampling job evaluates the whole child lineage
     # once and the ranged checkpoint materializes it again, so an

@@ -72,4 +72,9 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # memoize py4j function-handle resolution (2 of 3 round-trips per
+    # F.* call re-derive a constant; see py4j_fastpath docstring)
+    from incubyte_vaccination_data_pipeline_spark.py4j_fastpath import install
+
+    install()
     return spark
